@@ -1,0 +1,54 @@
+"""psvo_tpu — a TPU-native JAX framework for variational sequential Monte Carlo.
+
+A from-scratch rebuild of the capabilities of the reference `amoretti86/PSVO`
+(see SURVEY.md): the full variational-SMC objective family (IWAE, FIVO/AESMC,
+SVO, PSVO) for learning nonlinear state-space models, designed TPU-first:
+
+- Time is a `lax.scan`; batch and particle axes are plain tensor axes that
+  shard over a `jax.sharding.Mesh(("data", "particle"))`.
+- Neural proposal / transition / emission MLPs run as fused Pallas matmul
+  kernels (`psvo_tpu.ops.pallas_mlp`) with a pure-jnp fallback.
+- Resampling (multinomial + systematic) is a branch-free on-device
+  cumsum + searchsorted gather (`psvo_tpu.ops.resampling`, Pallas kernel in
+  `psvo_tpu.ops.pallas_resample`).
+- The PSVO FFBSi smoother is a second, reverse-time `lax.scan` over cached
+  forward particles and log-weights.
+
+Reference parity map: SURVEY.md §2 inventories the reference components
+(`runner_flag.py`, `runner.py`, `model.py`, `distribution/`, `transformation/`,
+`SMC/{SMC_base,IWAE,AESMC,SVO,PSVO}.py`, `trainer.py`, `rslts_saving/`); each
+module here cites the component it covers.
+"""
+
+__version__ = "0.1.0"
+
+from psvo_tpu import distributions
+from psvo_tpu import networks
+from psvo_tpu.config import (
+    Config,
+    DataConfig,
+    MeshConfig,
+    NetConfig,
+    SMCConfig,
+    TrainConfig,
+    preset,
+    PRESETS,
+)
+from psvo_tpu.models.ssm import SSM, init_ssm
+from psvo_tpu.objectives import make_objective
+
+__all__ = [
+    "Config",
+    "DataConfig",
+    "MeshConfig",
+    "NetConfig",
+    "PRESETS",
+    "SMCConfig",
+    "SSM",
+    "TrainConfig",
+    "distributions",
+    "init_ssm",
+    "make_objective",
+    "networks",
+    "preset",
+]

@@ -1,0 +1,178 @@
+"""Experiment driver CLI: train / eval / bench.
+
+Covers the reference's `runner_flag.py` + `runner.py` (SURVEY.md §2-A/§3.1,
+unverified paths): choose an experiment via flags, seed everything, generate
+the dataset, build the model + objective, train, and save results/plots.
+
+Usage:
+    python -m psvo_tpu.cli train --preset fhn_fivo_k128 [--steps N] [--resume DIR]
+    python -m psvo_tpu.cli eval  --preset ... --checkpoint DIR
+    python -m psvo_tpu.cli bench --preset fhn_fivo_k1024_bench
+    python -m psvo_tpu.cli presets
+
+Every reference flag has a config-field equivalent (see psvo_tpu/config.py);
+--set dotted.key=value overrides any field, e.g. --set smc.n_particles=512.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psvo_tpu.config import PRESETS, Config, from_dict, preset
+
+
+def apply_overrides(cfg: Config, sets: list[str]) -> Config:
+    """Apply --set dotted.key=value overrides onto the config dataclass tree."""
+    d = cfg.to_dict()
+    for item in sets:
+        key, _, raw = item.partition("=")
+        if not raw:
+            raise SystemExit(f"--set expects key=value, got {item!r}")
+        node = d
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        if parts[-1] not in node:
+            raise SystemExit(f"unknown config key {key!r}")
+        node[parts[-1]] = value
+    return from_dict(d)
+
+
+def build(cfg: Config):
+    from psvo_tpu.data import generate_dataset
+    from psvo_tpu.models.ssm import init_ssm
+
+    dataset = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, jax.random.key(cfg.seed))
+    return dataset, ssm, params
+
+
+def _inferred_test_latents(cfg, ssm, params, dataset):
+    """Posterior latent paths on the test set for the parity plots."""
+    from psvo_tpu.smc import forward_filter
+    from psvo_tpu.train import filtered_means
+
+    fwd = forward_filter(
+        ssm,
+        params,
+        jax.random.key(cfg.seed + 9),
+        jnp.asarray(dataset.obs_test),
+        cfg.smc,
+        cache=True,
+    )
+    return np.asarray(filtered_means(fwd))
+
+
+def cmd_train(args) -> int:
+    cfg = apply_overrides(preset(args.preset), args.set or [])
+    if args.steps:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, n_steps=args.steps)
+        )
+    print(f"config: {cfg.name} (hash {cfg.config_hash()})", flush=True)
+
+    dataset, ssm, params = build(cfg)
+    from psvo_tpu.train import Trainer
+    from psvo_tpu.utils.checkpoint import Checkpointer
+    from psvo_tpu.utils.metrics import MetricsWriter
+    from psvo_tpu.utils.results import ResultsDir
+
+    results = ResultsDir(args.results_root, cfg)
+    print(f"results: {results.path}", flush=True)
+    ckpt_dir = args.resume if args.resume else results.checkpoint_dir()
+    trainer = Trainer(
+        cfg,
+        ssm,
+        params,
+        metrics_writer=MetricsWriter(results.metrics_path()),
+        checkpointer=Checkpointer(ckpt_dir, cfg.resume_hash()),
+    )
+    if args.resume:
+        step = trainer.restore()
+        print(f"resumed from step {step}", flush=True)
+
+    history = trainer.run(dataset.obs_train, dataset.obs_test)
+    results.save_history(history)
+    inferred = _inferred_test_latents(cfg, ssm, trainer.state.params, dataset)
+    written = results.plot_all(history, dataset, inferred)
+    print("plots:", *map(str, written), flush=True)
+    return 0
+
+
+def cmd_eval(args) -> int:
+    cfg = apply_overrides(preset(args.preset), args.set or [])
+    dataset, ssm, params = build(cfg)
+    from psvo_tpu.train import TrainState, Trainer, make_eval_step
+    from psvo_tpu.utils.checkpoint import Checkpointer
+
+    if args.checkpoint:
+        from psvo_tpu.train import make_optimizer
+
+        opt = make_optimizer(cfg)
+        state = TrainState(params, opt.init(params), jax.random.key(cfg.seed + 1))
+        Checkpointer(args.checkpoint, cfg.resume_hash()).restore(state)
+        params = state.params
+    ev = make_eval_step(ssm, cfg)(params, jax.random.key(cfg.seed + 3), jnp.asarray(dataset.obs_test))
+    out = {k: np.asarray(v).tolist() for k, v in ev.items()}
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    return bench.main(preset_name=args.preset, steps=args.bench_steps)
+
+
+def cmd_presets(_args) -> int:
+    for name, cfg in PRESETS.items():
+        print(
+            f"{name:32s} objective={cfg.smc.objective:5s} K={cfg.smc.n_particles:<6d}"
+            f" data={cfg.data.datatype:8s} T={cfg.data.t_steps}"
+        )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="psvo_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train")
+    p_train.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    p_train.add_argument("--steps", type=int, default=0)
+    p_train.add_argument("--set", action="append", metavar="KEY=VALUE")
+    p_train.add_argument("--results-root", default="results")
+    p_train.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("eval")
+    p_eval.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    p_eval.add_argument("--set", action="append", metavar="KEY=VALUE")
+    p_eval.add_argument("--checkpoint", default=None)
+    p_eval.set_defaults(fn=cmd_eval)
+
+    p_bench = sub.add_parser("bench")
+    p_bench.add_argument("--preset", default="fhn_fivo_k1024_bench")
+    p_bench.add_argument("--bench-steps", type=int, default=30)
+    p_bench.set_defaults(fn=cmd_bench)
+
+    p_presets = sub.add_parser("presets")
+    p_presets.set_defaults(fn=cmd_presets)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

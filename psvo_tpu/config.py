@@ -1,0 +1,255 @@
+"""Typed configuration tree + experiment presets.
+
+Covers the reference's `runner_flag.py` (SURVEY.md §2-A/§5): every
+reconstructed `tf.app.flags` flag has a named field here. Parity table
+(reference flag -> field):
+
+  Dx, Dy                      -> DataConfig.dx, DataConfig.dy
+  n_particles (K)             -> SMCConfig.n_particles
+  batch_size / lr / epoch     -> TrainConfig.batch_size / .lr / .n_steps
+  seed                        -> Config.seed
+  datatype {fhn,lorenz,...}   -> DataConfig.datatype
+  time (T) / n_train / n_test -> DataConfig.t_steps / .n_train / .n_test
+  q0/q1/q2/f/g layer sizes    -> Config.nets["q0"|"q1"|"q2"|"f"|"g"].hidden
+  sigma_init / sigma_min      -> NetConfig.sigma_init / .sigma_min (per net)
+  IWAE/AESMC/SVO/PSVO flags   -> SMCConfig.objective (single enum-like string)
+  use_bootstrap               -> SMCConfig.use_bootstrap
+  use_2_q                     -> SMCConfig.use_2q
+  q_uses_true_X (debug)       -> SMCConfig.q_uses_true_x
+  use_stop_gradient           -> SMCConfig.use_stop_gradient
+  n_bw_particles (M)          -> SMCConfig.n_smoothing_particles
+  backward-proposal net sizes -> Config.nets["qb"].hidden
+  MSE_steps (k-step R^2)      -> TrainConfig.mse_k_steps
+  print/save frequencies      -> TrainConfig.eval_every / .save_every
+
+Configs are frozen dataclasses: hashable (usable as jit static args), JSON
+round-trippable (`to_dict`/`from_dict`), and content-hashed into checkpoints
+and metric logs (`config_hash`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+OBJECTIVES = ("iwae", "fivo", "svo", "psvo")
+RESAMPLERS = ("systematic", "multinomial", "none")
+
+
+@dataclass(frozen=True)
+class NetConfig:
+    """One conditional head (proposal / transition / emission / backward proposal)."""
+
+    hidden: tuple[int, ...] = (64, 64)
+    activation: str = "relu"
+    cov_type: str = "const"  # "const" | "head" | "none"
+    sigma_init: float = 1.0
+    sigma_min: float = 1e-3
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Synthetic dataset generation (reference data-gen inside runner.py)."""
+
+    datatype: str = "fhn"  # "fhn" | "lorenz63" | "lorenz96" | "lgssm"
+    dx: int = 2
+    dy: int = 2
+    t_steps: int = 100
+    n_train: int = 200
+    n_test: int = 40
+    emission: str = "linear_gaussian"  # | "poisson" | "identity_gaussian"
+    obs_scale: float = 0.2  # emission noise std
+    proc_scale: float = 0.1  # process noise std injected during simulation
+    dyn_overrides: tuple[tuple[str, Any], ...] = ()  # e.g. (("dt", 0.25),)
+    x0_scale: float = 1.0  # std of the initial-state draw
+
+
+@dataclass(frozen=True)
+class SMCConfig:
+    """Objective family + particle-filter behavior (reference SMC/*.py)."""
+
+    objective: str = "fivo"  # one of OBJECTIVES
+    n_particles: int = 128  # K
+    n_smoothing_particles: int = 16  # M backward draws (SVO/PSVO)
+    resampling: str = "systematic"  # "systematic" | "multinomial" | "none"
+    ess_threshold: float = 1.0  # resample when ESS/K < threshold; 1.0 = always
+    use_2q: bool = True  # fuse q1(x|x_prev) with encoder q2(x|y)
+    remat: bool = True  # rematerialize the scan body in backprop (SURVEY.md §5):
+    # without it the T-step scan stores every MLP activation ([B*K, hidden] ×
+    # nets × T ≈ GBs at K=1024), thrashing HBM; with it only the O(B*K*Dx)
+    # carries persist and activations recompute during the backward sweep.
+    use_bootstrap: bool = False  # proposal := transition f
+    use_stop_gradient: bool = True  # stop-grad through resampling indices
+    q_uses_true_x: bool = False  # debug: condition proposal on true latents
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 3e-3
+    batch_size: int = 32
+    n_steps: int = 2000
+    clip_norm: float = 10.0
+    eval_every: int = 100
+    save_every: int = 500
+    patience: int = 20  # early stopping, in eval periods
+    mse_k_steps: int = 10  # k-step-ahead prediction R^2 horizon
+    bf16_matmuls: bool = False  # run MLP trunks in bf16 on the MXU
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for pjit/shard_map (rebuild-only; reference is single-device)."""
+
+    data: int = 1  # shards of the trajectory batch axis
+    particle: int = 1  # shards of the K-particle axis
+
+
+def _default_nets() -> tuple[tuple[str, NetConfig], ...]:
+    return (
+        ("q0", NetConfig()),  # initial proposal q0(x_0 | y_0)
+        ("q1", NetConfig()),  # dynamics proposal q1(x_t | x_{t-1})
+        ("q2", NetConfig()),  # encoder proposal q2(x_t | y_t)
+        ("f", NetConfig()),  # transition f(x_t | x_{t-1})
+        ("g", NetConfig(sigma_init=0.5)),  # emission g(y_t | x_t)
+        ("qb", NetConfig()),  # backward proposal q_b(x_t | x_{t+1}, y_t) [SVO]
+    )
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    seed: int = 0
+    data: DataConfig = field(default_factory=DataConfig)
+    smc: SMCConfig = field(default_factory=SMCConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    nets: tuple[tuple[str, NetConfig], ...] = field(default_factory=_default_nets)
+    use_pallas: bool = True  # fused kernels on TPU; jnp fallback elsewhere
+
+    def net(self, name: str) -> NetConfig:
+        for k, v in self.nets:
+            if k == name:
+                return v
+        raise KeyError(name)
+
+    def with_nets(self, **updates: NetConfig) -> "Config":
+        nets = tuple((k, updates.get(k, v)) for k, v in self.nets)
+        return dataclasses.replace(self, nets=nets)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def config_hash(self) -> str:
+        blob = json.dumps(self.to_dict(), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+    def resume_hash(self) -> str:
+        """Hash of everything that must match for a checkpoint to be loadable.
+
+        Run-control knobs (total steps, eval/save cadence, patience) may
+        legitimately change across resumes — e.g. `--steps 250` continuing a
+        200-step run — so they are excluded; model/data/objective/optimizer
+        structure is not.
+        """
+        d = self.to_dict()
+        for k in ("n_steps", "eval_every", "save_every", "patience"):
+            d["train"].pop(k, None)
+        blob = json.dumps(d, sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
+def _tupled(d: dict, cls):
+    """Rebuild a (possibly nested) frozen dataclass from a dict, tupling lists."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            v = _tupled(v, f.type)
+        kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+    return cls(**kwargs)
+
+
+def from_dict(d: dict) -> Config:
+    nets = tuple(
+        (k, _tupled(dict(v), NetConfig)) for k, v in (d.get("nets") or _default_nets())
+    )
+    return Config(
+        name=d.get("name", "default"),
+        seed=d.get("seed", 0),
+        data=_tupled(d.get("data", {}), DataConfig),
+        smc=_tupled(d.get("smc", {}), SMCConfig),
+        train=_tupled(d.get("train", {}), TrainConfig),
+        mesh=_tupled(d.get("mesh", {}), MeshConfig),
+        nets=nets,
+        use_pallas=d.get("use_pallas", True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Presets: the five BASELINE.json benchmark configs, verbatim mapping.
+# ---------------------------------------------------------------------------
+
+PRESETS: dict[str, Config] = {
+    # 1. "IWAE (no resampling), FitzHugh–Nagumo 2D SSM, K=16 particles, T=100"
+    "fhn_iwae_k16": Config(
+        name="fhn_iwae_k16",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
+        smc=SMCConfig(objective="iwae", n_particles=16, resampling="none"),
+    ),
+    # 2. "FIVO/AESMC filtering with systematic resampling, FHN, K=128, batched"
+    "fhn_fivo_k128": Config(
+        name="fhn_fivo_k128",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
+        smc=SMCConfig(objective="fivo", n_particles=128, resampling="systematic"),
+    ),
+    # 3. "SVO smoothing with learned backward proposal, Lorenz-63 3D latent, K=256"
+    "lorenz63_svo_k256": Config(
+        name="lorenz63_svo_k256",
+        data=DataConfig(datatype="lorenz63", dx=3, dy=3, t_steps=100, obs_scale=0.5),
+        smc=SMCConfig(
+            objective="svo",
+            n_particles=256,
+            n_smoothing_particles=16,
+            resampling="systematic",
+        ),
+    ),
+    # 4. "PSVO full FFBSi backward-simulation smoother, Lorenz-63, K=1024"
+    "lorenz63_psvo_k1024": Config(
+        name="lorenz63_psvo_k1024",
+        data=DataConfig(datatype="lorenz63", dx=3, dy=3, t_steps=100, obs_scale=0.5),
+        smc=SMCConfig(
+            objective="psvo",
+            n_particles=1024,
+            n_smoothing_particles=16,
+            resampling="systematic",
+        ),
+    ),
+    # 5. "Scaled Lorenz-96 D=40 latent, K=8192 particles sharded over ICI on v5e-8"
+    "lorenz96_fivo_k8192_sharded": Config(
+        name="lorenz96_fivo_k8192_sharded",
+        data=DataConfig(
+            datatype="lorenz96", dx=40, dy=40, t_steps=100, obs_scale=0.5
+        ),
+        smc=SMCConfig(objective="fivo", n_particles=8192, resampling="systematic"),
+        mesh=MeshConfig(data=1, particle=8),
+        train=TrainConfig(batch_size=8),
+    ),
+    # Primary benchmark metric config: FHN, K=1024 (BASELINE.json "metric").
+    "fhn_fivo_k1024_bench": Config(
+        name="fhn_fivo_k1024_bench",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
+        smc=SMCConfig(objective="fivo", n_particles=1024, resampling="systematic"),
+    ),
+}
+
+
+def preset(name: str) -> Config:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise ValueError(f"unknown preset {name!r}; options: {sorted(PRESETS)}")

@@ -1,0 +1,108 @@
+"""Synthetic dataset simulation from ground-truth state-space models.
+
+Covers the reference's data generation inside `runner.py`/`utils.py`
+(SURVEY.md §2-A/§3.5, unverified paths): simulate `n_train + n_test`
+trajectories of length T from a true SSM — FHN / Lorenz-63 / Lorenz-96
+dynamics plus process noise, observed through a linear(-or-identity) Gaussian
+or Poisson emission — returning (hidden, obs) splits with the true latents
+kept for evaluation plots and R².
+
+TPU-first shape: the whole simulator is one `lax.scan` over T vmapped over
+trajectories, jitted once; datasets at reference scales (hundreds of
+trajectories, T≈100–200) generate in milliseconds on-device, so there is no
+separate host data-loading subsystem to port.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from psvo_tpu.config import DataConfig
+from psvo_tpu.models import dynamics as dyn
+
+
+@dataclass
+class Dataset:
+    obs_train: jax.Array  # [n_train, T, Dy]
+    obs_test: jax.Array  # [n_test, T, Dy]
+    hidden_train: jax.Array  # [n_train, T, Dx]
+    hidden_test: jax.Array  # [n_test, T, Dx]
+    emission_matrix: jax.Array  # [Dx, Dy] true emission map (for diagnostics)
+
+
+# Burn-in pushes chaotic initial states onto the attractor before recording.
+_BURN_IN = {"lorenz63": 500, "lorenz96": 500}
+_X0_OFFSET = {"lorenz63": (0.0, 0.0, 25.0)}  # start near the attractor center
+
+
+def _make_stepper(cfg: DataConfig):
+    if cfg.datatype == "lgssm":
+        # Stable rotation-ish linear system for oracle tests.
+        theta = 0.3
+        a = [
+            [0.9 * jnp.cos(theta), -0.9 * jnp.sin(theta)],
+            [0.9 * jnp.sin(theta), 0.9 * jnp.cos(theta)],
+        ]
+        mat = tuple(tuple(float(v) for v in row) for row in jnp.asarray(a)[: cfg.dx, : cfg.dx].tolist())
+        return dyn.LinearDynamics(matrix=mat)
+    return dyn.make_dynamics(cfg.datatype, **dict(cfg.dyn_overrides))
+
+
+def emission_map(cfg: DataConfig, key: jax.Array) -> jax.Array:
+    """Fixed [Dx, Dy] observation matrix: identity when square, else a random
+    projection drawn once from the dataset seed (matches the reference's
+    linear/identity emission options)."""
+    if cfg.emission == "identity_gaussian" or cfg.dx == cfg.dy:
+        eye = jnp.eye(cfg.dx, cfg.dy, dtype=jnp.float32)
+        return eye
+    return jax.random.normal(key, (cfg.dx, cfg.dy), jnp.float32) / jnp.sqrt(cfg.dx)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_traj"))
+def _simulate(cfg: DataConfig, key: jax.Array, n_traj: int):
+    stepper = _make_stepper(cfg)
+    k_x0, k_proc, k_obs, k_emit = jax.random.split(key, 4)
+    c_emit = emission_map(cfg, k_emit)
+
+    offset = jnp.asarray(_X0_OFFSET.get(cfg.datatype, (0.0,) * cfg.dx), jnp.float32)
+    x0 = offset + cfg.x0_scale * jax.random.normal(k_x0, (n_traj, cfg.dx))
+
+    burn = _BURN_IN.get(cfg.datatype, 0)
+    if burn:
+        x0 = jax.lax.fori_loop(0, burn, lambda _, x: stepper.step(x), x0)
+
+    def step(x, keys):
+        k_p, k_o = keys
+        x_next = stepper.step(x) + cfg.proc_scale * jax.random.normal(
+            k_p, x.shape
+        )
+        proj = x_next @ c_emit
+        if cfg.emission == "poisson":
+            y = jax.random.poisson(k_o, jnp.exp(jnp.tanh(proj))).astype(jnp.float32)
+        else:
+            y = proj + cfg.obs_scale * jax.random.normal(k_o, proj.shape)
+        return x_next, (x_next, y)
+
+    keys = (
+        jax.random.split(k_proc, cfg.t_steps),
+        jax.random.split(k_obs, cfg.t_steps),
+    )
+    _, (xs, ys) = jax.lax.scan(step, x0, keys)
+    # scan stacks time first: [T, n, D] -> [n, T, D]
+    return jnp.swapaxes(xs, 0, 1), jnp.swapaxes(ys, 0, 1), c_emit
+
+
+def generate_dataset(cfg: DataConfig, seed: int) -> Dataset:
+    key = jax.random.key(seed)
+    hidden, obs, c_emit = _simulate(cfg, key, cfg.n_train + cfg.n_test)
+    return Dataset(
+        obs_train=obs[: cfg.n_train],
+        obs_test=obs[cfg.n_train :],
+        hidden_train=hidden[: cfg.n_train],
+        hidden_test=hidden[cfg.n_train :],
+        emission_matrix=c_emit,
+    )

@@ -1,0 +1,141 @@
+"""Conditional distribution primitives: diagonal/full MVN, Poisson, Dirac delta.
+
+Covers the reference's `distribution/` package (`base.py`, `mvn.py`,
+`poisson.py`, `dirac_delta.py` — SURVEY.md §2-A, paths unverified): each
+reference distribution wraps a transformation into a conditional distribution
+exposing `sample` / `log_prob`. Here the equivalent is a set of *pure
+functions* over explicit `(mean, scale)` tensors so that everything traces
+into one XLA program — the "distribution object" of the reference dissolves
+into the SSM heads (`psvo_tpu.models.ssm`), which produce the parameters, plus
+these kernels, which consume them.
+
+All functions broadcast over arbitrary leading axes (batch, particle, time)
+and keep the event axis last. Computation is float32: log-densities need the
+mantissa; the MLP matmuls that *produce* the parameters are where bf16/MXU
+throughput lives (see `psvo_tpu.ops.pallas_mlp`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# Diagonal multivariate normal (the workhorse — reference `distribution/mvn.py`)
+# ---------------------------------------------------------------------------
+
+
+def mvn_diag_sample(key: jax.Array, mean: jax.Array, scale: jax.Array) -> jax.Array:
+    """Reparameterized sample: mean + scale * eps, eps ~ N(0, I).
+
+    `scale` is the per-dimension standard deviation (already floored by the
+    head that produced it — see `networks.scale_from_raw`). Broadcasts:
+    `mean`/`scale` may have any matching leading shape.
+    """
+    eps = jax.random.normal(key, jnp.broadcast_shapes(mean.shape, scale.shape), mean.dtype)
+    return mean + scale * eps
+
+
+def mvn_diag_log_prob(x: jax.Array, mean: jax.Array, scale: jax.Array) -> jax.Array:
+    """Log density of a diagonal-covariance Gaussian, reduced over the last axis."""
+    z = (x - mean) / scale
+    return jnp.sum(-0.5 * z * z - jnp.log(scale) - _HALF_LOG_2PI, axis=-1)
+
+
+def mvn_product(
+    mean_a: jax.Array,
+    scale_a: jax.Array,
+    mean_b: jax.Array,
+    scale_b: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Precision-weighted product of two diagonal Gaussians (the `use_2_q` fusion).
+
+    The reference fuses its dynamics proposal q1(x_t | x_{t-1}) with its
+    encoder proposal q2(x_t | y_t) into a single Gaussian (SURVEY.md §3.2);
+    closed form: Lambda = 1/s_a^2 + 1/s_b^2, var = 1/Lambda,
+    mean = var * (m_a/s_a^2 + m_b/s_b^2). Unit-tested against the closed form
+    and a quadrature oracle in tests/test_distributions.py.
+    """
+    prec_a = 1.0 / (scale_a * scale_a)
+    prec_b = 1.0 / (scale_b * scale_b)
+    var = 1.0 / (prec_a + prec_b)
+    mean = var * (mean_a * prec_a + mean_b * prec_b)
+    return mean, jnp.sqrt(var)
+
+
+# ---------------------------------------------------------------------------
+# Full-covariance multivariate normal (parameterized by Cholesky factor)
+# ---------------------------------------------------------------------------
+
+
+def mvn_full_sample(key: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Array:
+    """Sample x = mean + L @ eps with L lower-triangular Cholesky of the covariance."""
+    eps = jax.random.normal(key, mean.shape, mean.dtype)
+    return mean + jnp.einsum("...ij,...j->...i", chol, eps)
+
+
+def mvn_full_log_prob(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Array:
+    """Log density with covariance L L^T; solves the triangular system directly."""
+    d = x.shape[-1]
+    diff = x - mean
+    batch_shape = jnp.broadcast_shapes(diff.shape[:-1], chol.shape[:-2])
+    chol_b = jnp.broadcast_to(chol, (*batch_shape, d, d))
+    diff_b = jnp.broadcast_to(diff, (*batch_shape, d))
+    z = jax.scipy.linalg.solve_triangular(chol_b, diff_b[..., None], lower=True)[..., 0]
+    log_det = jnp.sum(jnp.log(jnp.diagonal(chol_b, axis1=-2, axis2=-1)), axis=-1)
+    return -0.5 * jnp.sum(z * z, axis=-1) - log_det - d * _HALF_LOG_2PI
+
+
+# ---------------------------------------------------------------------------
+# Poisson (count emissions — reference `distribution/poisson.py`)
+# ---------------------------------------------------------------------------
+
+
+def poisson_log_prob(y: jax.Array, log_rate: jax.Array) -> jax.Array:
+    """sum_d [ y_d * log_rate_d - rate_d - lgamma(y_d + 1) ] over the event axis."""
+    rate = jnp.exp(log_rate)
+    return jnp.sum(y * log_rate - rate - jax.lax.lgamma(y + 1.0), axis=-1)
+
+
+def poisson_sample(key: jax.Array, log_rate: jax.Array) -> jax.Array:
+    """Poisson draw (data generation only; not reparameterizable)."""
+    return jax.random.poisson(key, jnp.exp(log_rate)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dirac delta (deterministic maps — reference `distribution/dirac_delta.py`)
+# ---------------------------------------------------------------------------
+
+
+def dirac_sample(key: jax.Array, mean: jax.Array) -> jax.Array:  # noqa: ARG001
+    """A Dirac delta "draw" is just its location."""
+    return mean
+
+
+def dirac_log_prob(x: jax.Array, mean: jax.Array) -> jax.Array:  # noqa: ARG001
+    """Reference semantics: contributes 0 to log-weights (constant density)."""
+    return jnp.zeros(x.shape[:-1], x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Shared numerics helpers
+# ---------------------------------------------------------------------------
+
+
+def log_normalize(logw: jax.Array, axis: int = -1) -> tuple[jax.Array, jax.Array]:
+    """Return (normalized log-weights, logsumexp) along `axis`, max-shifted."""
+    m = jax.lax.stop_gradient(jnp.max(logw, axis=axis, keepdims=True))
+    shifted = logw - m
+    lse = jnp.log(jnp.sum(jnp.exp(shifted), axis=axis, keepdims=True)) + m
+    return logw - lse, jnp.squeeze(lse, axis=axis)
+
+
+def effective_sample_size(logw: jax.Array, axis: int = -1) -> jax.Array:
+    """ESS = 1 / sum_k W_k^2 of the normalized weights (resampling diagnostic)."""
+    logw_norm, _ = log_normalize(logw, axis=axis)
+    return jnp.exp(-jax.scipy.special.logsumexp(2.0 * logw_norm, axis=axis))

@@ -1,0 +1,162 @@
+"""State-space model bundle: proposals q0/q1/q2, transition f, emission g.
+
+Covers the reference's `model.py` (SURVEY.md §2-A, unverified path): the class
+that assembles learnable (transformation, distribution) pairs from flags —
+initial proposal q0(x_0|y_0), dynamics proposal q1(x_t|x_{t-1}), encoder
+proposal q2(x_t|y_t), transition f(x_t|x_{t-1}), emission g(y_t|x_t) — with
+bootstrap mode (proposal := f) and two-proposal Gaussian fusion (`use_2_q`,
+SURVEY.md §3.2).
+
+TPU-first shape: `SSM` is a *static* description (dims, net configs, flags) —
+hashable, safe to close over in jit — while all learnable state lives in one
+params dict pytree `{"q0","q1","q2","f","g","qb","prior"}`. Every method is a
+pure function `(params, arrays) -> arrays` that broadcasts over [B, K, ...]
+leading axes, so `smc.py` never reshapes for the model.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from psvo_tpu import distributions as dist
+from psvo_tpu import networks
+from psvo_tpu.config import Config, NetConfig
+
+Params = dict[str, Any]
+
+
+class SSM:
+    """Static model description; learnable params live in the pytree from `init`."""
+
+    def __init__(self, cfg: Config):
+        self.dx = cfg.data.dx
+        self.dy = cfg.data.dy
+        self.emission = cfg.data.emission
+        self.use_2q = cfg.smc.use_2q
+        self.use_bootstrap = cfg.smc.use_bootstrap
+        self.nets = {k: v for k, v in cfg.nets}
+        self.use_pallas = cfg.use_pallas
+        self.bf16_matmuls = cfg.train.bf16_matmuls
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Params:
+        keys = jax.random.split(key, 7)
+        dx, dy = self.dx, self.dy
+        g_cov = "none" if self.emission == "poisson" else self.nets["g"].cov_type
+
+        def head(k, cfg: NetConfig, din, dout, cov=None):
+            return networks.init_mlp_head(
+                k,
+                din,
+                dout,
+                cfg.hidden,
+                cov_type=cov if cov is not None else cfg.cov_type,
+                sigma_init=cfg.sigma_init,
+                sigma_min=cfg.sigma_min,
+            )
+
+        return {
+            "q0": head(keys[0], self.nets["q0"], dy, dx),
+            "q1": head(keys[1], self.nets["q1"], dx, dx),
+            "q2": head(keys[2], self.nets["q2"], dy, dx),
+            "f": head(keys[3], self.nets["f"], dx, dx),
+            "g": head(keys[4], self.nets["g"], dx, dy, cov=g_cov),
+            "qb": head(keys[5], self.nets["qb"], dx + dy, dx),
+            # learned initial prior p(x_0) = N(mu0, diag(scale0^2))
+            "prior": {
+                "mean": jnp.zeros((dx,), jnp.float32),
+                "raw_scale": jnp.zeros((dx,), jnp.float32),  # softplus(0)+min ~ 0.69
+            },
+        }
+
+    # -- net application (routes to fused Pallas kernel when enabled) --------
+
+    def _mean_scale(self, net: Params, cfg: NetConfig, x: jax.Array):
+        if self.use_pallas:
+            from psvo_tpu.ops import pallas_mlp
+
+            return pallas_mlp.mlp_mean_scale(
+                net,
+                x,
+                activation=cfg.activation,
+                sigma_min=cfg.sigma_min,
+                bf16=self.bf16_matmuls,
+            )
+        return networks.mlp_mean_scale(
+            net, x, activation=cfg.activation, sigma_min=cfg.sigma_min
+        )
+
+    def _mean(self, net: Params, cfg: NetConfig, x: jax.Array):
+        return networks.mlp_mean(net, x, activation=cfg.activation)
+
+    # -- prior ----------------------------------------------------------------
+
+    def prior_params(self, params: Params):
+        p = params["prior"]
+        return p["mean"], networks.scale_from_raw(p["raw_scale"], 1e-3)
+
+    def prior_log_prob(self, params: Params, x: jax.Array) -> jax.Array:
+        mean, scale = self.prior_params(params)
+        return dist.mvn_diag_log_prob(x, mean, scale)
+
+    # -- proposals ------------------------------------------------------------
+
+    def propose_initial(self, params: Params, y0: jax.Array):
+        """q0(x_0 | y_0) -> (mean, scale); bootstrap mode proposes from the prior."""
+        if self.use_bootstrap:
+            mean, scale = self.prior_params(params)
+            return jnp.broadcast_to(mean, (*y0.shape[:-1], self.dx)), jnp.broadcast_to(
+                scale, (*y0.shape[:-1], self.dx)
+            )
+        return self._mean_scale(params["q0"], self.nets["q0"], y0)
+
+    def propose(self, params: Params, x_prev: jax.Array, y_t: jax.Array):
+        """q(x_t | x_{t-1}, y_t): q1 ⊗ q2 precision-weighted fusion under use_2q,
+        plain q1 otherwise, and the transition f itself in bootstrap mode."""
+        if self.use_bootstrap:
+            return self.transition_params(params, x_prev)
+        m1, s1 = self._mean_scale(params["q1"], self.nets["q1"], x_prev)
+        if not self.use_2q:
+            return m1, s1
+        m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)
+        return dist.mvn_product(m1, s1, m2, s2)
+
+    def backward_propose(self, params: Params, x_next: jax.Array, y_t: jax.Array):
+        """SVO's learned backward proposal q_b(x_t | x_{t+1}, y_t) (SURVEY.md §3.3)."""
+        inp = jnp.concatenate(
+            [x_next, jnp.broadcast_to(y_t, (*x_next.shape[:-1], self.dy))], axis=-1
+        )
+        return self._mean_scale(params["qb"], self.nets["qb"], inp)
+
+    # -- transition / emission -------------------------------------------------
+
+    def transition_params(self, params: Params, x_prev: jax.Array):
+        return self._mean_scale(params["f"], self.nets["f"], x_prev)
+
+    def transition_log_prob(
+        self, params: Params, x_prev: jax.Array, x: jax.Array
+    ) -> jax.Array:
+        mean, scale = self.transition_params(params, x_prev)
+        return dist.mvn_diag_log_prob(x, mean, scale)
+
+    def emission_log_prob(self, params: Params, x: jax.Array, y: jax.Array) -> jax.Array:
+        if self.emission == "poisson":
+            log_rate = self._mean(params["g"], self.nets["g"], x)
+            return dist.poisson_log_prob(y, log_rate)
+        mean, scale = self._mean_scale(params["g"], self.nets["g"], x)
+        return dist.mvn_diag_log_prob(y, mean, scale)
+
+    def emission_mean(self, params: Params, x: jax.Array) -> jax.Array:
+        """Mean observation ŷ(x) — used by k-step prediction R² (SURVEY.md §3.4)."""
+        if self.emission == "poisson":
+            return jnp.exp(self._mean(params["g"], self.nets["g"], x))
+        return self._mean_scale(params["g"], self.nets["g"], x)[0]
+
+
+def init_ssm(cfg: Config, key: jax.Array) -> tuple[SSM, Params]:
+    ssm = SSM(cfg)
+    return ssm, ssm.init(key)

@@ -1,0 +1,133 @@
+"""MLP heads as plain parameter pytrees (reference `transformation/MLP.py`).
+
+The reference parameterizes every conditional (proposals q0/q1/q2, transition
+f, emission g) as an MLP producing a mean, with the covariance either a
+trainable state-independent diagonal or a second head (SURVEY.md §2-A,
+`distribution/mvn.py` + `transformation/MLP.py`, unverified paths).
+
+Here a network is a dict pytree (`{"layers": [(W, b), ...], "mean": (W, b),
+"raw_scale": ...}`) plus pure apply functions — no framework module system, so
+the same pytree feeds (a) the jnp path, (b) the fused Pallas MLP kernel
+(`psvo_tpu.ops.pallas_mlp`), and (c) optax, without adapters. All leading axes
+broadcast: apply flattens [..., Din] -> [N, Din] around the matmul chain so
+batch*particle rows tile the MXU.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "gelu": jax.nn.gelu,
+    "softplus": jax.nn.softplus,
+}
+
+
+def activation_fn(name: str):
+    return _ACTIVATIONS[name]
+
+
+def _init_dense(key: jax.Array, din: int, dout: int) -> tuple[jax.Array, jax.Array]:
+    """Glorot-uniform weight + zero bias, float32."""
+    limit = jnp.sqrt(6.0 / (din + dout))
+    w = jax.random.uniform(key, (din, dout), jnp.float32, -limit, limit)
+    return w, jnp.zeros((dout,), jnp.float32)
+
+
+def init_mlp_head(
+    key: jax.Array,
+    din: int,
+    dout: int,
+    hidden: Sequence[int],
+    *,
+    cov_type: str = "const",
+    sigma_init: float = 1.0,
+    sigma_min: float = 1e-3,
+) -> Params:
+    """Initialize an MLP that maps inputs to (mean, scale) of a diagonal Gaussian.
+
+    cov_type:
+      "const" — scale is a trainable per-dimension vector, state-independent
+                (the reference mvn default with sigma_init/sigma_min floors).
+      "head"  — scale is a second linear head on the last hidden layer.
+      "none"  — mean-only network (Dirac / Poisson log-rate heads).
+    """
+    sizes = [din, *hidden]
+    keys = jax.random.split(key, len(sizes) + 1)
+    layers = [
+        _init_dense(keys[i], sizes[i], sizes[i + 1]) for i in range(len(sizes) - 1)
+    ]
+    params: Params = {
+        "layers": layers,
+        "mean": _init_dense(keys[-2], sizes[-1], dout),
+    }
+    if cov_type == "const":
+        # softplus(raw) + sigma_min == sigma_init at init.
+        raw = jnp.log(jnp.expm1(jnp.maximum(sigma_init - sigma_min, 1e-6)))
+        params["raw_scale"] = jnp.full((dout,), raw, jnp.float32)
+    elif cov_type == "head":
+        raw = jnp.log(jnp.expm1(jnp.maximum(sigma_init - sigma_min, 1e-6)))
+        w, b = _init_dense(keys[-1], sizes[-1], dout)
+        params["scale_head"] = (w * 0.01, b + raw)  # start near sigma_init
+    elif cov_type != "none":
+        raise ValueError(f"unknown cov_type: {cov_type!r}")
+    return params
+
+
+def scale_from_raw(raw: jax.Array, sigma_min: float) -> jax.Array:
+    """softplus + floor, the reference's sigma_min clamp (SURVEY.md §2-A mvn)."""
+    return jax.nn.softplus(raw) + sigma_min
+
+
+def mlp_features(params: Params, x: jax.Array, activation: str = "relu") -> jax.Array:
+    """Hidden trunk: chain of dense+activation over the last axis."""
+    act = _ACTIVATIONS[activation]
+    h = x
+    for w, b in params["layers"]:
+        h = act(h @ w + b)
+    return h
+
+
+def mlp_mean(params: Params, x: jax.Array, activation: str = "relu") -> jax.Array:
+    h = mlp_features(params, x, activation)
+    w, b = params["mean"]
+    return h @ w + b
+
+
+def mlp_mean_scale(
+    params: Params,
+    x: jax.Array,
+    activation: str = "relu",
+    sigma_min: float = 1e-3,
+) -> tuple[jax.Array, jax.Array]:
+    """Return (mean, scale) with the scale floored at sigma_min.
+
+    This is the jnp reference path; `psvo_tpu.ops.pallas_mlp.fused_mlp` is the
+    drop-in fused TPU kernel (equivalence-tested in tests/test_pallas.py).
+    """
+    h = mlp_features(params, x, activation)
+    w, b = params["mean"]
+    mean = h @ w + b
+    if "raw_scale" in params:
+        scale = jnp.broadcast_to(
+            scale_from_raw(params["raw_scale"], sigma_min), mean.shape
+        )
+    elif "scale_head" in params:
+        ws, bs = params["scale_head"]
+        scale = scale_from_raw(h @ ws + bs, sigma_min)
+    else:
+        raise ValueError("network has no scale parameterization (cov_type='none')")
+    return mean, scale
+
+
+def count_params(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,234 @@
+"""Variational SMC objectives: IWAE, FIVO/AESMC, SVO, PSVO.
+
+Covers the reference's `SMC/{IWAE,AESMC,SVO,PSVO}.py` (SURVEY.md §2-A/§3.3,
+unverified paths). All four share the forward filter (`psvo_tpu.smc`); the
+smoothing objectives add a reverse-time `lax.scan` over the cached forward
+particles/log-weights, exactly the north-star mapping (BASELINE.json).
+
+Estimator definitions (the reference TF source was unreadable — SURVEY.md §0 —
+so these are pinned to the published algorithms and validated against
+exact Kalman/RTS oracles in tests/test_oracle_kalman.py):
+
+- IWAE   log Ẑ = logsumexp_k(Σ_t α_t) − log K; no resampling; fully
+         reparameterized (Burda et al.; SURVEY.md §2-A "IWAE").
+- FIVO   per-step resampling; gradients take the standard biased FIVO form:
+         reparameterized proposal draws + stop-gradient through ancestor
+         selection (Maddison/Le/Naesseth 2017-18; SURVEY.md §3.2).
+- SVO    smoothing with a *learned continuous backward proposal*
+         q_b(x_t | x_{t+1}, y_t): draw M backward trajectories anchored on
+         final-time filter particles and evaluate the IWAE-style bound
+
+           L = E[ logsumexp_m( log p(x̃^m, y) − log q̃(x̃^m) ) − log M ]
+
+         where q̃(x̃) = ρ_T(x̃_T) · Π_t q_b(x̃_t | x̃_{t+1}, y_t) and the
+         final-time draw's density is the continuous filter surrogate
+         ρ_T(x) = g(y_T|x) · p̂(x | y_{1:T-1}) / exp(ℓ_T) with the particle
+         predictive mixture p̂(x|y_{1:T-1}) = Σ_j Ŵ_{T-1}^j f(x | X_{T-1}^j).
+         Every factor has density units, so L → log p(y) on the LGSSM oracle
+         as q_b approaches the exact backward kernel.
+- PSVO   full FFBSi: reverse pass re-weights cached forward particles with
+         w̃_t^{m,j} ∝ Ŵ_t^j f(x̃_{t+1}^m | X_t^j) and categorically samples M
+         backward trajectories over the K-particle support (O(K·M·T) pairwise
+         transition densities — the hot spot, a batched MLP forward).
+         Rao-Blackwellizing the atom probabilities with the same filter
+         surrogates makes the importance weight collapse *exactly* to the
+         forward log Ẑ (the derivation telescopes: every g, f, and mixture
+         term cancels), so the reported ELBO is the forward bound, and the
+         smoothing pass contributes its learning signal through an
+         expectation-maximization surrogate: loss adds
+         −(1/M) Σ_m [log p_θ(x̃^m, y) − stop_grad(·)], i.e. zero value but the
+         model-fit gradient evaluated on *smoothed* trajectories — the reason
+         PSVO recovers dynamics that filtering objectives miss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from psvo_tpu.config import Config
+from psvo_tpu.distributions import log_normalize, mvn_diag_log_prob, mvn_diag_sample
+from psvo_tpu.models.ssm import SSM
+from psvo_tpu.smc import FilterResult, forward_filter
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ObjectiveOutput:
+    loss: jax.Array  # scalar, to minimize
+    elbo: jax.Array  # [B] per-trajectory bound (the reported "log_ZSMC")
+    metrics: dict  # scalars for logging
+    smoothed: Optional[jax.Array] = None  # [T, B, M, Dx] backward trajectories
+    filter_result: Optional[FilterResult] = None
+
+
+def _pairwise_transition_logp(
+    ssm: SSM, params, x_support: jax.Array, x_query: jax.Array
+) -> jax.Array:
+    """log f(x_query^m | x_support^j) for all (m, j): [B,M,Dx],[B,K,Dx] -> [B,M,K].
+
+    One batched MLP forward over the K support points, then a broadcasted
+    diagonal-Gaussian density — the O(K·M) inner loop of FFBSi (SURVEY.md
+    §3.3) expressed as pure tensor ops.
+    """
+    mean, scale = ssm.transition_params(params, x_support)  # [B, K, Dx]
+    return mvn_diag_log_prob(
+        x_query[:, :, None, :], mean[:, None, :, :], scale[:, None, :, :]
+    )
+
+
+def _predictive_mixture_logp(
+    ssm: SSM, params, x_prev: jax.Array, logw_prev: jax.Array, x_query: jax.Array
+) -> jax.Array:
+    """log p̂(x_query | y_{1:t}) = logsumexp_j [ logŴ_t^j + log f(x_query|X_t^j) ]."""
+    logw_norm, _ = log_normalize(logw_prev, axis=-1)  # [B, K]
+    pair = _pairwise_transition_logp(ssm, params, x_prev, x_query)  # [B, M, K]
+    return jax.scipy.special.logsumexp(pair + logw_norm[:, None, :], axis=-1)
+
+
+def _sample_final_particles(key, fwd: FilterResult, m: int):
+    """Draw M trajectory anchors from the final filtering distribution."""
+    logw_norm, _ = log_normalize(fwd.logw_last, axis=-1)  # [B, K]
+    idx = jax.random.categorical(key, logw_norm[None], axis=-1, shape=(m, logw_norm.shape[0]))
+    idx = jnp.swapaxes(idx, 0, 1)  # [B, M]
+    x_t = jnp.take_along_axis(fwd.x_last, idx[..., None], axis=1)  # [B, M, Dx]
+    return x_t, idx
+
+
+def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
+    """Backward simulation with the learned proposal q_b; returns (logw̃ [B,M], x̃ [T,B,M,Dx])."""
+    t_steps = ys_tm.shape[0]
+    k_anchor, k_scan = jax.random.split(key)
+    x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)  # [B, M, Dx]
+
+    # q-side T-term: continuous filter-density surrogate ρ_T (module docstring).
+    log_g_t = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
+    log_pred = _predictive_mixture_logp(
+        ssm, params, fwd.xs[-2], fwd.logws[-2], x_tilde_t
+    )
+    log_rho_t = log_g_t + log_pred - fwd.increments[-1][:, None]  # [B, M]
+
+    # p-side T-term: log g(y_T | x̃_T); transition terms accumulate in the scan.
+    logp = log_g_t
+    logq = log_rho_t
+
+    def body(carry, inputs):
+        x_next, key, logp, logq = carry
+        y_t = inputs
+        key, k_prop = jax.random.split(key)
+        mean_b, scale_b = ssm.backward_propose(params, x_next, y_t[:, None, :])
+        x_t = mvn_diag_sample(k_prop, mean_b, scale_b)  # [B, M, Dx]
+        logp = (
+            logp
+            + ssm.transition_log_prob(params, x_t, x_next)
+            + ssm.emission_log_prob(params, x_t, y_t[:, None, :])
+        )
+        logq = logq + mvn_diag_log_prob(x_t, mean_b, scale_b)
+        return (x_t, key, logp, logq), x_t
+
+    # reverse scan over t = T-2 .. 0
+    (x_first, _, logp, logq), xs_rev = jax.lax.scan(
+        body, (x_tilde_t, k_scan, logp, logq), ys_tm[:-1], reverse=True
+    )
+    logp = logp + ssm.prior_log_prob(params, x_first)
+
+    x_tilde = jnp.concatenate([xs_rev, x_tilde_t[None]], axis=0)  # [T, B, M, Dx]
+    return logp - logq, x_tilde
+
+
+def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
+    """FFBSi discrete backward simulation over the forward support.
+
+    Returns (x̃ [T,B,M,Dx], log p_θ(x̃, y) [B,M]) — the smoothed trajectories
+    and the model log-joint along them (the PSVO EM-surrogate term).
+    """
+    k_anchor, k_scan = jax.random.split(key)
+    x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)
+    logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
+
+    def body(carry, inputs):
+        x_next, key, logp = carry
+        x_t_support, logw_t, y_t = inputs  # [B,K,Dx], [B,K], [B,Dy]
+        key, k_cat = jax.random.split(key)
+
+        logw_norm, _ = log_normalize(logw_t, axis=-1)  # [B, K]
+        pair = _pairwise_transition_logp(ssm, params, x_t_support, x_next)
+        logits = pair + logw_norm[:, None, :]  # [B, M, K] backward weights
+        idx = jax.random.categorical(k_cat, logits, axis=-1)  # [B, M]
+        x_t = jnp.take_along_axis(x_t_support, idx[..., None], axis=1)
+
+        logp = (
+            logp
+            + ssm.transition_log_prob(params, x_t, x_next)
+            + ssm.emission_log_prob(params, x_t, y_t[:, None, :])
+        )
+        return (x_t, key, logp), x_t
+
+    (x_first, _, logp), xs_rev = jax.lax.scan(
+        body,
+        (x_tilde_t, k_scan, logp),
+        (fwd.xs[:-1], fwd.logws[:-1], ys_tm[:-1]),
+        reverse=True,
+    )
+    logp = logp + ssm.prior_log_prob(params, x_first)
+    x_tilde = jnp.concatenate([xs_rev, x_tilde_t[None]], axis=0)
+    return x_tilde, logp
+
+
+def make_objective(ssm: SSM, cfg: Config):
+    """Return objective_fn(params, key, ys, encoder_inputs=None) -> ObjectiveOutput."""
+    smc_cfg = cfg.smc
+    if smc_cfg.objective == "iwae":
+        smc_cfg = dataclasses.replace(smc_cfg, resampling="none")
+    needs_cache = smc_cfg.objective in ("svo", "psvo")
+    m = smc_cfg.n_smoothing_particles
+
+    def objective(params, key, ys, encoder_inputs=None) -> ObjectiveOutput:
+        k_fwd, k_bwd = jax.random.split(key)
+        fwd = forward_filter(
+            ssm,
+            params,
+            k_fwd,
+            ys,
+            smc_cfg,
+            cache=needs_cache,
+            encoder_inputs=encoder_inputs,
+        )
+        metrics = {
+            "log_z_fwd": jnp.mean(fwd.log_z),
+            "ess_mean": jnp.mean(fwd.ess),
+            "ess_min": jnp.min(fwd.ess),
+        }
+
+        if smc_cfg.objective in ("iwae", "fivo"):
+            elbo = fwd.log_z
+            loss = -jnp.mean(elbo)
+            return ObjectiveOutput(loss, elbo, metrics, filter_result=fwd)
+
+        ys_tm = jnp.swapaxes(ys, 0, 1)  # [T, B, Dy]
+
+        if smc_cfg.objective == "svo":
+            logw_traj, x_tilde = _svo_backward(ssm, params, k_bwd, ys_tm, fwd, m)
+            elbo = jax.scipy.special.logsumexp(logw_traj, axis=-1) - jnp.log(
+                float(m)
+            )  # [B]
+            loss = -jnp.mean(elbo)
+            metrics["elbo_svo"] = jnp.mean(elbo)
+            return ObjectiveOutput(loss, elbo, metrics, x_tilde, fwd)
+
+        if smc_cfg.objective == "psvo":
+            x_tilde, logp_joint = _ffbsi_backward(ssm, params, k_bwd, ys_tm, fwd, m)
+            elbo = fwd.log_z  # exact value after Rao-Blackwell cancellation
+            em_term = jnp.mean(logp_joint)
+            # zero-valued surrogate carrying the smoothed-path model gradient
+            loss = -jnp.mean(elbo) - (em_term - jax.lax.stop_gradient(em_term))
+            metrics["log_joint_smoothed"] = em_term
+            return ObjectiveOutput(loss, elbo, metrics, x_tilde, fwd)
+
+        raise ValueError(f"unknown objective {smc_cfg.objective!r}")
+
+    return objective

@@ -1,0 +1,120 @@
+"""On-device particle resampling: multinomial and systematic.
+
+Covers the reference's ancestor-sampling step (`SMC/SMC_base.py`'s
+`resample`/`sample_ancestors`, SURVEY.md §2-A — there a
+`tf.categorical`-style multinomial; BASELINE.json also pins systematic
+resampling in the family).
+
+TPU-first design: both schemes reduce to inverse-CDF lookup —
+cumulative-sum the normalized weights, then for K quantile positions u_i find
+`a_i = #{j : C_j <= u_i}` and gather. The two schemes differ ONLY in the
+positions:
+
+  systematic:  u_i = (i + u0) / K     with one shared u0 ~ U[0,1)
+  multinomial: u_i ~ U[0,1) iid       (inverse-CDF of iid uniforms is exact
+                                       multinomial sampling)
+
+The lookup stays on-device inside the jitted scan — no host sync, static
+shapes. Two interchangeable backends, equivalence-tested in
+tests/test_resampling.py:
+
+  * jnp path (here): vmapped `jnp.searchsorted` — XLA lowers to a sort-based
+    merge which tiles well on TPU.
+  * Pallas kernel (`psvo_tpu.ops.pallas_resample`): branch-free tiled
+    compare-and-sum (`idx = sum(cumw <= u)` over VMEM tiles) fused with the
+    particle gather.
+
+Gradient policy: ancestor indices are integers — no gradient path exists
+through them; the FIVO estimator's stop-gradient treatment of resampling
+(SURVEY.md §3.2) is handled in `psvo_tpu.smc` by resetting post-resampling
+log-weights with `stop_gradient` on the normalizer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from psvo_tpu.distributions import effective_sample_size, log_normalize
+
+
+def quantile_positions(
+    key: jax.Array, batch: int, k: int, method: str
+) -> jax.Array:
+    """[B, K] inverse-CDF query positions in [0, 1), sorted along K."""
+    if method == "systematic":
+        u0 = jax.random.uniform(key, (batch, 1))
+        return (jnp.arange(k, dtype=jnp.float32)[None, :] + u0) / k
+    if method == "multinomial":
+        # iid uniforms; sorting keeps the searchsorted output monotone, which
+        # both the sort-based jnp lowering and the Pallas kernel exploit.
+        return jnp.sort(jax.random.uniform(key, (batch, k)), axis=-1)
+    raise ValueError(f"unknown resampling method {method!r}")
+
+
+def inverse_cdf_indices(cumw: jax.Array, u: jax.Array) -> jax.Array:
+    """a_i = #{j : C_j <= u_i} for each batch row; clipped to [0, K-1].
+
+    `cumw` [B, K] is the inclusive cumulative sum of normalized weights
+    (C_{K-1} ≈ 1); `u` [B, K] the query positions.
+    """
+    find = partial(jnp.searchsorted, side="right", method="sort")
+    idx = jax.vmap(find)(cumw, u)
+    return jnp.minimum(idx, cumw.shape[-1] - 1).astype(jnp.int32)
+
+
+def resample_indices(
+    key: jax.Array, logw: jax.Array, method: str = "systematic"
+) -> jax.Array:
+    """Ancestor indices [B, K] from unnormalized log-weights [B, K]."""
+    batch, k = logw.shape
+    logw_norm, _ = log_normalize(logw, axis=-1)
+    w = jnp.exp(logw_norm)
+    cumw = jnp.cumsum(w, axis=-1)
+    u = quantile_positions(key, batch, k, method)
+    return inverse_cdf_indices(cumw, u)
+
+
+def gather_particles(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather along the particle axis: x [B, K, D], idx [B, K] -> [B, K, D]."""
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def maybe_resample(
+    key: jax.Array,
+    logw: jax.Array,
+    x: jax.Array,
+    *,
+    method: str = "systematic",
+    ess_threshold: float = 1.0,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """ESS-adaptive resampling step for one scan iteration.
+
+    Returns (x_out [B,K,D], logw_out [B,K], did_resample [B] bool, ess [B]).
+    Resampling happens per batch row where ESS/K < ess_threshold (the
+    reference resamples unconditionally, i.e. threshold=1.0). Both branches
+    are computed and selected with `where` — static shapes, no `cond` — which
+    on TPU is cheaper than divergent control flow at these sizes.
+
+    Post-resampling weights reset to uniform in the *normalized* sense: the
+    carried `logw_out` is 0 for resampled rows, and the incremental weight at
+    the next step starts fresh (FIVO semantics).
+    """
+    batch, k = logw.shape
+    ess = effective_sample_size(logw, axis=-1)
+    do = ess / k < ess_threshold  # [B] bool
+
+    if use_pallas:
+        from psvo_tpu.ops import pallas_resample
+
+        idx = pallas_resample.resample_indices(key, logw, method)
+    else:
+        idx = resample_indices(key, logw, method)
+
+    x_res = gather_particles(x, idx)
+    x_out = jnp.where(do[:, None, None], x_res, x)
+    logw_out = jnp.where(do[:, None], jnp.zeros_like(logw), logw)
+    return x_out, logw_out, do, ess

@@ -1,0 +1,116 @@
+"""Device-mesh scaling: Mesh("data","particle"), sharded train step, dry run.
+
+The reference has no distributed backend (SURVEY.md §2-B); the rebuild's
+"backend" is exactly this module — PartitionSpecs over a
+`jax.sharding.Mesh(("data", "particle"))` plus GSPMD-inserted XLA collectives
+riding ICI. No hand-written transport:
+
+- batch-of-trajectories shards over "data" (pure data parallelism);
+- the K-particle axis shards over "particle" (BASELINE.json config #5:
+  "K=8192 particles sharded over ICI on v5e-8"): per-step weight
+  normalization becomes a psum, resampling a cross-shard gather — both
+  emitted by XLA from the sharding constraints set in
+  `psvo_tpu.parallel.context`;
+- params/optimizer state replicate (networks are tiny MLPs — TP/PP are
+  inapplicable by design, SURVEY.md §2-B).
+
+Validated without a pod via 8 virtual CPU devices (tests/test_sharding.py)
+and the driver's `dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from psvo_tpu.config import Config
+from psvo_tpu.parallel import context
+
+
+def make_mesh(cfg: Config, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = cfg.mesh.data * cfg.mesh.particle
+    if len(devices) < n:
+        raise ValueError(
+            f"config mesh {cfg.mesh} needs {n} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[:n]).reshape(cfg.mesh.data, cfg.mesh.particle)
+    return Mesh(grid, (context.DATA_AXIS, context.PARTICLE_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(context.DATA_AXIS, None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def make_sharded_train_step(ssm, cfg: Config, optimizer, mesh: Mesh):
+    """The full training step jitted over the mesh.
+
+    Activates the particle-sharding context so the SMC scan's [B, K, ...]
+    tensors carry layout constraints; GSPMD then partitions the whole
+    forward+backward program. Params/opt-state replicate; the gradient
+    all-reduce over "data"×"particle" is emitted by XLA.
+    """
+    from psvo_tpu.train import make_train_step
+
+    context.set_mesh(mesh)
+    step = make_train_step(ssm, cfg, optimizer)  # jitted inside
+
+    def wrapped(params, opt_state, key, batch):
+        batch = jax.device_put(batch, batch_sharding(mesh))
+        return step(params, opt_state, key, batch)
+
+    return wrapped
+
+
+def dryrun(n_devices: int, verbose: bool = True) -> None:
+    """Compile + execute ONE sharded training step on tiny shapes.
+
+    Mesh shape: 2×(n/2) when n_devices ≥ 4 (exercising both axes), else 1×n.
+    """
+    from psvo_tpu.config import preset
+    from psvo_tpu.models.ssm import init_ssm
+    from psvo_tpu.train import make_optimizer
+
+    devices = jax.devices()[:n_devices]
+    if len(devices) < n_devices:
+        raise RuntimeError(f"need {n_devices} devices, found {len(devices)}")
+    d_data = 2 if n_devices >= 4 and n_devices % 2 == 0 else 1
+    d_part = n_devices // d_data
+
+    cfg = preset("lorenz96_fivo_k8192_sharded")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, t_steps=8, n_train=8, n_test=4),
+        smc=dataclasses.replace(cfg.smc, n_particles=16 * d_part),
+        train=dataclasses.replace(cfg.train, batch_size=2 * d_data),
+        mesh=dataclasses.replace(cfg.mesh, data=d_data, particle=d_part),
+        use_pallas=False,  # dryrun runs on virtual CPU devices
+    )
+    mesh = make_mesh(cfg, devices)
+    try:
+        ssm, params = init_ssm(cfg, jax.random.key(0))
+        optimizer = make_optimizer(cfg)
+        opt_state = optimizer.init(params)
+        step = make_sharded_train_step(ssm, cfg, optimizer, mesh)
+
+        batch = jnp.zeros((cfg.train.batch_size, cfg.data.t_steps, cfg.data.dy))
+        params, opt_state, metrics = step(params, opt_state, jax.random.key(1), batch)
+        loss = float(jax.block_until_ready(metrics["loss"]))
+        if not np.isfinite(loss):
+            raise RuntimeError(f"sharded train step produced non-finite loss {loss}")
+        if verbose:
+            print(
+                f"dryrun_multichip ok: mesh data={d_data} particle={d_part} "
+                f"K={cfg.smc.n_particles} loss={loss:.3f}"
+            )
+    finally:
+        context.set_mesh(None)

@@ -1,0 +1,181 @@
+"""Forward particle filter as a single `lax.scan` over time.
+
+Covers the reference's `SMC/SMC_base.py` (`get_log_ZSMC`, resample,
+log-normalize helpers — SURVEY.md §2-A/§3.2, unverified paths): per step,
+(optionally) resample ancestors, propose K particles from the (fused)
+proposal, accumulate incremental log-weights `log f + log g − log q` and the
+normalizing-constant estimate.
+
+TPU-first shape (the reference builds a TF1 static graph; here the whole
+filter is one traced scan):
+
+- time   -> `lax.scan` carry (inherently sequential; SURVEY.md §2-B)
+- batch  -> leading tensor axis [B], shardable over Mesh axis "data"
+- K      -> tensor axis [K], shardable over Mesh axis "particle"
+- the only data-dependent op is the resampling gather
+  (`psvo_tpu.ops.resampling`), which stays on-device.
+
+Unified logZ accumulator (handles IWAE / FIVO / ESS-adaptive uniformly):
+carry unnormalized cumulative log-weights `logw`; each step adds the
+incremental weight α_t and accumulates
+
+    logZ += logsumexp_k(logw + α_t) − logsumexp_k(logw)
+
+With per-step resampling `logw` resets to 0 so each term is the FIVO
+increment `logsumexp(α_t) − log K`; with no resampling the sum telescopes to
+the IWAE bound `logsumexp_k(Σ_t α_t) − log K`. Both limits are unit-tested
+against a NumPy reference (tests/reference_numpy) and the Kalman oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from psvo_tpu.config import SMCConfig
+from psvo_tpu.distributions import (
+    effective_sample_size,
+    mvn_diag_log_prob,
+    mvn_diag_sample,
+)
+from psvo_tpu.models.ssm import SSM
+from psvo_tpu.ops import resampling
+from psvo_tpu.parallel.context import constrain
+
+# logsumexp over the particle axis. Centralized so the sharded path
+# (psvo_tpu.parallel.sharding) can swap in a psum-based version.
+def _lse(logw: jax.Array) -> jax.Array:
+    return jax.scipy.special.logsumexp(logw, axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FilterResult:
+    """Everything downstream objectives need from one forward pass.
+
+    xs/logws are the per-step filtering particles and (cumulative-since-
+    resample) log-weights cached time-major for the smoothing objectives
+    (SVO/PSVO reverse scan); None when caching is off (IWAE/FIVO don't pay
+    the HBM).
+    """
+
+    log_z: jax.Array  # [B] final normalizing-constant estimate
+    increments: jax.Array  # [T, B] per-step logZ increments ℓ_t
+    ess: jax.Array  # [T, B] effective sample size before resampling
+    x_last: jax.Array  # [B, K, Dx]
+    logw_last: jax.Array  # [B, K]
+    xs: Optional[jax.Array] = None  # [T, B, K, Dx]
+    logws: Optional[jax.Array] = None  # [T, B, K]
+
+
+def forward_filter(
+    ssm: SSM,
+    params,
+    key: jax.Array,
+    ys: jax.Array,
+    cfg: SMCConfig,
+    *,
+    cache: bool = False,
+    encoder_inputs: Optional[jax.Array] = None,
+) -> FilterResult:
+    """Run the forward SMC pass on observations ys [B, T, Dy].
+
+    encoder_inputs optionally replaces what the encoder proposal q2 sees per
+    step (the reference's `q_uses_true_X` debug flag feeds true latents).
+    """
+    batch, t_steps, _ = ys.shape
+    k = cfg.n_particles
+    resample_on = cfg.resampling != "none"
+
+    ys_tm = jnp.swapaxes(ys, 0, 1)  # [T, B, Dy] time-major for scan
+    enc_tm = (
+        jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
+    )
+
+    k0, k_scan = jax.random.split(key)
+
+    # ---- t = 0: propose from q0(x_0 | y_0), weight against the learned prior.
+    mean0, scale0 = ssm.propose_initial(params, enc_tm[0])  # [B, Dx]
+    mean0 = jnp.broadcast_to(mean0[:, None, :], (batch, k, ssm.dx))
+    scale0 = jnp.broadcast_to(scale0[:, None, :], (batch, k, ssm.dx))
+    x0 = constrain(mvn_diag_sample(k0, mean0, scale0))  # [B, K, Dx]
+    log_g0 = ssm.emission_log_prob(params, x0, ys_tm[0][:, None, :])
+    if ssm.use_bootstrap:
+        # proposal == prior: densities cancel in α_0.
+        alpha0 = log_g0
+    else:
+        alpha0 = (
+            ssm.prior_log_prob(params, x0)
+            + log_g0
+            - mvn_diag_log_prob(x0, mean0, scale0)
+        )
+    logw = alpha0  # [B, K]
+    ell0 = _lse(logw) - jnp.log(float(k))  # [B]
+
+    # ---- t = 1 .. T-1 scan
+    def body(carry, inputs):
+        x, logw, key = carry
+        y_t, enc_t = inputs  # [B, Dy] each
+        key, k_res, k_prop = jax.random.split(key, 3)
+
+        if resample_on:
+            x, logw, _, ess = resampling.maybe_resample(
+                k_res,
+                logw,
+                x,
+                method=cfg.resampling,
+                ess_threshold=cfg.ess_threshold,
+            )
+        else:
+            ess = effective_sample_size(logw, axis=-1)
+
+        # Propose K new particles. enc_t feeds the encoder head q2.
+        mean_q, scale_q = ssm.propose(params, x, enc_t[:, None, :])
+        x_new = constrain(mvn_diag_sample(k_prop, mean_q, scale_q))
+
+        # Incremental weight α_t = log f + log g − log q (bootstrap: f == q).
+        log_g = ssm.emission_log_prob(params, x_new, y_t[:, None, :])
+        if ssm.use_bootstrap:
+            alpha = log_g
+        else:
+            alpha = (
+                ssm.transition_log_prob(params, x, x_new)
+                + log_g
+                - mvn_diag_log_prob(x_new, mean_q, scale_q)
+            )
+
+        logw_new = constrain(logw + alpha)
+        ell = _lse(logw_new) - _lse(logw)  # [B] logZ increment
+
+        out = (x_new, logw_new, ell, ess)
+        return (x_new, logw_new, key), out
+
+    carry0 = (x0, logw, k_scan)
+    scan_body = jax.checkpoint(body) if cfg.remat else body
+    (x_last, logw_last, _), (xs_scan, logws_scan, ells, esss) = jax.lax.scan(
+        scan_body, carry0, (ys_tm[1:], enc_tm[1:])
+    )
+
+    increments = jnp.concatenate([ell0[None], ells], axis=0)  # [T, B]
+    ess_all = jnp.concatenate(
+        [effective_sample_size(alpha0, axis=-1)[None], esss], axis=0
+    )
+    log_z = jnp.sum(increments, axis=0)
+
+    xs = logws = None
+    if cache:
+        xs = jnp.concatenate([x0[None], xs_scan], axis=0)  # [T, B, K, Dx]
+        logws = jnp.concatenate([alpha0[None], logws_scan], axis=0)
+
+    return FilterResult(
+        log_z=log_z,
+        increments=increments,
+        ess=ess_all,
+        x_last=x_last,
+        logw_last=logw_last,
+        xs=xs,
+        logws=logws,
+    )

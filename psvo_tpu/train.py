@@ -1,0 +1,238 @@
+"""Training loop: optax Adam + global-norm clipping, jitted train step, eval.
+
+Covers the reference's `trainer.py` (SURVEY.md §2-A/§3.1, unverified path):
+Adam with `clip_by_global_norm`, epochs over shuffled minibatches of
+trajectories, periodic train/test ELBO eval, early stopping on patience, and
+k-step-ahead prediction MSE/R² against held-out observations (§3.4).
+
+TPU-first shape: the reference's `sess.run(train_op)` hot loop becomes ONE
+jitted `train_step` (value_and_grad over the whole SMC scan + optax update);
+everything outside it is cold Python. Eval is a second jitted function. Data
+stays on-device between steps; minibatch selection is a device-side gather
+with a host-provided index array.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from psvo_tpu.config import Config
+from psvo_tpu.distributions import log_normalize
+from psvo_tpu.models.ssm import SSM
+from psvo_tpu.objectives import make_objective
+from psvo_tpu.smc import forward_filter
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.clip_norm),
+        optax.adam(cfg.train.lr),
+    )
+
+
+def make_train_step(ssm: SSM, cfg: Config, optimizer) -> Callable:
+    """One jitted optimization step over a minibatch of trajectories."""
+    objective = make_objective(ssm, cfg)
+
+    @jax.jit
+    def train_step(params, opt_state, key, batch):
+        def loss_fn(p):
+            out = objective(p, key, batch)
+            return out.loss, out.metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: test ELBO + k-step-ahead prediction R² (reference §3.4)
+# ---------------------------------------------------------------------------
+
+
+def filtered_means(fwd) -> jax.Array:
+    """Posterior filtering means from cached particles: [B, T, Dx]."""
+    logw_norm, _ = log_normalize(fwd.logws, axis=-1)  # [T, B, K]
+    means = jnp.einsum("tbk,tbkd->tbd", jnp.exp(logw_norm), fwd.xs)
+    return jnp.swapaxes(means, 0, 1)
+
+
+def k_step_predictions(ssm: SSM, params, filt_means: jax.Array, k_max: int):
+    """Roll the mean dynamics k steps from each filtered mean and emit.
+
+    Returns ŷ [k_max, B, T, Dy]: ŷ[k-1, :, t] predicts y_{t+k} (valid for
+    t + k < T; the caller masks). Deterministic mean rollout, matching the
+    reference's evaluation (SURVEY.md §3.4).
+    """
+
+    def roll(x, _):
+        mean, _ = ssm.transition_params(params, x)
+        return mean, ssm.emission_mean(params, mean)
+
+    _, preds = jax.lax.scan(roll, filt_means, None, length=k_max)
+    return preds  # [k_max, B, T, Dy]
+
+
+def make_eval_step(ssm: SSM, cfg: Config) -> Callable:
+    objective = make_objective(ssm, cfg)
+    k_max = cfg.train.mse_k_steps
+    smc_cfg = cfg.smc
+
+    @jax.jit
+    def eval_step(params, key, ys):
+        out = objective(params, key, ys)
+        fwd = out.filter_result
+        if fwd.xs is None:  # iwae/fivo don't cache; rerun with cache for eval
+            fwd = forward_filter(ssm, params, key, ys, smc_cfg, cache=True)
+        fm = filtered_means(fwd)  # [B, T, Dx]
+        preds = k_step_predictions(ssm, params, fm, k_max)
+
+        t_steps = ys.shape[1]
+        var_y = jnp.var(ys, axis=(0, 1)).mean()
+        r2 = []
+        mse = []
+        for k in range(1, k_max + 1):
+            err = preds[k - 1, :, : t_steps - k] - ys[:, k:]
+            mse_k = jnp.mean(err**2)
+            mse.append(mse_k)
+            r2.append(1.0 - mse_k / var_y)
+        metrics = dict(out.metrics)
+        metrics["elbo"] = jnp.mean(out.elbo)
+        metrics["mse_k"] = jnp.stack(mse)
+        metrics["r2_k"] = jnp.stack(r2)
+        return metrics
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Trainer driver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    step: int = 0
+    best_elbo: float = -np.inf
+    evals_since_best: int = 0
+
+
+class Trainer:
+    """Cold-path orchestration around the two jitted functions.
+
+    Handles minibatching, early stopping, metric logging, checkpoints —
+    the reference's trainer.py responsibilities (SURVEY.md §2-A).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        ssm: SSM,
+        params,
+        *,
+        metrics_writer=None,
+        checkpointer=None,
+    ):
+        self.cfg = cfg
+        self.ssm = ssm
+        self.optimizer = make_optimizer(cfg)
+        self.train_step = make_train_step(ssm, cfg, self.optimizer)
+        self.eval_step = make_eval_step(ssm, cfg)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            key=jax.random.key(cfg.seed + 1),
+        )
+        self.metrics_writer = metrics_writer
+        self.checkpointer = checkpointer
+        self.history: list[dict] = []
+
+    def restore(self):
+        if self.checkpointer is not None:
+            restored = self.checkpointer.restore(self.state)
+            if restored is not None:
+                self.state = restored
+        return self.state.step
+
+    def run(self, obs_train, obs_test, n_steps: Optional[int] = None) -> list[dict]:
+        cfg = self.cfg
+        n_steps = n_steps if n_steps is not None else cfg.train.n_steps
+        n_train = obs_train.shape[0]
+        bsz = min(cfg.train.batch_size, n_train)
+        obs_train = jnp.asarray(obs_train)
+        obs_test = jnp.asarray(obs_test)
+        rng = np.random.default_rng(cfg.seed + 2)
+
+        st = self.state
+        t_start = time.perf_counter()
+        steps_done_at = st.step
+        stop = False
+        while st.step < n_steps and not stop:
+            idx = jnp.asarray(rng.choice(n_train, size=bsz, replace=False))
+            batch = jnp.take(obs_train, idx, axis=0)
+            st.key, k_step = jax.random.split(st.key)
+            st.params, st.opt_state, metrics = self.train_step(
+                st.params, st.opt_state, k_step, batch
+            )
+            st.step += 1
+
+            if st.step % cfg.train.eval_every == 0 or st.step == n_steps:
+                st.key, k_eval = jax.random.split(st.key)
+                ev = self.eval_step(st.params, k_eval, obs_test)
+                jax.block_until_ready(ev["elbo"])
+                dt = time.perf_counter() - t_start
+                steps_s = (st.step - steps_done_at) / max(dt, 1e-9)
+                t_start, steps_done_at = time.perf_counter(), st.step
+                rec = {
+                    "step": st.step,
+                    "train_loss": float(metrics["loss"]),
+                    "train_elbo": float(metrics.get("log_z_fwd", -metrics["loss"])),
+                    "test_elbo": float(ev["elbo"]),
+                    "r2_1": float(ev["r2_k"][0]),
+                    "r2_k": [float(v) for v in np.asarray(ev["r2_k"])],
+                    "ess_mean": float(ev["ess_mean"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "steps_per_sec": steps_s,
+                }
+                self.history.append(rec)
+                if self.metrics_writer is not None:
+                    self.metrics_writer.write(rec)
+                print(
+                    f"step {rec['step']:6d}  train_elbo {rec['train_elbo']:10.2f}  "
+                    f"test_elbo {rec['test_elbo']:10.2f}  R²(1) {rec['r2_1']:6.3f}  "
+                    f"{steps_s:6.1f} steps/s",
+                    flush=True,
+                )
+
+                if rec["test_elbo"] > st.best_elbo + 1e-6:
+                    st.best_elbo = rec["test_elbo"]
+                    st.evals_since_best = 0
+                else:
+                    st.evals_since_best += 1
+                    if st.evals_since_best >= cfg.train.patience:
+                        print("early stopping: patience exhausted", flush=True)
+                        stop = True
+
+            if self.checkpointer is not None and st.step % cfg.train.save_every == 0:
+                self.checkpointer.save(st)
+
+        if self.checkpointer is not None:
+            self.checkpointer.save(st, force=True)
+        return self.history

@@ -1,0 +1,92 @@
+"""Multi-device tests on 8 virtual CPU devices (SURVEY.md §4.4): the real
+Mesh/GSPMD code paths, asserting sharded-K results match single-device runs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psvo_tpu.config import Config, DataConfig, MeshConfig, SMCConfig, TrainConfig
+from psvo_tpu.models.ssm import init_ssm
+from psvo_tpu.parallel import context, sharding
+from psvo_tpu.smc import forward_filter
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(autouse=True)
+def _reset_mesh():
+    yield
+    context.set_mesh(None)
+
+
+def _cfg(d_data=2, d_part=4):
+    return Config(
+        name="shard_test",
+        data=DataConfig(datatype="lorenz96", dx=8, dy=8, t_steps=6, n_train=4, n_test=2),
+        smc=SMCConfig(objective="fivo", n_particles=32, resampling="systematic"),
+        train=TrainConfig(batch_size=4),
+        mesh=MeshConfig(data=d_data, particle=d_part),
+        use_pallas=False,
+    )
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_sharded_filter_matches_single_device():
+    """Same keys, same data: the GSPMD-partitioned filter must reproduce the
+    single-device numbers (reduction-order tolerance only)."""
+    cfg = _cfg()
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ys = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
+
+    run = jax.jit(
+        lambda p, k, y: forward_filter(ssm, p, k, y, cfg.smc, cache=True).log_z
+    )
+    ref = np.asarray(run(params, jax.random.key(2), ys))
+
+    mesh = sharding.make_mesh(cfg)
+    context.set_mesh(mesh)
+    ys_sh = jax.device_put(ys, sharding.batch_sharding(mesh))
+    got = np.asarray(
+        jax.jit(
+            lambda p, k, y: forward_filter(ssm, p, k, y, cfg.smc, cache=True).log_z
+        )(params, jax.random.key(2), ys_sh)
+    )
+    context.set_mesh(None)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("objective", ["fivo", "psvo"])
+def test_sharded_train_step_runs(objective):
+    from psvo_tpu.train import make_optimizer
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, smc=dataclasses.replace(cfg.smc, objective=objective)
+    )
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    mesh = sharding.make_mesh(cfg)
+    step = sharding.make_sharded_train_step(ssm, cfg, optimizer, mesh)
+    batch = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
+    params2, _, metrics = step(params, opt_state, jax.random.key(2), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually moved
+    delta = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+        )
+    )
+    assert delta > 0
+    context.set_mesh(None)

@@ -1,0 +1,127 @@
+"""Forward-filter invariants + gradient-path consistency (SURVEY.md §4.3)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psvo_tpu.config import Config, DataConfig, SMCConfig
+from psvo_tpu.models.ssm import init_ssm
+from psvo_tpu.objectives import make_objective
+from psvo_tpu.smc import forward_filter
+
+
+def _tiny_cfg(objective="fivo", resampling="systematic", k=8, t=6):
+    return Config(
+        name="tiny",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=t, n_train=4, n_test=2),
+        smc=SMCConfig(
+            objective=objective,
+            n_particles=k,
+            n_smoothing_particles=4,
+            resampling=resampling,
+        ),
+        use_pallas=False,
+    )
+
+
+def _setup(**kw):
+    cfg = _tiny_cfg(**kw)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ys = jax.random.normal(jax.random.key(1), (3, cfg.data.t_steps, 2))
+    return cfg, ssm, params, ys
+
+
+def test_increments_sum_to_logz_and_shapes():
+    cfg, ssm, params, ys = _setup()
+    fwd = forward_filter(ssm, params, jax.random.key(2), ys, cfg.smc, cache=True)
+    t, b, k = cfg.data.t_steps, 3, cfg.smc.n_particles
+    assert fwd.xs.shape == (t, b, k, 2)
+    assert fwd.logws.shape == (t, b, k)
+    assert fwd.ess.shape == (t, b)
+    np.testing.assert_allclose(
+        np.asarray(fwd.increments.sum(0)), np.asarray(fwd.log_z), rtol=1e-5
+    )
+    assert np.all(np.asarray(fwd.ess) >= 1.0 - 1e-4)
+    assert np.all(np.asarray(fwd.ess) <= k + 1e-4)
+
+
+def test_iwae_telescopes_to_final_weights():
+    """No resampling: log Ẑ must equal logsumexp of final cumulative weights − log K."""
+    cfg, ssm, params, ys = _setup(resampling="none")
+    fwd = forward_filter(ssm, params, jax.random.key(2), ys, cfg.smc, cache=True)
+    want = jax.scipy.special.logsumexp(fwd.logws[-1], axis=-1) - jnp.log(
+        float(cfg.smc.n_particles)
+    )
+    np.testing.assert_allclose(np.asarray(fwd.log_z), np.asarray(want), rtol=1e-5)
+
+
+def test_always_resampling_gives_per_step_increments():
+    """Per-step resampling: log Ẑ = Σ_t [logsumexp(cached logw_t) − log K]."""
+    cfg, ssm, params, ys = _setup(resampling="systematic")
+    fwd = forward_filter(ssm, params, jax.random.key(2), ys, cfg.smc, cache=True)
+    per_step = jax.scipy.special.logsumexp(fwd.logws, axis=-1) - jnp.log(
+        float(cfg.smc.n_particles)
+    )
+    np.testing.assert_allclose(
+        np.asarray(per_step.sum(0)), np.asarray(fwd.log_z), rtol=1e-5
+    )
+
+
+def test_grad_reverse_matches_forward_mode():
+    """vjp-vs-jvp consistency on every objective — the safety net that will
+    catch custom-VJP bugs when the Pallas kernels land (SURVEY.md §7 M4)."""
+    for objective in ("iwae", "fivo", "svo", "psvo"):
+        cfg, ssm, params, ys = _setup(objective=objective)
+        obj = make_objective(ssm, cfg)
+        key = jax.random.key(3)
+
+        def loss(p):
+            return obj(p, key, ys).loss
+
+        grads = jax.grad(loss)(params)
+        direction = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                np.random.default_rng(0).standard_normal(a.shape), a.dtype
+            ),
+            params,
+        )
+        _, jvp_val = jax.jvp(loss, (params,), (direction,))
+        vjp_dot = sum(
+            jnp.vdot(g, d)
+            for g, d in zip(
+                jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(direction)
+            )
+        )
+        np.testing.assert_allclose(
+            float(jvp_val), float(vjp_dot), rtol=2e-3, err_msg=objective
+        )
+
+
+def test_bootstrap_mode_runs():
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(cfg, smc=dataclasses.replace(cfg.smc, use_bootstrap=True))
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ys = jax.random.normal(jax.random.key(1), (2, cfg.data.t_steps, 2))
+    fwd = forward_filter(ssm, params, jax.random.key(2), ys, cfg.smc)
+    assert np.all(np.isfinite(np.asarray(fwd.log_z)))
+
+
+def test_use_2q_off_runs():
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(cfg, smc=dataclasses.replace(cfg.smc, use_2q=False))
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ys = jax.random.normal(jax.random.key(1), (2, cfg.data.t_steps, 2))
+    fwd = forward_filter(ssm, params, jax.random.key(2), ys, cfg.smc)
+    assert np.all(np.isfinite(np.asarray(fwd.log_z)))
+
+
+def test_encoder_inputs_override():
+    """q_uses_true_X debug path: feeding different encoder inputs changes the run."""
+    cfg, ssm, params, ys = _setup()
+    f1 = forward_filter(ssm, params, jax.random.key(2), ys, cfg.smc)
+    f2 = forward_filter(
+        ssm, params, jax.random.key(2), ys, cfg.smc, encoder_inputs=ys * 0.5
+    )
+    assert not np.allclose(np.asarray(f1.log_z), np.asarray(f2.log_z))

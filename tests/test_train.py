@@ -1,0 +1,145 @@
+"""Trainer integration: short runs must improve the ELBO; eval/R², checkpoint
+round-trip, CLI smoke (SURVEY.md §4.5)."""
+
+import dataclasses
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from psvo_tpu.config import Config, DataConfig, SMCConfig, TrainConfig
+from psvo_tpu.data import generate_dataset
+from psvo_tpu.models.ssm import init_ssm
+from psvo_tpu.train import Trainer, make_eval_step
+
+
+def _cfg(objective="fivo", k=32, steps=40):
+    return Config(
+        name=f"train_test_{objective}",
+        seed=0,
+        data=DataConfig(
+            datatype="fhn", dx=2, dy=2, t_steps=25, n_train=24, n_test=8, obs_scale=0.3
+        ),
+        smc=SMCConfig(
+            objective=objective, n_particles=k, n_smoothing_particles=4,
+            resampling="none" if objective == "iwae" else "systematic",
+        ),
+        train=TrainConfig(lr=3e-3, batch_size=8, n_steps=steps, eval_every=steps // 2),
+        use_pallas=False,
+    )
+
+
+@pytest.mark.parametrize("objective", ["fivo", "svo", "psvo"])
+def test_short_training_improves_elbo(objective):
+    cfg = _cfg(objective, steps=30 if objective != "fivo" else 40)
+    ds = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, jax.random.key(cfg.seed))
+
+    ev = make_eval_step(ssm, cfg)
+    before = float(ev(params, jax.random.key(7), ds.obs_test)["elbo"])
+    trainer = Trainer(cfg, ssm, params)
+    trainer.run(ds.obs_train, ds.obs_test)
+    after = float(ev(trainer.state.params, jax.random.key(7), ds.obs_test)["elbo"])
+    assert after > before, (before, after)
+
+
+def test_eval_metrics_shapes():
+    cfg = _cfg("fivo")
+    ds = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ev = make_eval_step(ssm, cfg)(params, jax.random.key(1), ds.obs_test)
+    assert ev["r2_k"].shape == (cfg.train.mse_k_steps,)
+    assert ev["mse_k"].shape == (cfg.train.mse_k_steps,)
+    assert np.isfinite(float(ev["elbo"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from psvo_tpu.train import TrainState, make_optimizer
+    from psvo_tpu.utils.checkpoint import Checkpointer
+
+    cfg = _cfg("fivo")
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    opt = make_optimizer(cfg)
+    state = TrainState(params, opt.init(params), jax.random.key(5), step=17,
+                       best_elbo=-3.5, evals_since_best=2)
+    ck = Checkpointer(tmp_path / "ck", cfg.config_hash())
+    ck.save(state, force=True)
+
+    fresh = TrainState(
+        jax.tree_util.tree_map(lambda a: a * 0, params), opt.init(params),
+        jax.random.key(0),
+    )
+    ck2 = Checkpointer(tmp_path / "ck", cfg.config_hash())
+    restored = ck2.restore(fresh)
+    assert restored.step == 17
+    assert restored.best_elbo == pytest.approx(-3.5)
+    assert restored.evals_since_best == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # wrong config hash must refuse
+    with pytest.raises(ValueError):
+        Checkpointer(tmp_path / "ck", "deadbeef0000").restore(fresh)
+
+
+def test_cli_presets_and_config_roundtrip(capsys):
+    from psvo_tpu import cli
+    from psvo_tpu.config import from_dict, preset
+
+    assert cli.main(["presets"]) == 0
+    out = capsys.readouterr().out
+    assert "fhn_fivo_k128" in out
+
+    cfg = preset("lorenz63_psvo_k1024")
+    cfg2 = from_dict(json.loads(json.dumps(cfg.to_dict())))
+    assert cfg2 == cfg
+    assert cfg2.config_hash() == cfg.config_hash()
+
+
+def test_cli_override():
+    from psvo_tpu.cli import apply_overrides
+    from psvo_tpu.config import preset
+
+    cfg = apply_overrides(
+        preset("fhn_fivo_k128"), ["smc.n_particles=64", "train.lr=0.001"]
+    )
+    assert cfg.smc.n_particles == 64
+    assert cfg.train.lr == 0.001
+    with pytest.raises(SystemExit):
+        apply_overrides(preset("fhn_fivo_k128"), ["smc.nope=1"])
+
+
+def test_data_generation_properties():
+    cfg = DataConfig(datatype="lorenz63", dx=3, dy=3, t_steps=50, n_train=6, n_test=3)
+    ds = generate_dataset(cfg, 0)
+    assert ds.obs_train.shape == (6, 50, 3)
+    assert ds.hidden_test.shape == (3, 50, 3)
+    # burn-in puts trajectories on the attractor: bounded, non-trivial variance
+    h = np.asarray(ds.hidden_train)
+    assert np.all(np.abs(h) < 60)
+    assert h.std() > 1.0
+    ds2 = generate_dataset(cfg, 0)
+    np.testing.assert_array_equal(np.asarray(ds.obs_train), np.asarray(ds2.obs_train))
+    ds3 = generate_dataset(cfg, 1)
+    assert not np.allclose(np.asarray(ds.obs_train), np.asarray(ds3.obs_train))
+
+
+def test_poisson_emission_pipeline():
+    cfg = Config(
+        name="poisson_test",
+        data=DataConfig(
+            datatype="fhn", dx=2, dy=2, t_steps=10, n_train=4, n_test=2,
+            emission="poisson",
+        ),
+        smc=SMCConfig(objective="fivo", n_particles=16),
+        use_pallas=False,
+    )
+    ds = generate_dataset(cfg.data, 0)
+    assert np.all(np.asarray(ds.obs_train) >= 0)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    from psvo_tpu.objectives import make_objective
+
+    out = make_objective(ssm, cfg)(params, jax.random.key(1), ds.obs_train)
+    assert np.isfinite(float(out.loss))
