@@ -75,6 +75,8 @@ def _inferred_test_latents(cfg, ssm, params, dataset):
 
 
 def cmd_train(args) -> int:
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     cfg = apply_overrides(preset(args.preset), args.set or [])
     if args.steps:
         cfg = dataclasses.replace(
@@ -97,12 +99,15 @@ def cmd_train(args) -> int:
         params,
         metrics_writer=MetricsWriter(results.metrics_path()),
         checkpointer=Checkpointer(ckpt_dir, cfg.resume_hash()),
+        profile_dir=args.profile,
     )
     if args.resume:
         step = trainer.restore()
         print(f"resumed from step {step}", flush=True)
 
-    history = trainer.run(dataset.obs_train, dataset.obs_test)
+    history = trainer.run(
+        dataset.obs_train, dataset.obs_test, hidden_train=dataset.hidden_train
+    )
     results.save_history(history)
     inferred = _inferred_test_latents(cfg, ssm, trainer.state.params, dataset)
     written = results.plot_all(history, dataset, inferred)
@@ -154,6 +159,14 @@ def main(argv=None) -> int:
     p_train.add_argument("--set", action="append", metavar="KEY=VALUE")
     p_train.add_argument("--results-root", default="results")
     p_train.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p_train.add_argument(
+        "--debug-nans", action="store_true",
+        help="enable jax_debug_nans (the rebuild's sanitizer mode, SURVEY.md §5)",
+    )
+    p_train.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of steady-state steps into DIR",
+    )
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("eval")

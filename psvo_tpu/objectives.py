@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from psvo_tpu.config import Config
-from psvo_tpu.distributions import log_normalize, mvn_diag_log_prob, mvn_diag_sample
+from psvo_tpu.distributions import log_normalize, mvn_diag_log_prob
 from psvo_tpu.models.ssm import SSM
 from psvo_tpu.smc import FilterResult, forward_filter
 
@@ -102,8 +102,11 @@ def _sample_final_particles(key, fwd: FilterResult, m: int):
 def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
     """Backward simulation with the learned proposal q_b; returns (logw̃ [B,M], x̃ [T,B,M,Dx])."""
     t_steps = ys_tm.shape[0]
-    k_anchor, k_scan = jax.random.split(key)
+    batch = ys_tm.shape[1]
+    k_anchor, k_eps = jax.random.split(key)
     x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)  # [B, M, Dx]
+    # bulk RNG: all backward-proposal noise in one call (scan is latency-bound)
+    eps_scan = jax.random.normal(k_eps, (t_steps - 1, batch, m, x_tilde_t.shape[-1]))
 
     # q-side T-term: continuous filter-density surrogate ρ_T (module docstring).
     log_g_t = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
@@ -117,22 +120,21 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
     logq = log_rho_t
 
     def body(carry, inputs):
-        x_next, key, logp, logq = carry
-        y_t = inputs
-        key, k_prop = jax.random.split(key)
+        x_next, logp, logq = carry
+        y_t, eps_t = inputs
         mean_b, scale_b = ssm.backward_propose(params, x_next, y_t[:, None, :])
-        x_t = mvn_diag_sample(k_prop, mean_b, scale_b)  # [B, M, Dx]
+        x_t = mean_b + scale_b * eps_t  # [B, M, Dx] reparameterized draw
         logp = (
             logp
             + ssm.transition_log_prob(params, x_t, x_next)
             + ssm.emission_log_prob(params, x_t, y_t[:, None, :])
         )
         logq = logq + mvn_diag_log_prob(x_t, mean_b, scale_b)
-        return (x_t, key, logp, logq), x_t
+        return (x_t, logp, logq), x_t
 
     # reverse scan over t = T-2 .. 0
-    (x_first, _, logp, logq), xs_rev = jax.lax.scan(
-        body, (x_tilde_t, k_scan, logp, logq), ys_tm[:-1], reverse=True
+    (x_first, logp, logq), xs_rev = jax.lax.scan(
+        body, (x_tilde_t, logp, logq), (ys_tm[:-1], eps_scan), reverse=True
     )
     logp = logp + ssm.prior_log_prob(params, x_first)
 
@@ -146,19 +148,21 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
     Returns (x̃ [T,B,M,Dx], log p_θ(x̃, y) [B,M]) — the smoothed trajectories
     and the model log-joint along them (the PSVO EM-surrogate term).
     """
-    k_anchor, k_scan = jax.random.split(key)
+    t_steps = ys_tm.shape[0]
+    k_anchor, k_cat = jax.random.split(key)
     x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)
     logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
+    # pre-split per-step keys so the scan carry has no serial key chain
+    cat_keys = jax.random.split(k_cat, t_steps - 1)
 
     def body(carry, inputs):
-        x_next, key, logp = carry
-        x_t_support, logw_t, y_t = inputs  # [B,K,Dx], [B,K], [B,Dy]
-        key, k_cat = jax.random.split(key)
+        x_next, logp = carry
+        x_t_support, logw_t, y_t, k_t = inputs  # [B,K,Dx], [B,K], [B,Dy], key
 
         logw_norm, _ = log_normalize(logw_t, axis=-1)  # [B, K]
         pair = _pairwise_transition_logp(ssm, params, x_t_support, x_next)
         logits = pair + logw_norm[:, None, :]  # [B, M, K] backward weights
-        idx = jax.random.categorical(k_cat, logits, axis=-1)  # [B, M]
+        idx = jax.random.categorical(k_t, logits, axis=-1)  # [B, M]
         x_t = jnp.take_along_axis(x_t_support, idx[..., None], axis=1)
 
         logp = (
@@ -166,12 +170,12 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
             + ssm.transition_log_prob(params, x_t, x_next)
             + ssm.emission_log_prob(params, x_t, y_t[:, None, :])
         )
-        return (x_t, key, logp), x_t
+        return (x_t, logp), x_t
 
-    (x_first, _, logp), xs_rev = jax.lax.scan(
+    (x_first, logp), xs_rev = jax.lax.scan(
         body,
-        (x_tilde_t, k_scan, logp),
-        (fwd.xs[:-1], fwd.logws[:-1], ys_tm[:-1]),
+        (x_tilde_t, logp),
+        (fwd.xs[:-1], fwd.logws[:-1], ys_tm[:-1], cat_keys),
         reverse=True,
     )
     logp = logp + ssm.prior_log_prob(params, x_first)
@@ -188,6 +192,8 @@ def make_objective(ssm: SSM, cfg: Config):
     m = smc_cfg.n_smoothing_particles
 
     def objective(params, key, ys, encoder_inputs=None) -> ObjectiveOutput:
+        # q_uses_true_X debug flag (SURVEY.md §5 flag table): the caller passes
+        # the true latents as encoder_inputs; here we only assert intent.
         k_fwd, k_bwd = jax.random.split(key)
         fwd = forward_filter(
             ssm,

@@ -1,0 +1,129 @@
+"""Branch-free Pallas resampling kernel: normalize + cumsum + inverse-CDF.
+
+The north-star op (BASELINE.json): "resampling (multinomial + systematic)
+becomes a branch-free Pallas cumsum+searchsorted gather so the data-dependent
+ancestor selection stays on-device". One kernel per batch-row block fuses what
+the jnp path runs as ~5 separate HLOs (max, exp, sum, cumsum, searchsorted):
+
+- log-weights normalize in VMEM (max-shifted exp, sum);
+- inclusive cumulative sum via branch-free log-step doubling (shift-and-add
+  with an iota mask — `jnp.cumsum` is not guaranteed to lower in Mosaic);
+- ancestor indices by *compare-and-count*: a_i = Σ_j 1[cumw_j ≤ u_i],
+  evaluated in (query-tile × support-tile) blocks on the VPU — no binary
+  search, no data-dependent control flow, fully vectorized.
+
+O(K²/8·128) VPU work per row: the right trade below K ≈ 2048 where the whole
+row fits VMEM and the quadratic term is cheaper than XLA's sort-based merge.
+Larger K falls back to the jnp path (`psvo_tpu.ops.resampling`). The gather
+itself stays outside the kernel — XLA's take_along_axis is already a single
+efficient dynamic-gather HLO.
+
+Equivalence with the jnp path is tested in interpret mode on CPU and (when a
+TPU is attached) compiled, in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from psvo_tpu.ops import resampling as jnp_resampling
+
+ENABLE = True
+_INTERPRET = False  # flipped by tests to run on CPU
+
+ROW_BLOCK = 8  # batch rows per kernel instance (sublane width)
+MAX_K = 2048  # above this the quadratic compare-count loses to XLA's sort
+QUERY_TILE = 128
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _doubling_cumsum(w: jax.Array) -> jax.Array:
+    """Inclusive cumsum along the last axis via log2(K) shift-and-adds.
+
+    Branch-free: each step adds the value from `shift` lanes to the left,
+    masked so lanes < shift add zero. Static python loop — K is static.
+    """
+    k = w.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, dimension=w.ndim - 1)
+    out = w
+    shift = 1
+    while shift < k:
+        rolled = jnp.roll(out, shift, axis=-1)
+        out = out + jnp.where(lane >= shift, rolled, 0.0)
+        shift *= 2
+    return out
+
+
+def _kernel(k: int, method: str, logw_ref, u_ref, idx_ref):
+    """logw [R, K] f32, u [R, K] f32 (quantile positions) -> idx [R, K] i32."""
+    logw = logw_ref[:]
+    m = jnp.max(logw, axis=-1, keepdims=True)
+    w = jnp.exp(logw - m)
+    cumw = _doubling_cumsum(w)
+    total = cumw[:, -1:]  # normalizer: cumw becomes the CDF
+    u = u_ref[:] * total  # compare u*total <= cumw instead of dividing K values
+
+    # compare-and-count in query tiles: a_i = sum_j [cumw_j <= u_i]
+    for q0 in range(0, k, QUERY_TILE):
+        u_tile = u[:, q0 : q0 + QUERY_TILE]  # [R, Q]
+        # [R, Q, K] boolean is too big; accumulate over support tiles instead
+        count = jnp.zeros(u_tile.shape, jnp.int32)
+        for s0 in range(0, k, QUERY_TILE):
+            c_tile = cumw[:, s0 : s0 + QUERY_TILE]  # [R, S]
+            le = c_tile[:, None, :] <= u_tile[:, :, None]  # [R, Q, S]
+            count = count + jnp.sum(le.astype(jnp.int32), axis=-1)
+        idx_ref[:, q0 : q0 + QUERY_TILE] = jnp.minimum(count, k - 1)
+
+
+def resample_indices_from_raw(
+    u_raw: jax.Array, logw: jax.Array, method: str = "systematic"
+) -> jax.Array:
+    """Ancestor indices [B, K] from raw uniforms (see resampling.raw_uniforms)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, k = logw.shape
+    usable = (
+        ENABLE
+        and (_on_tpu() or _INTERPRET)
+        and k <= MAX_K
+        and k % QUERY_TILE == 0
+        and batch % ROW_BLOCK == 0
+    )
+    if not usable:
+        logw_norm, _ = jnp_resampling.log_normalize(logw, axis=-1)
+        cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
+        u = jnp_resampling.quantile_positions_from_raw(u_raw, k, method)
+        return jnp_resampling.inverse_cdf_indices(cumw, u)
+
+    u = jnp_resampling.quantile_positions_from_raw(u_raw, k, method)
+    grid = (batch // ROW_BLOCK,)
+    return pl.pallas_call(
+        functools.partial(_kernel, k, method),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, k), jnp.int32),
+        interpret=_INTERPRET,
+    )(logw, u)
+
+
+def resample_indices(key: jax.Array, logw: jax.Array, method: str = "systematic"):
+    """Convenience wrapper drawing the uniforms from a key (tests/eval)."""
+    batch, k = logw.shape
+    u_raw = jnp_resampling.raw_uniforms(key, batch, k, method)
+    return resample_indices_from_raw(u_raw, logw, method)

@@ -40,18 +40,33 @@ import jax.numpy as jnp
 from psvo_tpu.distributions import effective_sample_size, log_normalize
 
 
+def raw_uniforms(key: jax.Array, batch: int, k: int, method: str) -> jax.Array:
+    """The raw uniforms a resampling step consumes: [B] (systematic: one
+    shared offset per row) or [B, K] (multinomial: iid). Generated in bulk
+    *outside* the time scan — one big threefry call for all T steps is far
+    cheaper on TPU than T per-step key splits (the scan is latency-bound)."""
+    if method == "systematic":
+        return jax.random.uniform(key, (batch,))
+    if method == "multinomial":
+        return jax.random.uniform(key, (batch, k))
+    raise ValueError(f"unknown resampling method {method!r}")
+
+
+def quantile_positions_from_raw(u_raw: jax.Array, k: int, method: str) -> jax.Array:
+    """[B, K] inverse-CDF query positions in [0, 1), sorted along K."""
+    if method == "systematic":
+        return (jnp.arange(k, dtype=jnp.float32)[None, :] + u_raw[:, None]) / k
+    if method == "multinomial":
+        # sorting keeps the searchsorted output monotone, which both the
+        # sort-based jnp lowering and the Pallas kernel exploit.
+        return jnp.sort(u_raw, axis=-1)
+    raise ValueError(f"unknown resampling method {method!r}")
+
+
 def quantile_positions(
     key: jax.Array, batch: int, k: int, method: str
 ) -> jax.Array:
-    """[B, K] inverse-CDF query positions in [0, 1), sorted along K."""
-    if method == "systematic":
-        u0 = jax.random.uniform(key, (batch, 1))
-        return (jnp.arange(k, dtype=jnp.float32)[None, :] + u0) / k
-    if method == "multinomial":
-        # iid uniforms; sorting keeps the searchsorted output monotone, which
-        # both the sort-based jnp lowering and the Pallas kernel exploit.
-        return jnp.sort(jax.random.uniform(key, (batch, k)), axis=-1)
-    raise ValueError(f"unknown resampling method {method!r}")
+    return quantile_positions_from_raw(raw_uniforms(key, batch, k, method), k, method)
 
 
 def inverse_cdf_indices(cumw: jax.Array, u: jax.Array) -> jax.Array:
@@ -83,7 +98,7 @@ def gather_particles(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def maybe_resample(
-    key: jax.Array,
+    u_raw: jax.Array,
     logw: jax.Array,
     x: jax.Array,
     *,
@@ -93,6 +108,7 @@ def maybe_resample(
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """ESS-adaptive resampling step for one scan iteration.
 
+    `u_raw` is the step's pre-generated uniform draw(s) — see `raw_uniforms`.
     Returns (x_out [B,K,D], logw_out [B,K], did_resample [B] bool, ess [B]).
     Resampling happens per batch row where ESS/K < ess_threshold (the
     reference resamples unconditionally, i.e. threshold=1.0). Both branches
@@ -110,9 +126,12 @@ def maybe_resample(
     if use_pallas:
         from psvo_tpu.ops import pallas_resample
 
-        idx = pallas_resample.resample_indices(key, logw, method)
+        idx = pallas_resample.resample_indices_from_raw(u_raw, logw, method)
     else:
-        idx = resample_indices(key, logw, method)
+        logw_norm, _ = log_normalize(logw, axis=-1)
+        cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
+        u = quantile_positions_from_raw(u_raw, k, method)
+        idx = inverse_cdf_indices(cumw, u)
 
     x_res = gather_particles(x, idx)
     x_out = jnp.where(do[:, None, None], x_res, x)

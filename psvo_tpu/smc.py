@@ -36,11 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from psvo_tpu.config import SMCConfig
-from psvo_tpu.distributions import (
-    effective_sample_size,
-    mvn_diag_log_prob,
-    mvn_diag_sample,
-)
+from psvo_tpu.distributions import effective_sample_size, mvn_diag_log_prob
 from psvo_tpu.models.ssm import SSM
 from psvo_tpu.ops import resampling
 from psvo_tpu.parallel.context import constrain
@@ -95,13 +91,24 @@ def forward_filter(
         jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
     )
 
-    k0, k_scan = jax.random.split(key)
+    # ---- Bulk RNG: one threefry call per stream for ALL T steps. The scan is
+    # latency-bound on TPU, so per-step key splits + sample chains dominate;
+    # hoisting them out cuts per-timestep kernel count sharply.
+    k0, k_prop, k_res = jax.random.split(key, 3)
+    eps0 = jax.random.normal(k0, (batch, k, ssm.dx))
+    eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, k, ssm.dx))
+    if resample_on:
+        u_scan = jax.vmap(
+            lambda kk: resampling.raw_uniforms(kk, batch, k, cfg.resampling)
+        )(jax.random.split(k_res, t_steps - 1))
+    else:
+        u_scan = jnp.zeros((t_steps - 1, batch))  # unused placeholder
 
     # ---- t = 0: propose from q0(x_0 | y_0), weight against the learned prior.
     mean0, scale0 = ssm.propose_initial(params, enc_tm[0])  # [B, Dx]
+    x0 = constrain(mean0[:, None, :] + scale0[:, None, :] * eps0)  # [B, K, Dx]
     mean0 = jnp.broadcast_to(mean0[:, None, :], (batch, k, ssm.dx))
     scale0 = jnp.broadcast_to(scale0[:, None, :], (batch, k, ssm.dx))
-    x0 = constrain(mvn_diag_sample(k0, mean0, scale0))  # [B, K, Dx]
     log_g0 = ssm.emission_log_prob(params, x0, ys_tm[0][:, None, :])
     if ssm.use_bootstrap:
         # proposal == prior: densities cancel in α_0.
@@ -117,24 +124,24 @@ def forward_filter(
 
     # ---- t = 1 .. T-1 scan
     def body(carry, inputs):
-        x, logw, key = carry
-        y_t, enc_t = inputs  # [B, Dy] each
-        key, k_res, k_prop = jax.random.split(key, 3)
+        x, logw = carry
+        y_t, enc_t, eps_t, u_t = inputs  # [B, Dy], [B, Dy], [B, K, Dx], [B(,K)]
 
         if resample_on:
             x, logw, _, ess = resampling.maybe_resample(
-                k_res,
+                u_t,
                 logw,
                 x,
                 method=cfg.resampling,
                 ess_threshold=cfg.ess_threshold,
+                use_pallas=ssm.use_pallas,
             )
         else:
             ess = effective_sample_size(logw, axis=-1)
 
         # Propose K new particles. enc_t feeds the encoder head q2.
         mean_q, scale_q = ssm.propose(params, x, enc_t[:, None, :])
-        x_new = constrain(mvn_diag_sample(k_prop, mean_q, scale_q))
+        x_new = constrain(mean_q + scale_q * eps_t)
 
         # Incremental weight α_t = log f + log g − log q (bootstrap: f == q).
         log_g = ssm.emission_log_prob(params, x_new, y_t[:, None, :])
@@ -151,12 +158,12 @@ def forward_filter(
         ell = _lse(logw_new) - _lse(logw)  # [B] logZ increment
 
         out = (x_new, logw_new, ell, ess)
-        return (x_new, logw_new, key), out
+        return (x_new, logw_new), out
 
-    carry0 = (x0, logw, k_scan)
+    carry0 = (x0, logw)
     scan_body = jax.checkpoint(body) if cfg.remat else body
-    (x_last, logw_last, _), (xs_scan, logws_scan, ells, esss) = jax.lax.scan(
-        scan_body, carry0, (ys_tm[1:], enc_tm[1:])
+    (x_last, logw_last), (xs_scan, logws_scan, ells, esss) = jax.lax.scan(
+        scan_body, carry0, (ys_tm[1:], enc_tm[1:], eps_scan, u_scan)
     )
 
     increments = jnp.concatenate([ell0[None], ells], axis=0)  # [T, B]

@@ -43,9 +43,9 @@ def make_train_step(ssm: SSM, cfg: Config, optimizer) -> Callable:
     objective = make_objective(ssm, cfg)
 
     @jax.jit
-    def train_step(params, opt_state, key, batch):
+    def train_step(params, opt_state, key, batch, encoder_inputs=None):
         def loss_fn(p):
-            out = objective(p, key, batch)
+            out = objective(p, key, batch, encoder_inputs)
             return out.loss, out.metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -149,9 +149,11 @@ class Trainer:
         *,
         metrics_writer=None,
         checkpointer=None,
+        profile_dir=None,
     ):
         self.cfg = cfg
         self.ssm = ssm
+        self.profile_dir = profile_dir  # jax.profiler trace target (SURVEY.md §5)
         self.optimizer = make_optimizer(cfg)
         self.train_step = make_train_step(ssm, cfg, self.optimizer)
         self.eval_step = make_eval_step(ssm, cfg)
@@ -171,27 +173,51 @@ class Trainer:
                 self.state = restored
         return self.state.step
 
-    def run(self, obs_train, obs_test, n_steps: Optional[int] = None) -> list[dict]:
+    def run(
+        self,
+        obs_train,
+        obs_test,
+        n_steps: Optional[int] = None,
+        hidden_train=None,
+    ) -> list[dict]:
         cfg = self.cfg
         n_steps = n_steps if n_steps is not None else cfg.train.n_steps
         n_train = obs_train.shape[0]
         bsz = min(cfg.train.batch_size, n_train)
         obs_train = jnp.asarray(obs_train)
         obs_test = jnp.asarray(obs_test)
+        # q_uses_true_X debug mode: condition the encoder proposal on the true
+        # latents instead of observations (reference flag, SURVEY.md §5).
+        use_true_x = cfg.smc.q_uses_true_x
+        if use_true_x and hidden_train is None:
+            raise ValueError("q_uses_true_x=True requires hidden_train latents")
+        hidden_train = jnp.asarray(hidden_train) if use_true_x else None
         rng = np.random.default_rng(cfg.seed + 2)
 
         st = self.state
         t_start = time.perf_counter()
         steps_done_at = st.step
         stop = False
+        profile_window = None
+        if self.profile_dir:
+            # trace a steady-state window: skip the compile-heavy first steps
+            profile_window = (cfg.train.eval_every + 1, cfg.train.eval_every + 11)
         while st.step < n_steps and not stop:
+            if profile_window and st.step + 1 == profile_window[0]:
+                jax.profiler.start_trace(self.profile_dir)
             idx = jnp.asarray(rng.choice(n_train, size=bsz, replace=False))
             batch = jnp.take(obs_train, idx, axis=0)
+            enc = jnp.take(hidden_train, idx, axis=0) if use_true_x else None
             st.key, k_step = jax.random.split(st.key)
             st.params, st.opt_state, metrics = self.train_step(
-                st.params, st.opt_state, k_step, batch
+                st.params, st.opt_state, k_step, batch, enc
             )
             st.step += 1
+            if profile_window and st.step == profile_window[1]:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {self.profile_dir}", flush=True)
+                profile_window = None
 
             if st.step % cfg.train.eval_every == 0 or st.step == n_steps:
                 st.key, k_eval = jax.random.split(st.key)

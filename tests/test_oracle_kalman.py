@@ -80,10 +80,12 @@ def test_iwae_logz_matches_kalman_short_horizon(lgssm):
     obj = make_objective(ssm, cfg)
     outs = [
         np.asarray(jax.jit(obj)(params, jax.random.key(s), jnp.asarray(lgssm["ys"][:, :t_short])).elbo)
-        for s in range(4)
+        for s in range(8)
     ]
     err = np.mean(outs, axis=0) - kf
-    assert np.all(np.abs(err) < 0.5), err
+    # IWAE is downward-biased at finite K (Jensen); bound the gap, forbid upside
+    assert np.all(err < 0.25), err
+    assert np.all(err > -0.8), err
 
 
 def test_multinomial_resampling_also_unbiased(lgssm):

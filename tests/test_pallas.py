@@ -1,0 +1,101 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU — SURVEY.md §5
+"Pallas kernels validated in interpret=True mode"): the fused MLP forward and
+its custom-VJP backward must match the jnp path bit-close; the branch-free
+resampling kernel must match the inverse-CDF oracle exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psvo_tpu import networks
+from psvo_tpu.ops import pallas_mlp, pallas_resample, resampling
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(pallas_mlp, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_resample, "_INTERPRET", True)
+
+
+@pytest.mark.parametrize("hidden", [(), (64,), (64, 64)])
+@pytest.mark.parametrize("activation", ["relu", "tanh"])
+def test_fused_mlp_forward_matches_jnp(hidden, activation):
+    key = jax.random.key(0)
+    params = networks.init_mlp_head(key, 3, 2, hidden, cov_type="const")
+    x = jax.random.normal(jax.random.key(1), (7, 5, 3))  # odd leading dims
+
+    got_m, got_s = pallas_mlp.mlp_mean_scale(params, x, activation=activation)
+    want_m, want_s = networks.mlp_mean_scale(params, x, activation=activation)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-6)
+
+
+@pytest.mark.parametrize("activation", ["relu", "tanh"])
+def test_fused_mlp_gradients_match_jnp(activation):
+    params = networks.init_mlp_head(jax.random.key(0), 2, 2, (32, 32), cov_type="const")
+    x = jax.random.normal(jax.random.key(1), (600, 2))  # > one row block
+    cot = jax.random.normal(jax.random.key(2), (600, 2))
+
+    def loss_pallas(p, x):
+        m, _ = pallas_mlp.mlp_mean_scale(p, x, activation=activation)
+        return jnp.sum(m * cot)
+
+    def loss_jnp(p, x):
+        m, _ = networks.mlp_mean_scale(p, x, activation=activation)
+        return jnp.sum(m * cot)
+
+    gp, gx = jax.grad(loss_pallas, argnums=(0, 1))(params, x)
+    wp, wx = jax.grad(loss_jnp, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(wp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mlp_under_jit_and_vmap_shapes():
+    params = networks.init_mlp_head(jax.random.key(0), 2, 2, (16,), cov_type="const")
+    x = jax.random.normal(jax.random.key(1), (4, 8, 2))
+    m, s = jax.jit(lambda p, x: pallas_mlp.mlp_mean_scale(p, x))(params, x)
+    assert m.shape == (4, 8, 2) and s.shape == (4, 8, 2)
+
+
+@pytest.mark.parametrize("method", ["systematic", "multinomial"])
+@pytest.mark.parametrize("k", [128, 1024])
+def test_pallas_resample_matches_jnp_oracle(method, k):
+    rng = np.random.default_rng(0)
+    batch = 16
+    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32) * 3)
+    u_raw = jnp.asarray(
+        rng.uniform(size=(batch,) if method == "systematic" else (batch, k)).astype(
+            np.float32
+        )
+    )
+    got = pallas_resample.resample_indices_from_raw(u_raw, logw, method)
+
+    logw_norm, _ = resampling.log_normalize(logw, axis=-1)
+    cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
+    u = resampling.quantile_positions_from_raw(u_raw, k, method)
+    want = np.asarray(resampling.inverse_cdf_indices(cumw, u))
+    got = np.asarray(got)
+    # kernel normalizes as `u * total` vs oracle's `cumw / total`: float ties
+    # at CDF boundaries may flip an index by ±1; anything more is a bug.
+    diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert np.mean(diff == 0) > 0.995, np.mean(diff == 0)
+    assert diff.max() <= 1, diff.max()
+
+
+def test_pallas_resample_fallback_large_k():
+    """K > MAX_K must silently take the jnp path (still correct)."""
+    rng = np.random.default_rng(1)
+    logw = jnp.asarray(rng.standard_normal((8, 4096)).astype(np.float32))
+    u_raw = jnp.asarray(rng.uniform(size=(8,)).astype(np.float32))
+    idx = pallas_resample.resample_indices_from_raw(u_raw, logw, "systematic")
+    assert idx.shape == (8, 4096)
+    assert int(idx.max()) < 4096
+
+
+def test_doubling_cumsum_matches_jnp():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.uniform(size=(8, 256)).astype(np.float32))
+    got = pallas_resample._doubling_cumsum(w)
+    np.testing.assert_allclose(np.asarray(got), np.cumsum(w, axis=-1), rtol=2e-5)

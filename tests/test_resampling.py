@@ -65,8 +65,9 @@ def test_maybe_resample_threshold_behavior():
     # row 0: uniform weights (ESS = K); row 1: degenerate (ESS ~ 1)
     logw = jnp.stack([jnp.zeros(k), jnp.where(jnp.arange(k) == 5, 0.0, -100.0)])
 
+    u_raw = jax.random.uniform(jax.random.key(0), (b,))
     x_out, logw_out, did, ess = resampling.maybe_resample(
-        jax.random.key(0), logw, x, method="systematic", ess_threshold=0.5
+        u_raw, logw, x, method="systematic", ess_threshold=0.5
     )
     assert not bool(did[0]) and bool(did[1])
     np.testing.assert_allclose(np.asarray(x_out[0]), np.asarray(x[0]))  # untouched
