@@ -91,21 +91,32 @@ def _pack(params) -> tuple[list, list, int, int]:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(n_layers: int, activation: str, x_ref, *refs):
-    """refs = (w_0, b_0, ..., w_L, b_L, out_ref); layer L is the linear mean head."""
-    from jax.experimental import pallas as pl  # noqa: F401  (imported for clarity)
+def _fwd_kernel(n_layers: int, activation: str, bf16: bool, x_ref, *refs):
+    """refs = (w_0, b_0, ..., w_L, b_L, out_ref); layer L is the linear mean head.
 
+    bf16=True casts matmul operands to bfloat16 (MXU native) with float32
+    accumulation — activations/biases stay f32 so the log-density numerics
+    downstream keep their mantissa.
+    """
     act = _ACTS[activation]
     out_ref = refs[-1]
+
+    def mm(h, w):
+        if bf16:
+            return jnp.dot(
+                h.astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.dot(h, w, preferred_element_type=jnp.float32)
+
     h = x_ref[:]
     for i in range(n_layers):
-        w, b = refs[2 * i][:], refs[2 * i + 1][:]
-        h = act(jnp.dot(h, w, preferred_element_type=jnp.float32) + b)
-    w, b = refs[2 * n_layers][:], refs[2 * n_layers + 1][:]
-    out_ref[:] = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        h = act(mm(h, refs[2 * i][:]) + refs[2 * i + 1][:])
+    out_ref[:] = mm(h, refs[2 * n_layers][:]) + refs[2 * n_layers + 1][:]
 
 
-def _fwd_pallas(ws, bs, x_p, n_layers, activation):
+def _fwd_pallas(ws, bs, x_p, n_layers, activation, bf16):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -126,7 +137,7 @@ def _fwd_pallas(ws, bs, x_p, n_layers, activation):
         args.extend([w, b])
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_layers, activation),
+        functools.partial(_fwd_kernel, n_layers, activation, bf16),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -239,16 +250,17 @@ def _bwd_pallas(ws, bs, x_p, g_p, n_layers, activation):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_core(n_layers: int, activation: str, x_p, ws, bs):
-    return _fwd_pallas(list(ws), list(bs), x_p, n_layers, activation)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_core(n_layers: int, activation: str, bf16: bool, x_p, ws, bs):
+    return _fwd_pallas(list(ws), list(bs), x_p, n_layers, activation, bf16)
 
 
-def _fused_core_fwd(n_layers, activation, x_p, ws, bs):
-    return _fused_core(n_layers, activation, x_p, ws, bs), (x_p, ws, bs)
+def _fused_core_fwd(n_layers, activation, bf16, x_p, ws, bs):
+    return _fused_core(n_layers, activation, bf16, x_p, ws, bs), (x_p, ws, bs)
 
 
-def _fused_core_bwd(n_layers, activation, res, g):
+def _fused_core_bwd(n_layers, activation, bf16, res, g):
+    # backward stays f32: dW accumulations need the mantissa
     x_p, ws, bs = res
     outs = _bwd_pallas(list(ws), list(bs), x_p, g, n_layers, activation)
     dx = outs[0]
@@ -260,14 +272,18 @@ def _fused_core_bwd(n_layers, activation, res, g):
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 
-def fused_mlp_mean(params, x: jax.Array, activation: str = "relu") -> jax.Array:
+def fused_mlp_mean(
+    params, x: jax.Array, activation: str = "relu", bf16: bool = False
+) -> jax.Array:
     """Fused mean-head MLP forward for arbitrary leading axes."""
     ws, bs, din, dout = _pack(params)
     lead = x.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
     n_p = _round_up(max(n, 1), ROW_BLOCK)
     x2 = _pad_to(_pad_to(x.reshape(n, x.shape[-1]), 1, ws[0].shape[0]), 0, n_p)
-    out = _fused_core(len(params["layers"]), activation, x2, tuple(ws), tuple(bs))
+    out = _fused_core(
+        len(params["layers"]), activation, bf16, x2, tuple(ws), tuple(bs)
+    )
     return out[:n, :dout].reshape(*lead, dout)
 
 
@@ -275,7 +291,6 @@ def mlp_mean_scale(params, x, *, activation="relu", sigma_min=1e-3, bf16=False):
     """Fused (mean, scale) MLP forward. Falls back to jnp off-TPU, for
     activations without a registered derivative, or for scale-head networks
     (the scale head shares the trunk — handled by the jnp path for now)."""
-    del bf16  # bf16 trunk variant is a follow-up
     usable = (
         ENABLE
         and (_on_tpu() or _INTERPRET)
@@ -286,7 +301,7 @@ def mlp_mean_scale(params, x, *, activation="relu", sigma_min=1e-3, bf16=False):
         return networks.mlp_mean_scale(
             params, x, activation=activation, sigma_min=sigma_min
         )
-    mean = fused_mlp_mean(params, x, activation)
+    mean = fused_mlp_mean(params, x, activation, bf16)
     scale = jnp.broadcast_to(
         networks.scale_from_raw(params["raw_scale"], sigma_min), mean.shape
     )

@@ -84,13 +84,8 @@ def _kernel(k: int, method: str, logw_ref, u_ref, idx_ref):
         idx_ref[:, q0 : q0 + QUERY_TILE] = jnp.minimum(count, k - 1)
 
 
-def resample_indices_from_raw(
-    u_raw: jax.Array, logw: jax.Array, method: str = "systematic"
-) -> jax.Array:
-    """Ancestor indices [B, K] from raw uniforms (see resampling.raw_uniforms)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def resample_indices_from_positions(u: jax.Array, logw: jax.Array) -> jax.Array:
+    """Ancestor indices [B, K] from [B, K] quantile positions."""
     batch, k = logw.shape
     usable = (
         ENABLE
@@ -102,14 +97,31 @@ def resample_indices_from_raw(
     if not usable:
         logw_norm, _ = jnp_resampling.log_normalize(logw, axis=-1)
         cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
-        u = jnp_resampling.quantile_positions_from_raw(u_raw, k, method)
         return jnp_resampling.inverse_cdf_indices(cumw, u)
 
-    u = jnp_resampling.quantile_positions_from_raw(u_raw, k, method)
-    grid = (batch // ROW_BLOCK,)
+    return _indices_nondiff(logw, u)
+
+
+def resample_indices_from_raw(
+    u_raw: jax.Array, logw: jax.Array, method: str = "systematic"
+) -> jax.Array:
+    """Ancestor indices [B, K] from raw uniforms (see resampling.raw_uniforms)."""
+    u = jnp_resampling.quantile_positions_from_raw(u_raw, logw.shape[-1], method)
+    return resample_indices_from_positions(u, logw)
+
+
+@jax.custom_vjp
+def _indices_nondiff(logw: jax.Array, u: jax.Array) -> jax.Array:
+    """Ancestor indices are integers — no gradient path exists through them
+    (FIVO stop-gradient semantics, SURVEY.md §3.2). The custom VJP makes that
+    explicit so jax.checkpoint/linearize never ask the kernel for rules."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, k = logw.shape
     return pl.pallas_call(
-        functools.partial(_kernel, k, method),
-        grid=grid,
+        functools.partial(_kernel, k, "inverse_cdf"),
+        grid=(batch // ROW_BLOCK,),
         in_specs=[
             pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -120,6 +132,18 @@ def resample_indices_from_raw(
         out_shape=jax.ShapeDtypeStruct((batch, k), jnp.int32),
         interpret=_INTERPRET,
     )(logw, u)
+
+
+def _indices_fwd(logw, u):
+    return _indices_nondiff(logw, u), (logw, u)
+
+
+def _indices_bwd(res, _g):
+    logw, u = res
+    return jnp.zeros_like(logw), jnp.zeros_like(u)
+
+
+_indices_nondiff.defvjp(_indices_fwd, _indices_bwd)
 
 
 def resample_indices(key: jax.Array, logw: jax.Array, method: str = "systematic"):

@@ -42,9 +42,7 @@ from psvo_tpu.distributions import effective_sample_size, log_normalize
 
 def raw_uniforms(key: jax.Array, batch: int, k: int, method: str) -> jax.Array:
     """The raw uniforms a resampling step consumes: [B] (systematic: one
-    shared offset per row) or [B, K] (multinomial: iid). Generated in bulk
-    *outside* the time scan — one big threefry call for all T steps is far
-    cheaper on TPU than T per-step key splits (the scan is latency-bound)."""
+    shared offset per row) or [B, K] (multinomial: iid)."""
     if method == "systematic":
         return jax.random.uniform(key, (batch,))
     if method == "multinomial":
@@ -53,14 +51,31 @@ def raw_uniforms(key: jax.Array, batch: int, k: int, method: str) -> jax.Array:
 
 
 def quantile_positions_from_raw(u_raw: jax.Array, k: int, method: str) -> jax.Array:
-    """[B, K] inverse-CDF query positions in [0, 1), sorted along K."""
+    """[..., K] inverse-CDF query positions in [0, 1), sorted along K.
+
+    Broadcasts over leading axes, so ALL T steps' positions can be built in
+    one shot outside the time scan (see `bulk_positions`) — per-step position
+    math (a 1-D iota per iteration) measured ~1 ms/step on v5e, 4× the whole
+    multinomial path.
+    """
     if method == "systematic":
-        return (jnp.arange(k, dtype=jnp.float32)[None, :] + u_raw[:, None]) / k
+        return (jnp.arange(k, dtype=jnp.float32) + u_raw[..., None]) / k
     if method == "multinomial":
         # sorting keeps the searchsorted output monotone, which both the
         # sort-based jnp lowering and the Pallas kernel exploit.
         return jnp.sort(u_raw, axis=-1)
     raise ValueError(f"unknown resampling method {method!r}")
+
+
+def bulk_positions(
+    key: jax.Array, t_steps: int, batch: int, k: int, method: str
+) -> jax.Array:
+    """[T, B, K] quantile positions for a whole filtering pass, one RNG call."""
+    if method == "systematic":
+        u_raw = jax.random.uniform(key, (t_steps, batch))
+    else:
+        u_raw = jax.random.uniform(key, (t_steps, batch, k))
+    return quantile_positions_from_raw(u_raw, k, method)
 
 
 def quantile_positions(
@@ -98,7 +113,7 @@ def gather_particles(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def maybe_resample(
-    u_raw: jax.Array,
+    u: jax.Array,
     logw: jax.Array,
     x: jax.Array,
     *,
@@ -108,7 +123,8 @@ def maybe_resample(
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """ESS-adaptive resampling step for one scan iteration.
 
-    `u_raw` is the step's pre-generated uniform draw(s) — see `raw_uniforms`.
+    `u` is the step's pre-generated [B, K] quantile positions — see
+    `bulk_positions` (positions for ALL steps are built outside the scan).
     Returns (x_out [B,K,D], logw_out [B,K], did_resample [B] bool, ess [B]).
     Resampling happens per batch row where ESS/K < ess_threshold (the
     reference resamples unconditionally, i.e. threshold=1.0). Both branches
@@ -126,11 +142,10 @@ def maybe_resample(
     if use_pallas:
         from psvo_tpu.ops import pallas_resample
 
-        idx = pallas_resample.resample_indices_from_raw(u_raw, logw, method)
+        idx = pallas_resample.resample_indices_from_positions(u, logw)
     else:
         logw_norm, _ = log_normalize(logw, axis=-1)
         cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
-        u = quantile_positions_from_raw(u_raw, k, method)
         idx = inverse_cdf_indices(cumw, u)
 
     x_res = gather_particles(x, idx)

@@ -98,11 +98,12 @@ def forward_filter(
     eps0 = jax.random.normal(k0, (batch, k, ssm.dx))
     eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, k, ssm.dx))
     if resample_on:
-        u_scan = jax.vmap(
-            lambda kk: resampling.raw_uniforms(kk, batch, k, cfg.resampling)
-        )(jax.random.split(k_res, t_steps - 1))
+        # [T-1, B, K] quantile positions, sorted along K, built in one shot —
+        # per-step position math (1-D iota / sort inside the scan) measured
+        # ~1 ms/step on v5e, several times the entire resampling kernel.
+        u_scan = resampling.bulk_positions(k_res, t_steps - 1, batch, k, cfg.resampling)
     else:
-        u_scan = jnp.zeros((t_steps - 1, batch))  # unused placeholder
+        u_scan = jnp.zeros((t_steps - 1, batch, 1))  # unused placeholder
 
     # ---- t = 0: propose from q0(x_0 | y_0), weight against the learned prior.
     mean0, scale0 = ssm.propose_initial(params, enc_tm[0])  # [B, Dx]

@@ -66,8 +66,9 @@ def test_maybe_resample_threshold_behavior():
     logw = jnp.stack([jnp.zeros(k), jnp.where(jnp.arange(k) == 5, 0.0, -100.0)])
 
     u_raw = jax.random.uniform(jax.random.key(0), (b,))
+    u = resampling.quantile_positions_from_raw(u_raw, k, "systematic")
     x_out, logw_out, did, ess = resampling.maybe_resample(
-        u_raw, logw, x, method="systematic", ess_threshold=0.5
+        u, logw, x, method="systematic", ess_threshold=0.5
     )
     assert not bool(did[0]) and bool(did[1])
     np.testing.assert_allclose(np.asarray(x_out[0]), np.asarray(x[0]))  # untouched
