@@ -127,7 +127,14 @@ class Config:
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     nets: tuple[tuple[str, NetConfig], ...] = field(default_factory=_default_nets)
-    use_pallas: bool = True  # fused kernels on TPU; jnp fallback elsewhere
+    # Pallas kernel toggles (measured on v5e, fhn K=1024 B=32 T=100 forward):
+    # the branch-free resample kernel nearly halves the step (83→45 ms); the
+    # fused MLP kernel LOSES to XLA's own fusion for these tiny nets inside a
+    # scan (45→147 ms) — per-call overhead beats the HBM savings — so it
+    # defaults off and remains available for larger nets.
+    use_pallas: bool = True  # master switch (False = pure jnp everywhere)
+    use_pallas_mlp: bool = False
+    use_pallas_resample: bool = True
 
     def net(self, name: str) -> NetConfig:
         for k, v in self.nets:
@@ -187,6 +194,8 @@ def from_dict(d: dict) -> Config:
         mesh=_tupled(d.get("mesh", {}), MeshConfig),
         nets=nets,
         use_pallas=d.get("use_pallas", True),
+        use_pallas_mlp=d.get("use_pallas_mlp", False),
+        use_pallas_resample=d.get("use_pallas_resample", True),
     )
 
 

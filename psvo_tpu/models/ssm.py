@@ -38,7 +38,8 @@ class SSM:
         self.use_2q = cfg.smc.use_2q
         self.use_bootstrap = cfg.smc.use_bootstrap
         self.nets = {k: v for k, v in cfg.nets}
-        self.use_pallas = cfg.use_pallas
+        self.use_pallas_mlp = cfg.use_pallas and cfg.use_pallas_mlp
+        self.use_pallas_resample = cfg.use_pallas and cfg.use_pallas_resample
         self.bf16_matmuls = cfg.train.bf16_matmuls
 
     # -- init ---------------------------------------------------------------
@@ -76,7 +77,7 @@ class SSM:
     # -- net application (routes to fused Pallas kernel when enabled) --------
 
     def _mean_scale(self, net: Params, cfg: NetConfig, x: jax.Array):
-        if self.use_pallas:
+        if self.use_pallas_mlp:
             from psvo_tpu.ops import pallas_mlp
 
             return pallas_mlp.mlp_mean_scale(
@@ -131,6 +132,51 @@ class SSM:
             [x_next, jnp.broadcast_to(y_t, (*x_next.shape[:-1], self.dy))], axis=-1
         )
         return self._mean_scale(params["qb"], self.nets["qb"], inp)
+
+    def step_heads(self, params: Params, x_prev: jax.Array, y_t: jax.Array):
+        """All per-step conditionals on x_prev in one go:
+        returns (mean_q, scale_q, mean_f, scale_f).
+
+        q1 and f consume the SAME input, so when their architectures match
+        (the default) they evaluate as ONE stacked vmapped MLP — XLA emits a
+        single batched matmul chain, halving per-step MLP op count (the scan
+        is latency-bound on TPU, so op count ≈ time). Also returns the
+        transition parameters so the incremental weight α_t never re-runs the
+        f network.
+        """
+        if self.use_bootstrap:
+            mean_f, scale_f = self.transition_params(params, x_prev)
+            return mean_f, scale_f, mean_f, scale_f
+
+        q1_cfg, f_cfg = self.nets["q1"], self.nets["f"]
+        stackable = (
+            q1_cfg.hidden == f_cfg.hidden
+            and q1_cfg.activation == f_cfg.activation
+            and q1_cfg.cov_type == f_cfg.cov_type == "const"
+            and q1_cfg.sigma_min == f_cfg.sigma_min
+            and not self.use_pallas_mlp  # fused kernel handles its own batching
+        )
+        if stackable:
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), params["q1"], params["f"]
+            )
+            means, scales = jax.vmap(
+                lambda net: networks.mlp_mean_scale(
+                    net, x_prev, activation=q1_cfg.activation, sigma_min=q1_cfg.sigma_min
+                )
+            )(stacked)
+            m1, s1 = means[0], scales[0]
+            mean_f, scale_f = means[1], scales[1]
+        else:
+            m1, s1 = self._mean_scale(params["q1"], q1_cfg, x_prev)
+            mean_f, scale_f = self.transition_params(params, x_prev)
+
+        if self.use_2q:
+            m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)
+            mean_q, scale_q = dist.mvn_product(m1, s1, m2, s2)
+        else:
+            mean_q, scale_q = m1, s1
+        return mean_q, scale_q, mean_f, scale_f
 
     # -- transition / emission -------------------------------------------------
 

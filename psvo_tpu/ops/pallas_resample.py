@@ -84,6 +84,165 @@ def _kernel(k: int, method: str, logw_ref, u_ref, idx_ref):
         idx_ref[:, q0 : q0 + QUERY_TILE] = jnp.minimum(count, k - 1)
 
 
+def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref):
+    """Fused inverse-CDF + particle gather (the north-star op end-to-end).
+
+    logw [R,K], u [R,K], x [R,K,D] -> idx [R,K] i32, x_out [R,K,D].
+
+    The gather is an exact one-hot contraction: after counting ancestor
+    indices a_i, the selection matrix M_ij = [a_i == j] (built per tile with
+    broadcasted iota — branch-free) contracts against the particles:
+    out[q, d] = Σ_s M[q, s] x[s, d]. Profiling showed XLA's dynamic gather at
+    0.22 ms/step — over half the whole SMC step — while this contraction is
+    ordinary VPU/MXU work on data already in VMEM.
+    """
+    logw = logw_ref[:]
+    m = jnp.max(logw, axis=-1, keepdims=True)
+    w = jnp.exp(logw - m)
+    cumw = _doubling_cumsum(w)
+    total = cumw[:, -1:]
+    u = u_ref[:] * total
+
+    for q0 in range(0, k, QUERY_TILE):
+        u_tile = u[:, q0 : q0 + QUERY_TILE]  # [R, Q]
+        count = jnp.zeros(u_tile.shape, jnp.int32)
+        for s0 in range(0, k, QUERY_TILE):
+            c_tile = cumw[:, s0 : s0 + QUERY_TILE]
+            le = c_tile[:, None, :] <= u_tile[:, :, None]
+            count = count + jnp.sum(le.astype(jnp.int32), axis=-1)
+        idx = jnp.minimum(count, k - 1)  # [R, Q]
+        idx_ref[:, q0 : q0 + QUERY_TILE] = idx
+
+        # one-hot gather: accumulate over support tiles
+        acc = jnp.zeros((*u_tile.shape, x_ref.shape[-1]), jnp.float32)  # [R,Q,D]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, QUERY_TILE), 2)
+        for s0 in range(0, k, QUERY_TILE):
+            onehot = (idx[:, :, None] == (col + s0)).astype(jnp.float32)  # [R,Q,S]
+            x_tile = x_ref[:, s0 : s0 + QUERY_TILE, :]  # [R,S,D]
+            acc = acc + jax.lax.dot_general(
+                onehot,
+                x_tile,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[:, q0 : q0 + QUERY_TILE, :] = acc
+
+
+def _scatter_kernel(k: int, idx_ref, g_ref, out_ref):
+    """Transpose of the one-hot gather: out[s, d] = Σ_q [idx_q == s] g[q, d].
+
+    The VJP of `resample_and_gather` w.r.t. the particles — a segment-sum over
+    offspring, built from the same branch-free one-hot tiles.
+    """
+    idx = idx_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, QUERY_TILE, 1), 1)
+    for s0 in range(0, k, QUERY_TILE):
+        acc = jnp.zeros((idx.shape[0], QUERY_TILE, g_ref.shape[-1]), jnp.float32)
+        for q0 in range(0, k, QUERY_TILE):
+            idx_tile = idx[:, q0 : q0 + QUERY_TILE]  # [R, Q]
+            onehot_t = (idx_tile[:, None, :] == (row + s0)).astype(
+                jnp.float32
+            )  # [R, S, Q]: onehot_t[r, s, q] = [idx_q == s0+s]
+            g_tile = g_ref[:, q0 : q0 + QUERY_TILE, :]  # [R, Q, D]
+            acc = acc + jax.lax.dot_general(
+                onehot_t,
+                g_tile,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[:, s0 : s0 + QUERY_TILE, :] = acc
+
+
+def _fused_usable(batch: int, k: int) -> bool:
+    return (
+        ENABLE
+        and (_on_tpu() or _INTERPRET)
+        and k <= MAX_K
+        and k % QUERY_TILE == 0
+        and batch % ROW_BLOCK == 0
+    )
+
+
+@jax.custom_vjp
+def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
+    """Fused inverse-CDF resampling + particle gather.
+
+    u [B,K] sorted quantile positions, logw [B,K], x [B,K,D]
+    -> (idx [B,K] i32, x_res [B,K,D]).
+
+    Gradient semantics: d x_res/d x is the exact selection matrix (offspring
+    copy gradients back to their ancestor — the reparameterized path FIVO
+    keeps); d/d logw and d/d u are zero (stop-gradient through the discrete
+    ancestor choice, SURVEY.md §3.2).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, k = logw.shape
+    d = x.shape[-1]
+    if not _fused_usable(batch, k):
+        idx = resample_indices_from_positions(u, logw)
+        return idx, jnp_resampling.gather_particles(x, idx)
+
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, k),
+        grid=(batch // ROW_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, k), jnp.int32),
+            jax.ShapeDtypeStruct((batch, k, d), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(logw, u, x)
+
+
+def _rg_fwd(u, logw, x):
+    idx, x_res = resample_and_gather(u, logw, x)
+    return (idx, x_res), (u, logw, idx)
+
+
+def _rg_bwd(res, cots):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    u, logw, idx = res
+    _, g_x = cots  # cotangent of idx is int/zero
+    batch, k = idx.shape
+    d = g_x.shape[-1]
+    if not _fused_usable(batch, k):
+        dx = jnp.zeros_like(g_x).at[
+            jnp.arange(batch)[:, None], idx
+        ].add(g_x)
+    else:
+        dx = pl.pallas_call(
+            functools.partial(_scatter_kernel, k),
+            grid=(batch // ROW_BLOCK,),
+            in_specs=[
+                pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (ROW_BLOCK, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (ROW_BLOCK, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, k, d), jnp.float32),
+            interpret=_INTERPRET,
+        )(idx, g_x)
+    return jnp.zeros_like(u), jnp.zeros_like(logw), dx
+
+
+resample_and_gather.defvjp(_rg_fwd, _rg_bwd)
+
+
 def resample_indices_from_positions(u: jax.Array, logw: jax.Array) -> jax.Array:
     """Ancestor indices [B, K] from [B, K] quantile positions."""
     batch, k = logw.shape

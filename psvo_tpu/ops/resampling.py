@@ -142,13 +142,12 @@ def maybe_resample(
     if use_pallas:
         from psvo_tpu.ops import pallas_resample
 
-        idx = pallas_resample.resample_indices_from_positions(u, logw)
+        _, x_res = pallas_resample.resample_and_gather(u, logw, x)
     else:
         logw_norm, _ = log_normalize(logw, axis=-1)
         cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
         idx = inverse_cdf_indices(cumw, u)
-
-    x_res = gather_particles(x, idx)
+        x_res = gather_particles(x, idx)
     x_out = jnp.where(do[:, None, None], x_res, x)
     logw_out = jnp.where(do[:, None], jnp.zeros_like(logw), logw)
     return x_out, logw_out, do, ess

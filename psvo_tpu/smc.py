@@ -135,13 +135,17 @@ def forward_filter(
                 x,
                 method=cfg.resampling,
                 ess_threshold=cfg.ess_threshold,
-                use_pallas=ssm.use_pallas,
+                use_pallas=ssm.use_pallas_resample,
             )
         else:
             ess = effective_sample_size(logw, axis=-1)
 
-        # Propose K new particles. enc_t feeds the encoder head q2.
-        mean_q, scale_q = ssm.propose(params, x, enc_t[:, None, :])
+        # Propose K new particles. enc_t feeds the encoder head q2. q1 and f
+        # evaluate as one stacked MLP (ssm.step_heads), so α_t below reuses
+        # the transition parameters instead of re-running the f network.
+        mean_q, scale_q, mean_f, scale_f = ssm.step_heads(
+            params, x, enc_t[:, None, :]
+        )
         x_new = constrain(mean_q + scale_q * eps_t)
 
         # Incremental weight α_t = log f + log g − log q (bootstrap: f == q).
@@ -150,7 +154,7 @@ def forward_filter(
             alpha = log_g
         else:
             alpha = (
-                ssm.transition_log_prob(params, x, x_new)
+                mvn_diag_log_prob(x_new, mean_f, scale_f)
                 + log_g
                 - mvn_diag_log_prob(x_new, mean_q, scale_q)
             )

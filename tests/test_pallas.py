@@ -94,6 +94,58 @@ def test_pallas_resample_fallback_large_k():
     assert int(idx.max()) < 4096
 
 
+@pytest.mark.parametrize("method", ["systematic", "multinomial"])
+def test_fused_resample_and_gather_matches_oracle(method):
+    rng = np.random.default_rng(5)
+    batch, k, d = 16, 256, 3
+    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32) * 2)
+    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+    u_raw = jnp.asarray(
+        rng.uniform(size=(batch,) if method == "systematic" else (batch, k)).astype(
+            np.float32
+        )
+    )
+    u = resampling.quantile_positions_from_raw(u_raw, k, method)
+    idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
+
+    logw_norm, _ = resampling.log_normalize(logw, axis=-1)
+    cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
+    want_idx = np.asarray(resampling.inverse_cdf_indices(cumw, u))
+    got_idx = np.asarray(idx)
+    diff = np.abs(got_idx.astype(np.int64) - want_idx.astype(np.int64))
+    assert diff.max() <= 1 and np.mean(diff == 0) > 0.99
+    # the gather must be consistent with the kernel's OWN indices (exact)
+    np.testing.assert_array_equal(
+        np.asarray(x_res), np.asarray(resampling.gather_particles(x, idx))
+    )
+
+
+def test_fused_resample_gather_gradient_is_exact_scatter():
+    rng = np.random.default_rng(6)
+    batch, k, d = 8, 128, 2
+    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+    u = resampling.quantile_positions_from_raw(
+        jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32)), k, "systematic"
+    )
+    cot = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+
+    def f(x):
+        _, x_res = pallas_resample.resample_and_gather(u, logw, x)
+        return jnp.sum(x_res * cot)
+
+    gx = np.asarray(jax.grad(f)(x))
+    idx = np.asarray(pallas_resample.resample_and_gather(u, logw, x)[0])
+    want = np.zeros_like(gx)
+    for b in range(batch):
+        np.add.at(want[b], idx[b], np.asarray(cot)[b])
+    np.testing.assert_allclose(gx, want, rtol=1e-6, atol=1e-6)
+    # stop-gradient semantics through the discrete choice
+    glw = np.asarray(jax.grad(lambda lw: jnp.sum(
+        pallas_resample.resample_and_gather(u, lw, x)[1]))(logw))
+    np.testing.assert_array_equal(glw, 0.0)
+
+
 def test_doubling_cumsum_matches_jnp():
     rng = np.random.default_rng(2)
     w = jnp.asarray(rng.uniform(size=(8, 256)).astype(np.float32))
