@@ -95,6 +95,27 @@ def inverse_cdf_indices(cumw: jax.Array, u: jax.Array) -> jax.Array:
     return jnp.minimum(idx, cumw.shape[-1] - 1).astype(jnp.int32)
 
 
+def systematic_indices_histogram(cumw: jax.Array, u0: jax.Array) -> jax.Array:
+    """O(K) systematic ancestor indices via histogram + cumsum (no search).
+
+    For affine positions u_i = (i + u0)/K the inverse CDF collapses:
+    a_i = #{j : C_j <= u_i} = #{j : ceil(K·C_j − u0) <= i}, so bucket each
+    particle at v_j = ceil(K·C_j − u0) and prefix-sum the histogram — one
+    scatter-add and one cumsum instead of a sort-merge over 2K elements.
+    The large-K path (the Pallas compare-and-count kernel is quadratic and
+    caps at K=2048).
+
+    cumw [B, K] inclusive normalized CDF; u0 [B] in [0, 1).
+    """
+    batch, k = cumw.shape
+    v = jnp.ceil(k * cumw - u0[:, None]).astype(jnp.int32)
+    v = jnp.clip(v, 0, k)  # v == k: particle past the last position, never drawn
+    hist = jnp.zeros((batch, k + 1), jnp.int32)
+    hist = hist.at[jnp.arange(batch)[:, None], v].add(1)
+    idx = jnp.cumsum(hist[:, :k], axis=-1)
+    return jnp.minimum(idx, k - 1).astype(jnp.int32)
+
+
 def resample_indices(
     key: jax.Array, logw: jax.Array, method: str = "systematic"
 ) -> jax.Array:
@@ -146,7 +167,11 @@ def maybe_resample(
     else:
         logw_norm, _ = log_normalize(logw, axis=-1)
         cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
-        idx = inverse_cdf_indices(cumw, u)
+        if method == "systematic":
+            # recover the shared offset from the first affine position
+            idx = systematic_indices_histogram(cumw, u[:, 0] * k)
+        else:
+            idx = inverse_cdf_indices(cumw, u)
         x_res = gather_particles(x, idx)
     x_out = jnp.where(do[:, None, None], x_res, x)
     logw_out = jnp.where(do[:, None], jnp.zeros_like(logw), logw)

@@ -49,6 +49,22 @@ def test_multinomial_frequencies_match_weights():
     assert np.all(np.abs(freq - w) < 5 * se + 1e-3)
 
 
+def test_systematic_histogram_matches_searchsorted():
+    """The O(K) histogram formulation must agree with the search oracle."""
+    rng = np.random.default_rng(7)
+    for k in (64, 1024):
+        logw = jnp.asarray(rng.standard_normal((6, k)).astype(np.float32) * 2)
+        u0 = jnp.asarray(rng.uniform(size=(6,)).astype(np.float32))
+        logw_norm = logw - jax.scipy.special.logsumexp(logw, -1, keepdims=True)
+        cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
+        u = resampling.quantile_positions_from_raw(u0, k, "systematic")
+        want = np.asarray(resampling.inverse_cdf_indices(cumw, u))
+        got = np.asarray(resampling.systematic_indices_histogram(cumw, u0))
+        diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
+        # float boundary ties can flip an index by ±1; anything more is a bug
+        assert diff.max() <= 1 and np.mean(diff == 0) > 0.995, (k, diff.max())
+
+
 def test_indices_are_sorted_for_sorted_positions():
     """Inverse-CDF of sorted positions is monotone — required by the Pallas kernel."""
     rng = np.random.default_rng(3)
