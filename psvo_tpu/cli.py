@@ -59,18 +59,22 @@ def build(cfg: Config):
 
 
 def _inferred_test_latents(cfg, ssm, params, dataset):
-    """Posterior latent paths on the test set for the parity plots."""
+    """Posterior latent paths on the test set for the parity plots.
+
+    Smoothing objectives plot the smoothed trajectories (mean over the M
+    backward draws — what the reference's phase portraits show); filtering
+    objectives plot the filtering means.
+    """
+    from psvo_tpu.objectives import make_objective
     from psvo_tpu.smc import forward_filter
     from psvo_tpu.train import filtered_means
 
-    fwd = forward_filter(
-        ssm,
-        params,
-        jax.random.key(cfg.seed + 9),
-        jnp.asarray(dataset.obs_test),
-        cfg.smc,
-        cache=True,
-    )
+    key = jax.random.key(cfg.seed + 9)
+    obs = jnp.asarray(dataset.obs_test)
+    if cfg.smc.objective in ("svo", "psvo"):
+        out = make_objective(ssm, cfg)(params, key, obs)
+        return np.asarray(jnp.swapaxes(out.smoothed.mean(axis=2), 0, 1))
+    fwd = forward_filter(ssm, params, key, obs, cfg.smc, cache=True)
     return np.asarray(filtered_means(fwd))
 
 

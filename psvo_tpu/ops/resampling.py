@@ -163,6 +163,11 @@ def maybe_resample(
     if use_pallas:
         from psvo_tpu.ops import pallas_resample
 
+        # v1 (two-pass, indexed) kernel: measured 21 ms fwd / 66 ms train at
+        # K=1024 on v5e. The index-free v2 kernel exists but its backward
+        # overflows VMEM at R=8 (lane-padded [R,K,D] buffers) and Mosaic
+        # rejects R<8 blocks for the 2-D refs; a [B,D,K] transposed-layout
+        # variant is the planned fix (64× smaller buffers).
         _, x_res = pallas_resample.resample_and_gather(u, logw, x)
     else:
         logw_norm, _ = log_normalize(logw, axis=-1)

@@ -34,6 +34,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from psvo_tpu.config import SMCConfig
 from psvo_tpu.distributions import effective_sample_size, mvn_diag_log_prob
@@ -137,6 +138,10 @@ def forward_filter(
                 ess_threshold=cfg.ess_threshold,
                 use_pallas=ssm.use_pallas_resample,
             )
+            # Named remat residual: the rematerialized backward would
+            # otherwise re-run the whole resample kernel just to rebuild this
+            # tensor; saving it costs the same memory as the scan carry.
+            x = _checkpoint_name(x, "resampled_x")
         else:
             ess = effective_sample_size(logw, axis=-1)
 
@@ -166,7 +171,14 @@ def forward_filter(
         return (x_new, logw_new), out
 
     carry0 = (x0, logw)
-    scan_body = jax.checkpoint(body) if cfg.remat else body
+    scan_body = (
+        jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("resampled_x"),
+        )
+        if cfg.remat
+        else body
+    )
     (x_last, logw_last), (xs_scan, logws_scan, ells, esss) = jax.lax.scan(
         scan_body, carry0, (ys_tm[1:], enc_tm[1:], eps_scan, u_scan)
     )
