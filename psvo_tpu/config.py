@@ -74,6 +74,9 @@ class SMCConfig:
     objective: str = "fivo"  # one of OBJECTIVES
     n_particles: int = 128  # K
     n_smoothing_particles: int = 16  # M backward draws (SVO/PSVO)
+    ffbsi_segments: int = 1  # >1: segmented PSVO cache for long T (SURVEY.md §5):
+    # store carries at T/(segments) boundaries, recompute segment interiors
+    # during the backward sweep instead of caching all T steps in HBM.
     resampling: str = "systematic"  # "systematic" | "multinomial" | "none"
     ess_threshold: float = 1.0  # resample when ESS/K < threshold; 1.0 = always
     use_2q: bool = True  # fuse q1(x|x_prev) with encoder q2(x|y)

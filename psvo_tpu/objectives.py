@@ -142,18 +142,9 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
     return logp - logq, x_tilde
 
 
-def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
-    """FFBSi discrete backward simulation over the forward support.
-
-    Returns (x̃ [T,B,M,Dx], log p_θ(x̃, y) [B,M]) — the smoothed trajectories
-    and the model log-joint along them (the PSVO EM-surrogate term).
-    """
-    t_steps = ys_tm.shape[0]
-    k_anchor, k_cat = jax.random.split(key)
-    x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)
-    logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
-    # pre-split per-step keys so the scan carry has no serial key chain
-    cat_keys = jax.random.split(k_cat, t_steps - 1)
+def _make_ffbsi_body(ssm: SSM, params):
+    """One FFBSi reverse step: re-weight the forward support against the
+    current backward state, draw an ancestor per path, accumulate log p."""
 
     def body(carry, inputs):
         x_next, logp = carry
@@ -172,8 +163,24 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
         )
         return (x_t, logp), x_t
 
+    return body
+
+
+def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
+    """FFBSi discrete backward simulation over the forward support.
+
+    Returns (smoothed [T,B,M,Dx], log p(smoothed, y) [B,M]) — the smoothed
+    trajectories and the model log-joint along them (the PSVO EM-surrogate).
+    """
+    t_steps = ys_tm.shape[0]
+    k_anchor, k_cat = jax.random.split(key)
+    x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)
+    logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
+    # pre-split per-step keys so the scan carry has no serial key chain
+    cat_keys = jax.random.split(k_cat, t_steps - 1)
+
     (x_first, logp), xs_rev = jax.lax.scan(
-        body,
+        _make_ffbsi_body(ssm, params),
         (x_tilde_t, logp),
         (fwd.xs[:-1], fwd.logws[:-1], ys_tm[:-1], cat_keys),
         reverse=True,
@@ -183,27 +190,97 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
     return x_tilde, logp
 
 
+def _ffbsi_backward_segmented(
+    ssm: SSM, params, key, ys_tm, enc_tm, fwd, cache, m: int, smc_cfg
+):
+    """FFBSi over a segmented forward cache (the long-T path, SURVEY.md §5):
+    each forward segment is recomputed bit-exactly from its boundary carry
+    just before the reverse sweep consumes it, so only O(T/L) carries persist
+    instead of the full O(T) particle history.
+    """
+    from psvo_tpu.smc import recompute_segment
+
+    t_steps, batch = ys_tm.shape[0], ys_tm.shape[1]
+    n_segments = cache.seg_x.shape[0]
+    seg_len = (t_steps - 1) // n_segments
+
+    k_anchor, k_cat = jax.random.split(key)
+    x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)
+    logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
+    cat_keys = jax.random.split(k_cat, t_steps - 1)  # cat_keys[t-1] for step t
+
+    body = _make_ffbsi_body(ssm, params)
+    ys_seg = ys_tm[1:].reshape(n_segments, seg_len, batch, -1)
+    enc_seg = enc_tm[1:].reshape(n_segments, seg_len, batch, -1)
+
+    carry = (x_tilde_t, logp)
+    pieces = []  # smoothed segments, collected in reverse time order
+    for s in reversed(range(n_segments)):
+        xs_seg, logws_seg = recompute_segment(
+            ssm, params, smc_cfg, cache, s, ys_seg[s], enc_seg[s]
+        )
+        # segment s holds support entries t = 1+sL .. sL+L; the reverse sweep
+        # consumes t <= T-2, so the last segment drops its final entry (that
+        # time step is the anchor). Support t pairs with ys[t] and cat_keys[t]
+        # (cat_keys[0] is reserved for the final t=0 step below).
+        lo = 1 + s * seg_len
+        hi = min(s * seg_len + seg_len, t_steps - 2)
+        n_sup = hi - lo + 1
+        xs_sup, logw_sup = xs_seg[:n_sup], logws_seg[:n_sup]
+        ys_sup = ys_tm[lo : hi + 1]
+        keys_sup = cat_keys[lo : hi + 1]
+        carry, xs_rev = jax.lax.scan(
+            body, carry, (xs_sup, logw_sup, ys_sup, keys_sup), reverse=True
+        )
+        pieces.append(xs_rev)
+
+    # final reverse step: support t = 0 (the initial particles)
+    carry, x0_tilde = body(carry, (cache.x0, cache.alpha0, ys_tm[0], cat_keys[0]))
+    x_first, logp = carry
+    logp = logp + ssm.prior_log_prob(params, x_first)
+
+    x_tilde = jnp.concatenate(
+        [x0_tilde[None], *reversed(pieces), x_tilde_t[None]], axis=0
+    )
+    return x_tilde, logp
+
+
 def make_objective(ssm: SSM, cfg: Config):
     """Return objective_fn(params, key, ys, encoder_inputs=None) -> ObjectiveOutput."""
     smc_cfg = cfg.smc
     if smc_cfg.objective == "iwae":
         smc_cfg = dataclasses.replace(smc_cfg, resampling="none")
-    needs_cache = smc_cfg.objective in ("svo", "psvo")
+    segmented = smc_cfg.objective == "psvo" and smc_cfg.ffbsi_segments > 1
+    needs_cache = smc_cfg.objective in ("svo", "psvo") and not segmented
     m = smc_cfg.n_smoothing_particles
 
     def objective(params, key, ys, encoder_inputs=None) -> ObjectiveOutput:
         # q_uses_true_X debug flag (SURVEY.md §5 flag table): the caller passes
         # the true latents as encoder_inputs; here we only assert intent.
         k_fwd, k_bwd = jax.random.split(key)
-        fwd = forward_filter(
-            ssm,
-            params,
-            k_fwd,
-            ys,
-            smc_cfg,
-            cache=needs_cache,
-            encoder_inputs=encoder_inputs,
-        )
+        seg_cache = None
+        if segmented:
+            from psvo_tpu.smc import forward_filter_segmented
+
+            fwd, seg_cache = forward_filter_segmented(
+                ssm,
+                params,
+                k_fwd,
+                ys,
+                smc_cfg,
+                smc_cfg.ffbsi_segments,
+                encoder_inputs=encoder_inputs,
+            )
+        else:
+            fwd = forward_filter(
+                ssm,
+                params,
+                k_fwd,
+                ys,
+                smc_cfg,
+                cache=needs_cache,
+                encoder_inputs=encoder_inputs,
+            )
         metrics = {
             "log_z_fwd": jnp.mean(fwd.log_z),
             "ess_mean": jnp.mean(fwd.ess),
@@ -227,7 +304,19 @@ def make_objective(ssm: SSM, cfg: Config):
             return ObjectiveOutput(loss, elbo, metrics, x_tilde, fwd)
 
         if smc_cfg.objective == "psvo":
-            x_tilde, logp_joint = _ffbsi_backward(ssm, params, k_bwd, ys_tm, fwd, m)
+            if segmented:
+                enc_tm = (
+                    jnp.swapaxes(encoder_inputs, 0, 1)
+                    if encoder_inputs is not None
+                    else ys_tm
+                )
+                x_tilde, logp_joint = _ffbsi_backward_segmented(
+                    ssm, params, k_bwd, ys_tm, enc_tm, fwd, seg_cache, m, smc_cfg
+                )
+            else:
+                x_tilde, logp_joint = _ffbsi_backward(
+                    ssm, params, k_bwd, ys_tm, fwd, m
+                )
             elbo = fwd.log_z  # exact value after Rao-Blackwell cancellation
             em_term = jnp.mean(logp_joint)
             # zero-valued surrogate carrying the smoothed-path model gradient

@@ -68,66 +68,38 @@ class FilterResult:
     logws: Optional[jax.Array] = None  # [T, B, K]
 
 
-def forward_filter(
-    ssm: SSM,
-    params,
-    key: jax.Array,
-    ys: jax.Array,
-    cfg: SMCConfig,
-    *,
-    cache: bool = False,
-    encoder_inputs: Optional[jax.Array] = None,
-) -> FilterResult:
-    """Run the forward SMC pass on observations ys [B, T, Dy].
-
-    encoder_inputs optionally replaces what the encoder proposal q2 sees per
-    step (the reference's `q_uses_true_X` debug flag feeds true latents).
-    """
-    batch, t_steps, _ = ys.shape
-    k = cfg.n_particles
-    resample_on = cfg.resampling != "none"
-
-    ys_tm = jnp.swapaxes(ys, 0, 1)  # [T, B, Dy] time-major for scan
-    enc_tm = (
-        jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
-    )
-
-    # ---- Bulk RNG: one threefry call per stream for ALL T steps. The scan is
-    # latency-bound on TPU, so per-step key splits + sample chains dominate;
-    # hoisting them out cuts per-timestep kernel count sharply.
-    k0, k_prop, k_res = jax.random.split(key, 3)
-    eps0 = jax.random.normal(k0, (batch, k, ssm.dx))
-    eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, k, ssm.dx))
-    if resample_on:
-        # [T-1, B, K] quantile positions, sorted along K, built in one shot —
-        # per-step position math (1-D iota / sort inside the scan) measured
-        # ~1 ms/step on v5e, several times the entire resampling kernel.
-        u_scan = resampling.bulk_positions(k_res, t_steps - 1, batch, k, cfg.resampling)
-    else:
-        u_scan = jnp.zeros((t_steps - 1, batch, 1))  # unused placeholder
-
-    # ---- t = 0: propose from q0(x_0 | y_0), weight against the learned prior.
-    mean0, scale0 = ssm.propose_initial(params, enc_tm[0])  # [B, Dx]
+def _init_t0(ssm: SSM, params, eps0, y0, enc0):
+    """t=0: propose x0 ~ q0(·|y0) (reparameterized with eps0), weight against
+    the learned prior: α0 = log p(x0) + log g(y0|x0) − log q0(x0)."""
+    batch = y0.shape[0]
+    k = eps0.shape[1]
+    mean0, scale0 = ssm.propose_initial(params, enc0)  # [B, Dx]
     x0 = constrain(mean0[:, None, :] + scale0[:, None, :] * eps0)  # [B, K, Dx]
     mean0 = jnp.broadcast_to(mean0[:, None, :], (batch, k, ssm.dx))
     scale0 = jnp.broadcast_to(scale0[:, None, :], (batch, k, ssm.dx))
-    log_g0 = ssm.emission_log_prob(params, x0, ys_tm[0][:, None, :])
+    log_g0 = ssm.emission_log_prob(params, x0, y0[:, None, :])
     if ssm.use_bootstrap:
-        # proposal == prior: densities cancel in α_0.
-        alpha0 = log_g0
+        alpha0 = log_g0  # proposal == prior: densities cancel
     else:
         alpha0 = (
             ssm.prior_log_prob(params, x0)
             + log_g0
             - mvn_diag_log_prob(x0, mean0, scale0)
         )
-    logw = alpha0  # [B, K]
-    ell0 = _lse(logw) - jnp.log(float(k))  # [B]
+    return x0, alpha0
 
-    # ---- t = 1 .. T-1 scan
+
+def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
+    """One filtering step t: (maybe) resample → propose → weight.
+
+    carry (x [B,K,Dx], logw [B,K]); inputs (y_t, enc_t, eps_t, u_t);
+    emits (x_new, logw_new, ell, ess).
+    """
+    resample_on = cfg.resampling != "none"
+
     def body(carry, inputs):
         x, logw = carry
-        y_t, enc_t, eps_t, u_t = inputs  # [B, Dy], [B, Dy], [B, K, Dx], [B(,K)]
+        y_t, enc_t, eps_t, u_t = inputs  # [B, Dy], [B, Dy], [B, K, Dx], [B, K]
 
         if resample_on:
             x, logw, _, ess = resampling.maybe_resample(
@@ -170,6 +142,65 @@ def forward_filter(
         out = (x_new, logw_new, ell, ess)
         return (x_new, logw_new), out
 
+    return body
+
+
+def _segment_randomness(ssm: SSM, cfg: SMCConfig, k_prop_seg, k_res_seg, length, batch, k):
+    """Per-segment bulk RNG (proposal normals + resampling positions)."""
+    eps = jax.random.normal(k_prop_seg, (length, batch, k, ssm.dx))
+    if cfg.resampling != "none":
+        u = resampling.bulk_positions(k_res_seg, length, batch, k, cfg.resampling)
+    else:
+        u = jnp.zeros((length, batch, 1))
+    return eps, u
+
+
+def forward_filter(
+    ssm: SSM,
+    params,
+    key: jax.Array,
+    ys: jax.Array,
+    cfg: SMCConfig,
+    *,
+    cache: bool = False,
+    encoder_inputs: Optional[jax.Array] = None,
+) -> FilterResult:
+    """Run the forward SMC pass on observations ys [B, T, Dy].
+
+    encoder_inputs optionally replaces what the encoder proposal q2 sees per
+    step (the reference's `q_uses_true_X` debug flag feeds true latents).
+    """
+    batch, t_steps, _ = ys.shape
+    k = cfg.n_particles
+    resample_on = cfg.resampling != "none"
+
+    ys_tm = jnp.swapaxes(ys, 0, 1)  # [T, B, Dy] time-major for scan
+    enc_tm = (
+        jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
+    )
+
+    # ---- Bulk RNG: one threefry call per stream for ALL T steps. The scan is
+    # latency-bound on TPU, so per-step key splits + sample chains dominate;
+    # hoisting them out cuts per-timestep kernel count sharply.
+    k0, k_prop, k_res = jax.random.split(key, 3)
+    eps0 = jax.random.normal(k0, (batch, k, ssm.dx))
+    eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, k, ssm.dx))
+    if resample_on:
+        # [T-1, B, K] quantile positions, sorted along K, built in one shot —
+        # per-step position math (1-D iota / sort inside the scan) measured
+        # ~1 ms/step on v5e, several times the entire resampling kernel.
+        u_scan = resampling.bulk_positions(k_res, t_steps - 1, batch, k, cfg.resampling)
+    else:
+        u_scan = jnp.zeros((t_steps - 1, batch, 1))  # unused placeholder
+
+    # ---- t = 0: propose from q0(x_0 | y_0), weight against the learned prior.
+    x0, alpha0 = _init_t0(ssm, params, eps0, ys_tm[0], enc_tm[0])
+    logw = alpha0  # [B, K]
+    ell0 = _lse(logw) - jnp.log(float(k))  # [B]
+
+    # ---- t = 1 .. T-1 scan
+    body = _make_step_body(ssm, params, cfg)
+
     carry0 = (x0, logw)
     scan_body = (
         jax.checkpoint(
@@ -203,3 +234,133 @@ def forward_filter(
         xs=xs,
         logws=logws,
     )
+
+
+# ---------------------------------------------------------------------------
+# Segmented filtering: the long-sequence story (SURVEY.md §5).
+#
+# PSVO's FFBSi needs the whole forward history (xs, logws) — O(T·B·K·Dx) HBM.
+# For long T, cache only the scan carries at segment boundaries and recompute
+# each segment's interior during the backward sweep (same keys → bit-identical
+# particles). Memory: O((T/L)·B·K·Dx) persistent + O(L·B·K·Dx) transient.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SegmentedCache:
+    """Everything needed to reproduce any forward segment exactly."""
+
+    x0: jax.Array  # [B, K, Dx] initial particles
+    alpha0: jax.Array  # [B, K] t=0 log-weights
+    seg_x: jax.Array  # [S, B, K, Dx] carry entering each segment
+    seg_logw: jax.Array  # [S, B, K]
+    k_prop_segs: jax.Array  # [S] keys for per-segment proposal noise
+    k_res_segs: jax.Array  # [S] keys for per-segment resampling positions
+
+
+def forward_filter_segmented(
+    ssm: SSM,
+    params,
+    key: jax.Array,
+    ys: jax.Array,
+    cfg: SMCConfig,
+    n_segments: int,
+    *,
+    encoder_inputs: Optional[jax.Array] = None,
+) -> tuple[FilterResult, SegmentedCache]:
+    """Forward pass that stores segment-boundary carries instead of the full
+    per-step cache. Requires (T-1) % n_segments == 0."""
+    batch, t_steps, _ = ys.shape
+    k = cfg.n_particles
+    if (t_steps - 1) % n_segments:
+        raise ValueError(f"T-1={t_steps-1} not divisible by {n_segments} segments")
+    seg_len = (t_steps - 1) // n_segments
+
+    ys_tm = jnp.swapaxes(ys, 0, 1)
+    enc_tm = (
+        jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
+    )
+
+    k0, k_prop, k_res = jax.random.split(key, 3)
+    eps0 = jax.random.normal(k0, (batch, k, ssm.dx))
+    k_prop_segs = jax.random.split(k_prop, n_segments)
+    k_res_segs = jax.random.split(k_res, n_segments)
+
+    x0, alpha0 = _init_t0(ssm, params, eps0, ys_tm[0], enc_tm[0])
+    ell0 = _lse(alpha0) - jnp.log(float(k))
+
+    body = _make_step_body(ssm, params, cfg)
+    inner_body = (
+        jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("resampled_x"),
+        )
+        if cfg.remat
+        else body
+    )
+
+    # [S, L, B, ...] views of the per-step inputs
+    ys_seg = ys_tm[1:].reshape(n_segments, seg_len, batch, -1)
+    enc_seg = enc_tm[1:].reshape(n_segments, seg_len, batch, -1)
+
+    def outer(carry, inputs):
+        x, logw = carry
+        ys_s, enc_s, kp, kr = inputs
+        eps, u = _segment_randomness(ssm, cfg, kp, kr, seg_len, batch, k)
+        (x_out, logw_out), (_, _, ells, esss) = jax.lax.scan(
+            inner_body, (x, logw), (ys_s, enc_s, eps, u)
+        )
+        return (x_out, logw_out), (x, logw, ells, esss)
+
+    (x_last, logw_last), (seg_x, seg_logw, ells, esss) = jax.lax.scan(
+        outer, (x0, alpha0), (ys_seg, enc_seg, k_prop_segs, k_res_segs)
+    )
+
+    increments = jnp.concatenate([ell0[None], ells.reshape(-1, batch)], axis=0)
+    ess_all = jnp.concatenate(
+        [effective_sample_size(alpha0, axis=-1)[None], esss.reshape(-1, batch)],
+        axis=0,
+    )
+    result = FilterResult(
+        log_z=jnp.sum(increments, axis=0),
+        increments=increments,
+        ess=ess_all,
+        x_last=x_last,
+        logw_last=logw_last,
+    )
+    cache = SegmentedCache(
+        x0=x0,
+        alpha0=alpha0,
+        seg_x=seg_x,
+        seg_logw=seg_logw,
+        k_prop_segs=k_prop_segs,
+        k_res_segs=k_res_segs,
+    )
+    return result, cache
+
+
+def recompute_segment(
+    ssm: SSM,
+    params,
+    cfg: SMCConfig,
+    cache: SegmentedCache,
+    s: int,
+    ys_seg_s: jax.Array,
+    enc_seg_s: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Re-run forward segment `s` (static index) from its stored carry.
+
+    Returns (xs [L,B,K,Dx], logws [L,B,K]) — the cache entries for
+    t in [1 + s·L, s·L + L], bit-identical to the original forward pass
+    (same keys, same kernels)."""
+    seg_len, batch = ys_seg_s.shape[0], ys_seg_s.shape[1]
+    k = cfg.n_particles
+    eps, u = _segment_randomness(
+        ssm, cfg, cache.k_prop_segs[s], cache.k_res_segs[s], seg_len, batch, k
+    )
+    body = _make_step_body(ssm, params, cfg)
+    _, (xs, logws, _, _) = jax.lax.scan(
+        body, (cache.seg_x[s], cache.seg_logw[s]), (ys_seg_s, enc_seg_s, eps, u)
+    )
+    return xs, logws

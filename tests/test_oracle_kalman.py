@@ -116,6 +116,51 @@ def test_ffbsi_smoothed_means_match_rts(lgssm):
     assert rmse < 0.12, rmse
 
 
+def test_segmented_psvo_matches_kalman_and_rts(lgssm):
+    """Long-T path: segmented FFBSi (boundary carries + in-backward segment
+    recompute) must hit the same oracles as the full-cache version. T-1=19
+    isn't divisible, so run on a T=21 prefix wouldn't match the fixture —
+    regenerate a T=25 dataset (24 = 4 segments × 6 steps)."""
+    import dataclasses
+
+    p = helpers.default_lgssm()
+    rng = np.random.default_rng(7)
+    t = 25
+    xs, ys = helpers.simulate_lgssm(rng, t_steps=t, batch=3, **p)
+    q = p["q_scale"] ** 2 * np.eye(2)
+    r = p["r_scale"] ** 2 * np.eye(2)
+    s0 = p["s0_scale"] ** 2 * np.eye(2)
+    kf = np.array(
+        [kalman_filter(ys[b], p["a"], p["c"], q, r, p["mu0"], s0)[0] for b in range(3)]
+    )
+    rts = np.stack(
+        [rts_smoother(ys[b], p["a"], p["c"], q, r, p["mu0"], s0)[0] for b in range(3)]
+    )
+
+    cfg, ssm, params = helpers.lgssm_setup(
+        objective="psvo", n_particles=2048, n_smoothing=64, t_steps=t, **p
+    )
+    cfg = dataclasses.replace(
+        cfg, smc=dataclasses.replace(cfg.smc, ffbsi_segments=4)
+    )
+    obj = make_objective(ssm, cfg)
+    outs = [jax.jit(obj)(params, jax.random.key(s), jnp.asarray(ys)) for s in range(3)]
+
+    elbo = np.mean([np.asarray(o.elbo) for o in outs], axis=0)
+    assert np.all(np.abs(elbo - kf) < 0.7), elbo - kf
+
+    sm = np.mean([np.asarray(o.smoothed) for o in outs], axis=(0, 3))
+    sm = np.swapaxes(sm, 0, 1)  # [B, T, Dx]
+    assert sm.shape == rts.shape
+    rmse = np.sqrt(np.mean((sm - rts) ** 2))
+    assert rmse < 0.12, rmse
+
+    # gradients flow through the segmented path
+    g = jax.grad(lambda pp: obj(pp, jax.random.key(0), jnp.asarray(ys)).loss)(params)
+    gn = sum(float(jnp.sum(jnp.abs(a))) for a in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+
+
 def test_svo_is_a_lower_bound(lgssm):
     """With an untrained backward proposal SVO is loose but must stay a bound."""
     out = _run(lgssm, "svo", 1024, m=32)
