@@ -290,6 +290,11 @@ def make_objective(ssm: SSM, cfg: Config):
         if smc_cfg.objective in ("iwae", "fivo"):
             elbo = fwd.log_z
             loss = -jnp.mean(elbo)
+            if fwd.score_surrogate is not None:
+                # full FIVO gradient: REINFORCE term for the resampling
+                # distribution (use_stop_gradient=False); zero value.
+                sur = jnp.mean(fwd.score_surrogate)
+                loss = loss - (sur - jax.lax.stop_gradient(sur))
             return ObjectiveOutput(loss, elbo, metrics, filter_result=fwd)
 
         ys_tm = jnp.swapaxes(ys, 0, 1)  # [T, B, Dy]

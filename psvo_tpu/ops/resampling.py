@@ -146,7 +146,9 @@ def maybe_resample(
 
     `u` is the step's pre-generated [B, K] quantile positions — see
     `bulk_positions` (positions for ALL steps are built outside the scan).
-    Returns (x_out [B,K,D], logw_out [B,K], did_resample [B] bool, ess [B]).
+    Returns (x_out [B,K,D], logw_out [B,K], did_resample [B] bool, ess [B],
+    idx [B,K] the ancestor indices — consumed by the score-function gradient
+    term when `use_stop_gradient=False`).
     Resampling happens per batch row where ESS/K < ess_threshold (the
     reference resamples unconditionally, i.e. threshold=1.0). Both branches
     are computed and selected with `where` — static shapes, no `cond` — which
@@ -168,7 +170,7 @@ def maybe_resample(
         # overflows VMEM at R=8 (lane-padded [R,K,D] buffers) and Mosaic
         # rejects R<8 blocks for the 2-D refs; a [B,D,K] transposed-layout
         # variant is the planned fix (64× smaller buffers).
-        _, x_res = pallas_resample.resample_and_gather(u, logw, x)
+        idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
     else:
         logw_norm, _ = log_normalize(logw, axis=-1)
         cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
@@ -180,4 +182,4 @@ def maybe_resample(
         x_res = gather_particles(x, idx)
     x_out = jnp.where(do[:, None, None], x_res, x)
     logw_out = jnp.where(do[:, None], jnp.zeros_like(logw), logw)
-    return x_out, logw_out, do, ess
+    return x_out, logw_out, do, ess, idx

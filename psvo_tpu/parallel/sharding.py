@@ -59,7 +59,18 @@ def make_sharded_train_step(ssm, cfg: Config, optimizer, mesh: Mesh):
     forward+backward program. Params/opt-state replicate; the gradient
     all-reduce over "data"×"particle" is emitted by XLA.
     """
+    from psvo_tpu.models.ssm import SSM
     from psvo_tpu.train import make_train_step
+
+    if mesh.devices.size > 1 and (cfg.use_pallas_mlp or cfg.use_pallas_resample):
+        # GSPMD cannot partition Pallas custom-calls across a sharded axis;
+        # the jnp paths partition cleanly (psum/all-gather inserted by XLA).
+        # Sharded Pallas via shard_map (per-shard kernels + ppermute exchange)
+        # is future work — see docs/PARITY.md.
+        cfg = dataclasses.replace(
+            cfg, use_pallas_mlp=False, use_pallas_resample=False
+        )
+        ssm = SSM(cfg)
 
     context.set_mesh(mesh)
     step = make_train_step(ssm, cfg, optimizer)  # jitted inside

@@ -37,7 +37,11 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from psvo_tpu.config import SMCConfig
-from psvo_tpu.distributions import effective_sample_size, mvn_diag_log_prob
+from psvo_tpu.distributions import (
+    effective_sample_size,
+    log_normalize,
+    mvn_diag_log_prob,
+)
 from psvo_tpu.models.ssm import SSM
 from psvo_tpu.ops import resampling
 from psvo_tpu.parallel.context import constrain
@@ -66,6 +70,9 @@ class FilterResult:
     logw_last: jax.Array  # [B, K]
     xs: Optional[jax.Array] = None  # [T, B, K, Dx]
     logws: Optional[jax.Array] = None  # [T, B, K]
+    # zero-valued-gradient carrier for the resampling score-function term
+    # (use_stop_gradient=False, the full FIVO gradient); None when disabled.
+    score_surrogate: Optional[jax.Array] = None  # [B]
 
 
 def _init_t0(ssm: SSM, params, eps0, y0, enc0):
@@ -101,8 +108,10 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
         x, logw = carry
         y_t, enc_t, eps_t, u_t = inputs  # [B, Dy], [B, Dy], [B, K, Dx], [B, K]
 
+        score = jnp.zeros(logw.shape[0])
         if resample_on:
-            x, logw, _, ess = resampling.maybe_resample(
+            logw_pre = logw
+            x, logw, did, ess, idx = resampling.maybe_resample(
                 u_t,
                 logw,
                 x,
@@ -110,6 +119,15 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
                 ess_threshold=cfg.ess_threshold,
                 use_pallas=ssm.use_pallas_resample,
             )
+            if not cfg.use_stop_gradient:
+                # Score-function term for the resampling distribution (the
+                # full FIVO gradient, Maddison et al. 2017): the categorical
+                # log-prob of the chosen ancestors, Σ_k log Ŵ_t[a_k],
+                # differentiable through the normalized weights. Zero where
+                # the ESS test skipped resampling.
+                logw_norm, _ = log_normalize(logw_pre, axis=-1)
+                picked = jnp.take_along_axis(logw_norm, idx, axis=-1)  # [B, K]
+                score = jnp.where(did, jnp.sum(picked, axis=-1), 0.0)
             # Named remat residual: the rematerialized backward would
             # otherwise re-run the whole resample kernel just to rebuild this
             # tensor; saving it costs the same memory as the scan carry.
@@ -139,7 +157,7 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
         logw_new = constrain(logw + alpha)
         ell = _lse(logw_new) - _lse(logw)  # [B] logZ increment
 
-        out = (x_new, logw_new, ell, ess)
+        out = (x_new, logw_new, ell, ess, score)
         return (x_new, logw_new), out
 
     return body
@@ -210,7 +228,7 @@ def forward_filter(
         if cfg.remat
         else body
     )
-    (x_last, logw_last), (xs_scan, logws_scan, ells, esss) = jax.lax.scan(
+    (x_last, logw_last), (xs_scan, logws_scan, ells, esss, scores) = jax.lax.scan(
         scan_body, carry0, (ys_tm[1:], enc_tm[1:], eps_scan, u_scan)
     )
 
@@ -233,7 +251,21 @@ def forward_filter(
         logw_last=logw_last,
         xs=xs,
         logws=logws,
+        score_surrogate=(
+            None if cfg.use_stop_gradient else _score_surrogate(ells, scores)
+        ),
     )
+
+
+def _score_surrogate(ells: jax.Array, scores: jax.Array) -> jax.Array:
+    """Σ_t stopgrad(Σ_{s>=t} ℓ_s) · score_t — the REINFORCE term for the
+    resampling distribution in the full FIVO gradient (Maddison et al. 2017):
+    the return-to-go from step t (the resampling at t influences every later
+    increment including its own step's) weights the categorical log-prob of
+    the chosen ancestors. Value is meaningless; callers add
+    (surrogate − stopgrad(surrogate)) to the loss so only the gradient acts."""
+    future = jnp.cumsum(ells[::-1], axis=0)[::-1]  # [T-1, B] inclusive tail-sum
+    return jnp.sum(jax.lax.stop_gradient(future) * scores, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -308,12 +340,12 @@ def forward_filter_segmented(
         x, logw = carry
         ys_s, enc_s, kp, kr = inputs
         eps, u = _segment_randomness(ssm, cfg, kp, kr, seg_len, batch, k)
-        (x_out, logw_out), (_, _, ells, esss) = jax.lax.scan(
+        (x_out, logw_out), (_, _, ells, esss, scores) = jax.lax.scan(
             inner_body, (x, logw), (ys_s, enc_s, eps, u)
         )
-        return (x_out, logw_out), (x, logw, ells, esss)
+        return (x_out, logw_out), (x, logw, ells, esss, scores)
 
-    (x_last, logw_last), (seg_x, seg_logw, ells, esss) = jax.lax.scan(
+    (x_last, logw_last), (seg_x, seg_logw, ells, esss, scores) = jax.lax.scan(
         outer, (x0, alpha0), (ys_seg, enc_seg, k_prop_segs, k_res_segs)
     )
 
@@ -328,6 +360,13 @@ def forward_filter_segmented(
         ess=ess_all,
         x_last=x_last,
         logw_last=logw_last,
+        score_surrogate=(
+            None
+            if cfg.use_stop_gradient
+            else _score_surrogate(
+                ells.reshape(-1, batch), scores.reshape(-1, batch)
+            )
+        ),
     )
     cache = SegmentedCache(
         x0=x0,
@@ -360,7 +399,12 @@ def recompute_segment(
         ssm, cfg, cache.k_prop_segs[s], cache.k_res_segs[s], seg_len, batch, k
     )
     body = _make_step_body(ssm, params, cfg)
-    _, (xs, logws, _, _) = jax.lax.scan(
+    if cfg.remat:
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("resampled_x"),
+        )
+    _, (xs, logws, _, _, _) = jax.lax.scan(
         body, (cache.seg_x[s], cache.seg_logw[s]), (ys_seg_s, enc_seg_s, eps, u)
     )
     return xs, logws

@@ -83,7 +83,7 @@ def test_maybe_resample_threshold_behavior():
 
     u_raw = jax.random.uniform(jax.random.key(0), (b,))
     u = resampling.quantile_positions_from_raw(u_raw, k, "systematic")
-    x_out, logw_out, did, ess = resampling.maybe_resample(
+    x_out, logw_out, did, ess, _ = resampling.maybe_resample(
         u, logw, x, method="systematic", ess_threshold=0.5
     )
     assert not bool(did[0]) and bool(did[1])

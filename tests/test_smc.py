@@ -99,6 +99,39 @@ def test_grad_reverse_matches_forward_mode():
         )
 
 
+def test_score_function_gradient_path():
+    """use_stop_gradient=False adds the REINFORCE resampling term: loss value
+    must be unchanged, gradients must differ from the stop-gradient run."""
+    cfg, ssm, params, ys = _setup(objective="fivo")
+    cfg_sf = dataclasses.replace(
+        cfg, smc=dataclasses.replace(cfg.smc, use_stop_gradient=False)
+    )
+    ssm_sf, _ = init_ssm(cfg_sf, jax.random.key(0))
+    key = jax.random.key(5)
+
+    obj = make_objective(ssm, cfg)
+    obj_sf = make_objective(ssm_sf, cfg_sf)
+    out = obj(params, key, ys)
+    out_sf = obj_sf(params, key, ys)
+    np.testing.assert_allclose(
+        float(out.loss), float(out_sf.loss), rtol=1e-6
+    )  # surrogate is zero-valued
+
+    g = jax.grad(lambda p: obj(p, key, ys).loss)(params)
+    g_sf = jax.grad(lambda p: obj_sf(p, key, ys).loss)(params)
+    diff = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_sf))
+    )
+    assert diff > 1e-6  # the score term actually contributes
+    # and both remain vjp/jvp-consistent
+    for o, c, s in ((obj, cfg, ssm), (obj_sf, cfg_sf, ssm_sf)):
+        gs = jax.grad(lambda p: o(p, key, ys).loss)(params)
+        assert all(
+            np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(gs)
+        )
+
+
 def test_bootstrap_mode_runs():
     cfg = _tiny_cfg()
     cfg = dataclasses.replace(cfg, smc=dataclasses.replace(cfg.smc, use_bootstrap=True))
