@@ -49,11 +49,11 @@ def apply_overrides(cfg: Config, sets: list[str]) -> Config:
     return from_dict(d)
 
 
-def build(cfg: Config):
-    from psvo_tpu.data import generate_dataset
+def build(cfg: Config, data_npz: str | None = None):
+    from psvo_tpu.data import generate_dataset, load_dataset
     from psvo_tpu.models.ssm import init_ssm
 
-    dataset = generate_dataset(cfg.data, cfg.seed)
+    dataset = load_dataset(data_npz) if data_npz else generate_dataset(cfg.data, cfg.seed)
     ssm, params = init_ssm(cfg, jax.random.key(cfg.seed))
     return dataset, ssm, params
 
@@ -88,7 +88,7 @@ def cmd_train(args) -> int:
         )
     print(f"config: {cfg.name} (hash {cfg.config_hash()})", flush=True)
 
-    dataset, ssm, params = build(cfg)
+    dataset, ssm, params = build(cfg, args.data_npz)
     from psvo_tpu.train import Trainer
     from psvo_tpu.utils.checkpoint import Checkpointer
     from psvo_tpu.utils.metrics import MetricsWriter
@@ -144,6 +144,18 @@ def cmd_bench(args) -> int:
     return bench.main(preset_name=args.preset, steps=args.bench_steps)
 
 
+def cmd_data(args) -> int:
+    """Generate a dataset from a preset's data config and save it as .npz."""
+    from psvo_tpu.data import generate_dataset, save_dataset
+
+    cfg = apply_overrides(preset(args.preset), args.set or [])
+    ds = generate_dataset(cfg.data, cfg.seed)
+    save_dataset(ds, args.out)
+    print(f"saved {cfg.data.datatype} dataset ({cfg.data.n_train}+{cfg.data.n_test} "
+          f"trajectories, T={cfg.data.t_steps}) to {args.out}")
+    return 0
+
+
 def cmd_presets(_args) -> int:
     for name, cfg in PRESETS.items():
         print(
@@ -183,6 +195,16 @@ def main(argv=None) -> int:
     p_bench.add_argument("--preset", default="fhn_fivo_k1024_bench")
     p_bench.add_argument("--bench-steps", type=int, default=30)
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_train.add_argument(
+        "--data-npz", default=None, help="load a saved dataset instead of simulating"
+    )
+
+    p_data = sub.add_parser("data", help="generate + save a dataset (.npz)")
+    p_data.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    p_data.add_argument("--set", action="append", metavar="KEY=VALUE")
+    p_data.add_argument("--out", required=True)
+    p_data.set_defaults(fn=cmd_data)
 
     p_presets = sub.add_parser("presets")
     p_presets.set_defaults(fn=cmd_presets)

@@ -159,13 +159,13 @@ class Config:
     def resume_hash(self) -> str:
         """Hash of everything that must match for a checkpoint to be loadable.
 
-        Run-control knobs (total steps, eval/save cadence, patience) may
-        legitimately change across resumes — e.g. `--steps 250` continuing a
-        200-step run — so they are excluded; model/data/objective/optimizer
-        structure is not.
+        Run-control knobs (total steps, eval/save cadence, patience, batch
+        size, learning rate) may legitimately change across resumes — e.g.
+        `--steps 250` continuing a 200-step run, or an lr drop — so they are
+        excluded; anything shaping params/optimizer-state structure is not.
         """
         d = self.to_dict()
-        for k in ("n_steps", "eval_every", "save_every", "patience"):
+        for k in ("n_steps", "eval_every", "save_every", "patience", "batch_size", "lr"):
             d["train"].pop(k, None)
         blob = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:12]

@@ -106,3 +106,22 @@ def generate_dataset(cfg: DataConfig, seed: int) -> Dataset:
         hidden_test=hidden[cfg.n_train :],
         emission_matrix=c_emit,
     )
+
+
+# --- dataset persistence (reference parity: loading pre-generated datasets
+# from data/, SURVEY.md §2-A L6c) -------------------------------------------
+
+_FIELDS = ("obs_train", "obs_test", "hidden_train", "hidden_test", "emission_matrix")
+
+
+def save_dataset(ds: Dataset, path) -> None:
+    import numpy as np
+
+    np.savez_compressed(path, **{f: np.asarray(getattr(ds, f)) for f in _FIELDS})
+
+
+def load_dataset(path) -> Dataset:
+    import numpy as np
+
+    with np.load(path) as z:
+        return Dataset(**{f: jnp.asarray(z[f]) for f in _FIELDS})

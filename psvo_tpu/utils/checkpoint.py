@@ -47,8 +47,10 @@ class Checkpointer:
         self.manager.wait_until_finished()
         self._last_saved = state.step
 
-    def restore(self, state) -> Optional[object]:
-        """Restore into a template TrainState; returns None if no checkpoint."""
+    def restore(self, state, strict: bool = True) -> Optional[object]:
+        """Restore into a template TrainState; returns None if no checkpoint.
+
+        strict=False skips the config-hash check (tooling/inspection only)."""
         step = self.manager.latest_step()
         if step is None:
             return None
@@ -65,7 +67,7 @@ class Checkpointer:
         }
         restored = self.manager.restore(step, args=ocp.args.StandardRestore(template))
         saved_hash = bytes(np.asarray(restored["config_hash"])).rstrip().decode()
-        if saved_hash != self.config_hash:
+        if strict and saved_hash != self.config_hash:
             raise ValueError(
                 f"checkpoint config hash {saved_hash!r} != current {self.config_hash!r}"
             )

@@ -49,14 +49,32 @@ def plot_r2(history: list[dict], path: Path) -> Path:
     return path
 
 
+def _align(inferred: np.ndarray, true: np.ndarray) -> np.ndarray:
+    """Least-squares linear alignment of inferred latents onto the true frame.
+
+    A learned SSM identifies its latent space only up to an invertible linear
+    map (the emission MLP absorbs it), so the raw inferred coordinates are an
+    arbitrary reparameterization; fitting x_true ≈ x_inf A + b over all
+    plotted trajectories makes the overlay meaningful, exactly like the
+    reference's recovered-vs-true portraits. The plot label notes the
+    alignment."""
+    n, t, d = inferred.shape
+    xi = np.concatenate([inferred.reshape(-1, d), np.ones((n * t, 1))], axis=1)
+    coef, *_ = np.linalg.lstsq(xi, true.reshape(-1, d), rcond=None)
+    return (xi @ coef).reshape(n, t, d)
+
+
 def plot_phase_portrait_2d(hidden_true, inferred, path: Path, n_show: int = 4) -> Path:
     """FHN-style phase portrait: true vs inferred 2-D latent paths."""
     true = np.asarray(hidden_true)[:n_show]
-    inf = np.asarray(inferred)[:n_show]
+    inf = _align(np.asarray(inferred)[:n_show], true)
     fig, axes = plt.subplots(1, n_show, figsize=(4 * n_show, 4), squeeze=False)
     for i, ax in enumerate(axes[0]):
         ax.plot(true[i, :, 0], true[i, :, 1], "k-", lw=1.5, label="true")
-        ax.plot(inf[i, :, 0], inf[i, :, 1], "r--", lw=1.2, label="inferred")
+        ax.plot(
+            inf[i, :, 0], inf[i, :, 1], "r--", lw=1.2,
+            label="inferred (linearly aligned)",
+        )
         ax.set_xlabel("$x_1$")
         ax.set_ylabel("$x_2$")
         if i == 0:
@@ -70,12 +88,12 @@ def plot_phase_portrait_2d(hidden_true, inferred, path: Path, n_show: int = 4) -
 def plot_trajectories_3d(hidden_true, inferred, path: Path, n_show: int = 2) -> Path:
     """Lorenz-style 3-D trajectory plot: true vs inferred latent paths."""
     true = np.asarray(hidden_true)[:n_show]
-    inf = np.asarray(inferred)[:n_show]
+    inf = _align(np.asarray(inferred)[:n_show], true)
     fig = plt.figure(figsize=(6 * n_show, 5))
     for i in range(n_show):
         ax = fig.add_subplot(1, n_show, i + 1, projection="3d")
         ax.plot(*true[i].T[:3], "k-", lw=1.0, label="true")
-        ax.plot(*inf[i].T[:3], "r--", lw=1.0, label="inferred")
+        ax.plot(*inf[i].T[:3], "r--", lw=1.0, label="inferred (linearly aligned)")
         if i == 0:
             ax.legend()
     fig.tight_layout()

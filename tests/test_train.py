@@ -126,6 +126,20 @@ def test_data_generation_properties():
     assert not np.allclose(np.asarray(ds.obs_train), np.asarray(ds3.obs_train))
 
 
+def test_dataset_save_load_roundtrip(tmp_path):
+    from psvo_tpu.data import load_dataset, save_dataset
+
+    cfg = DataConfig(datatype="fhn", t_steps=10, n_train=4, n_test=2)
+    ds = generate_dataset(cfg, 0)
+    p = tmp_path / "ds.npz"
+    save_dataset(ds, p)
+    ds2 = load_dataset(p)
+    np.testing.assert_array_equal(np.asarray(ds.obs_train), np.asarray(ds2.obs_train))
+    np.testing.assert_array_equal(
+        np.asarray(ds.hidden_test), np.asarray(ds2.hidden_test)
+    )
+
+
 def test_poisson_emission_pipeline():
     cfg = Config(
         name="poisson_test",
