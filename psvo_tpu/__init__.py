@@ -20,10 +20,17 @@ Reference parity map: SURVEY.md §2 inventories the reference components
 module here cites the component it covers.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from psvo_tpu import distributions
 from psvo_tpu import networks
+from psvo_tpu.data import Dataset, generate_dataset, load_dataset, save_dataset
+from psvo_tpu.smc import (
+    FilterResult,
+    forward_filter,
+    forward_filter_segmented,
+)
+from psvo_tpu.train import Trainer, make_eval_step, make_optimizer, make_train_step
 from psvo_tpu.config import (
     Config,
     DataConfig,
@@ -40,15 +47,26 @@ from psvo_tpu.objectives import make_objective
 __all__ = [
     "Config",
     "DataConfig",
+    "Dataset",
+    "FilterResult",
     "MeshConfig",
     "NetConfig",
     "PRESETS",
     "SMCConfig",
     "SSM",
     "TrainConfig",
+    "Trainer",
     "distributions",
+    "forward_filter",
+    "forward_filter_segmented",
+    "generate_dataset",
     "init_ssm",
+    "load_dataset",
+    "make_eval_step",
     "make_objective",
+    "make_optimizer",
+    "make_train_step",
     "networks",
     "preset",
+    "save_dataset",
 ]

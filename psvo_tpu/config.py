@@ -47,7 +47,11 @@ class NetConfig:
     activation: str = "relu"
     cov_type: str = "const"  # "const" | "head" | "none"
     sigma_init: float = 1.0
-    sigma_min: float = 1e-3
+    # scale floor: 1e-3 lets a single degenerate particle contribute
+    # |log-density| ~ 1e6 with gradient ~ 1e6/σ — measured gradient-norm
+    # spikes to 1e14 at K=1024. 1e-2 is far below any benchmark's true noise
+    # scale while bounding the spikes two orders lower.
+    sigma_min: float = 1e-2
 
 
 @dataclass(frozen=True)

@@ -32,9 +32,21 @@ from psvo_tpu.smc import forward_filter
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.train.clip_norm),
-        optax.adam(cfg.train.lr),
+    """Adam + global-norm clip, hardened against weight-degeneracy spikes.
+
+    When the ESS collapses early in training, a handful of particles carry
+    log-weights with |α| ~ 1e5-1e6 and occasional steps produce inf/overflow
+    gradients (measured: grad norms to 1e14 at K=1024 on FHN). Clipping alone
+    turns an inf norm into NaN params, so non-finite updates are skipped
+    entirely (`apply_if_finite`) — the estimator is untouched; a bad draw
+    just doesn't update.
+    """
+    return optax.apply_if_finite(
+        optax.chain(
+            optax.clip_by_global_norm(cfg.train.clip_norm),
+            optax.adam(cfg.train.lr),
+        ),
+        max_consecutive_errors=100,
     )
 
 
