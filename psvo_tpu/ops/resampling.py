@@ -165,11 +165,13 @@ def maybe_resample(
     if use_pallas:
         from psvo_tpu.ops import pallas_resample
 
-        # v1 (two-pass, indexed) kernel: measured 21 ms fwd / 66 ms train at
-        # K=1024 on v5e. The index-free v2 kernel exists but its backward
-        # overflows VMEM at R=8 (lane-padded [R,K,D] buffers) and Mosaic
-        # rejects R<8 blocks for the 2-D refs; a [B,D,K] transposed-layout
-        # variant is the planned fix (64× smaller buffers).
+        # Measured on v5e at B=32, K=1024: the branch-free quadratic kernel
+        # wins (66 ms/train) over both the banded tiled-merge (86 ms — the
+        # pl.when branch setup outweighs the skipped tiles) and the jnp path
+        # (82 ms fwd-only). K > 2048 falls back to histogram + XLA gather
+        # inside resample_and_gather: any whole-row-in-VMEM kernel is barred
+        # by the lane-padded [R,K,D] footprint; an HBM-resident variant with
+        # banded DMA is the path to large-K kernels (docs/PARITY.md).
         idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
     else:
         logw_norm, _ = log_normalize(logw, axis=-1)

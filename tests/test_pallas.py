@@ -9,13 +9,14 @@ import numpy as np
 import pytest
 
 from psvo_tpu import networks
-from psvo_tpu.ops import pallas_mlp, pallas_resample, resampling
+from psvo_tpu.ops import pallas_mlp, pallas_resample, pallas_resample_banded, resampling
 
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     monkeypatch.setattr(pallas_mlp, "_INTERPRET", True)
     monkeypatch.setattr(pallas_resample, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_resample_banded, "_INTERPRET", True)
 
 
 @pytest.mark.parametrize("hidden", [(), (64,), (64, 64)])
@@ -171,6 +172,64 @@ def test_fused_resample_gather_gradient_is_exact_scatter():
     glw = np.asarray(jax.grad(lambda lw: jnp.sum(
         pallas_resample.resample_and_gather(u, lw, x)[1]))(logw))
     np.testing.assert_array_equal(glw, 0.0)
+
+
+@pytest.mark.parametrize("method", ["systematic", "multinomial"])
+@pytest.mark.parametrize("k", [128, 512])
+def test_banded_kernel_matches_quadratic(method, k):
+    """The O(K) banded tiled-merge must agree with the quadratic kernel
+    exactly (same arithmetic, just predicated tile skipping)."""
+    rng = np.random.default_rng(11)
+    batch, d = 16, 3
+    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32) * 3)
+    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+    u_raw = jnp.asarray(
+        rng.uniform(size=(batch,) if method == "systematic" else (batch, k)).astype(
+            np.float32
+        )
+    )
+    u = resampling.quantile_positions_from_raw(u_raw, k, method)
+    idx_q, x_q = pallas_resample.resample_and_gather(u, logw, x)
+    idx_b, x_b = pallas_resample_banded.resample_and_gather_banded(u, logw, x)
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_q))
+    np.testing.assert_array_equal(np.asarray(x_b), np.asarray(x_q))
+
+
+def test_banded_degenerate_weights():
+    """ESS=1 corner: all mass on one particle — band is a single tile."""
+    batch, k, d = 8, 256, 2
+    logw = jnp.where(jnp.arange(k) == 137, 0.0, -200.0)[None].repeat(batch, 0)
+    x = jax.random.normal(jax.random.key(0), (batch, k, d))
+    u = resampling.quantile_positions_from_raw(
+        jax.random.uniform(jax.random.key(1), (batch,)), k, "systematic"
+    )
+    idx, x_res = pallas_resample_banded.resample_and_gather_banded(u, logw, x)
+    np.testing.assert_array_equal(np.asarray(idx), 137)
+    np.testing.assert_allclose(
+        np.asarray(x_res), np.broadcast_to(np.asarray(x[:, 137:138]), x.shape)
+    )
+
+
+def test_banded_gradient_matches_scatter():
+    rng = np.random.default_rng(12)
+    batch, k, d = 8, 256, 2
+    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+    u = resampling.quantile_positions_from_raw(
+        jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32)), k, "systematic"
+    )
+    cot = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+
+    def f(xx):
+        _, xr = pallas_resample_banded.resample_and_gather_banded(u, logw, xx)
+        return jnp.sum(xr * cot)
+
+    gx = np.asarray(jax.grad(f)(x))
+    idx = np.asarray(pallas_resample_banded.resample_and_gather_banded(u, logw, x)[0])
+    want = np.zeros_like(gx)
+    for b in range(batch):
+        np.add.at(want[b], idx[b], np.asarray(cot)[b])
+    np.testing.assert_allclose(gx, want, rtol=1e-6, atol=1e-6)
 
 
 def test_doubling_cumsum_matches_jnp():
