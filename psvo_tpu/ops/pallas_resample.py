@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from psvo_tpu.ops import resampling as jnp_resampling
 
@@ -360,6 +361,11 @@ def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
 
 def _rg_fwd(u, logw, x):
     idx, x_res = resample_and_gather(u, logw, x)
+    # Named residual: without it, jax.checkpoint re-runs this whole kernel in
+    # the backward just to rebuild idx for the scatter VJP (measured: the
+    # rematted pallas_call dominated the backward and its lane-padded scoped
+    # buffers OOM'd VMEM at B=64). idx is [B,K] i32 — cheap to save.
+    idx = _checkpoint_name(idx, "resample_idx")
     return (idx, x_res), (u, logw, idx)
 
 

@@ -223,7 +223,9 @@ def forward_filter(
     scan_body = (
         jax.checkpoint(
             body,
-            policy=jax.checkpoint_policies.save_only_these_names("resampled_x"),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "resampled_x", "resample_idx"
+            ),
         )
         if cfg.remat
         else body
@@ -326,7 +328,9 @@ def forward_filter_segmented(
     inner_body = (
         jax.checkpoint(
             body,
-            policy=jax.checkpoint_policies.save_only_these_names("resampled_x"),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "resampled_x", "resample_idx"
+            ),
         )
         if cfg.remat
         else body
@@ -402,7 +406,9 @@ def recompute_segment(
     if cfg.remat:
         body = jax.checkpoint(
             body,
-            policy=jax.checkpoint_policies.save_only_these_names("resampled_x"),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "resampled_x", "resample_idx"
+            ),
         )
     _, (xs, logws, _, _, _) = jax.lax.scan(
         body, (cache.seg_x[s], cache.seg_logw[s]), (ys_seg_s, enc_seg_s, eps, u)
