@@ -126,12 +126,10 @@ def cmd_eval(args) -> int:
     from psvo_tpu.utils.checkpoint import Checkpointer
 
     if args.checkpoint:
-        from psvo_tpu.train import make_optimizer
-
-        opt = make_optimizer(cfg)
-        state = TrainState(params, opt.init(params), jax.random.key(cfg.seed + 1))
-        Checkpointer(args.checkpoint, cfg.resume_hash()).restore(state)
-        params = state.params
+        restored = Checkpointer(args.checkpoint, cfg.resume_hash()).restore_params(params)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.checkpoint}")
+        params = restored
     ev = make_eval_step(ssm, cfg)(params, jax.random.key(cfg.seed + 3), jnp.asarray(dataset.obs_test))
     out = {k: np.asarray(v).tolist() for k, v in ev.items()}
     print(json.dumps(out, indent=2))

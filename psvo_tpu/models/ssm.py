@@ -88,7 +88,11 @@ class SSM:
                 bf16=self.bf16_matmuls,
             )
         return networks.mlp_mean_scale(
-            net, x, activation=cfg.activation, sigma_min=cfg.sigma_min
+            net,
+            x,
+            activation=cfg.activation,
+            sigma_min=cfg.sigma_min,
+            bf16=self.bf16_matmuls,
         )
 
     def _mean(self, net: Params, cfg: NetConfig, x: jax.Array):
@@ -162,7 +166,11 @@ class SSM:
             )
             means, scales = jax.vmap(
                 lambda net: networks.mlp_mean_scale(
-                    net, x_prev, activation=q1_cfg.activation, sigma_min=q1_cfg.sigma_min
+                    net,
+                    x_prev,
+                    activation=q1_cfg.activation,
+                    sigma_min=q1_cfg.sigma_min,
+                    bf16=self.bf16_matmuls,
                 )
             )(stacked)
             m1, s1 = means[0], scales[0]

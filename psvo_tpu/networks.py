@@ -88,19 +88,38 @@ def scale_from_raw(raw: jax.Array, sigma_min: float) -> jax.Array:
     return jax.nn.softplus(raw) + sigma_min
 
 
-def mlp_features(params: Params, x: jax.Array, activation: str = "relu") -> jax.Array:
+def _dense(h: jax.Array, w: jax.Array, b: jax.Array, bf16: bool) -> jax.Array:
+    """One dense layer; bf16=True runs the matmul in bfloat16 operands with
+    float32 accumulation (MXU-native) — activations/bias stay f32 so the
+    log-density numerics downstream keep their mantissa."""
+    if bf16:
+        out = jax.lax.dot_general(
+            h.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            dimension_numbers=(((h.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out + b
+    return h @ w + b
+
+
+def mlp_features(
+    params: Params, x: jax.Array, activation: str = "relu", bf16: bool = False
+) -> jax.Array:
     """Hidden trunk: chain of dense+activation over the last axis."""
     act = _ACTIVATIONS[activation]
     h = x
     for w, b in params["layers"]:
-        h = act(h @ w + b)
+        h = act(_dense(h, w, b, bf16))
     return h
 
 
-def mlp_mean(params: Params, x: jax.Array, activation: str = "relu") -> jax.Array:
-    h = mlp_features(params, x, activation)
+def mlp_mean(
+    params: Params, x: jax.Array, activation: str = "relu", bf16: bool = False
+) -> jax.Array:
+    h = mlp_features(params, x, activation, bf16)
     w, b = params["mean"]
-    return h @ w + b
+    return _dense(h, w, b, bf16)
 
 
 def mlp_mean_scale(
@@ -108,15 +127,16 @@ def mlp_mean_scale(
     x: jax.Array,
     activation: str = "relu",
     sigma_min: float = 1e-3,
+    bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Return (mean, scale) with the scale floored at sigma_min.
 
     This is the jnp reference path; `psvo_tpu.ops.pallas_mlp.fused_mlp` is the
     drop-in fused TPU kernel (equivalence-tested in tests/test_pallas.py).
     """
-    h = mlp_features(params, x, activation)
+    h = mlp_features(params, x, activation, bf16)
     w, b = params["mean"]
-    mean = h @ w + b
+    mean = _dense(h, w, b, bf16)
     if "raw_scale" in params:
         scale = jnp.broadcast_to(
             scale_from_raw(params["raw_scale"], sigma_min), mean.shape

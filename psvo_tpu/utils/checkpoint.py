@@ -47,6 +47,24 @@ class Checkpointer:
         self.manager.wait_until_finished()
         self._last_saved = state.step
 
+    def restore_params(self, params_template):
+        """Restore ONLY the model params (evaluation/inspection path).
+
+        Decoupled from the optimizer-state tree on purpose: optimizer
+        structure may evolve across versions (e.g. the apply_if_finite wrap)
+        without invalidating saved models.
+        """
+        step = self.manager.latest_step()
+        if step is None:
+            return None
+        restored = self.manager.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item={"params": params_template}, partial_restore=True
+            ),
+        )
+        return restored["params"]
+
     def restore(self, state, strict: bool = True) -> Optional[object]:
         """Restore into a template TrainState; returns None if no checkpoint.
 

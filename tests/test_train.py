@@ -83,6 +83,15 @@ def test_checkpoint_roundtrip(tmp_path):
     with pytest.raises(ValueError):
         Checkpointer(tmp_path / "ck", "deadbeef0000").restore(fresh)
 
+    # params-only restore (eval path): independent of optimizer structure
+    restored_params = Checkpointer(tmp_path / "ck", cfg.resume_hash()).restore_params(
+        jax.tree_util.tree_map(lambda a: a * 0, params)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_cli_presets_and_config_roundtrip(capsys):
     from psvo_tpu import cli
