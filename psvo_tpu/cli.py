@@ -110,7 +110,10 @@ def cmd_train(args) -> int:
         print(f"resumed from step {step}", flush=True)
 
     history = trainer.run(
-        dataset.obs_train, dataset.obs_test, hidden_train=dataset.hidden_train
+        dataset.obs_train,
+        dataset.obs_test,
+        hidden_train=dataset.hidden_train,
+        hidden_test=dataset.hidden_test,
     )
     results.save_history(history)
     inferred = _inferred_test_latents(cfg, ssm, trainer.state.params, dataset)
@@ -137,9 +140,9 @@ def cmd_eval(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    from psvo_tpu.benchmark import main as bench_main
 
-    return bench.main(preset_name=args.preset, steps=args.bench_steps)
+    return bench_main(preset_name=args.preset, steps=args.bench_steps)
 
 
 def cmd_data(args) -> int:

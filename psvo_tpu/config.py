@@ -175,6 +175,15 @@ class Config:
         return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
+def _deep_tuple(v):
+    """Recursively convert lists to tuples (JSON round-trips turn tuples into
+    lists; nested ones like data.dyn_overrides must come back hashable or the
+    frozen config can't be a jit static arg)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_deep_tuple(x) for x in v)
+    return v
+
+
 def _tupled(d: dict, cls):
     """Rebuild a (possibly nested) frozen dataclass from a dict, tupling lists."""
     kwargs = {}
@@ -184,7 +193,7 @@ def _tupled(d: dict, cls):
         v = d[f.name]
         if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
             v = _tupled(v, f.type)
-        kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+        kwargs[f.name] = _deep_tuple(v) if isinstance(v, (list, tuple)) else v
     return cls(**kwargs)
 
 

@@ -37,6 +37,9 @@ class SSM:
         self.emission = cfg.data.emission
         self.use_2q = cfg.smc.use_2q
         self.use_bootstrap = cfg.smc.use_bootstrap
+        # q_uses_true_X debug flag: the encoder head q2 (and q0) see the true
+        # latents, so their input dimension is Dx instead of Dy.
+        self.enc_dim = cfg.data.dx if cfg.smc.q_uses_true_x else cfg.data.dy
         self.nets = {k: v for k, v in cfg.nets}
         self.use_pallas_mlp = cfg.use_pallas and cfg.use_pallas_mlp
         self.use_pallas_resample = cfg.use_pallas and cfg.use_pallas_resample
@@ -61,9 +64,9 @@ class SSM:
             )
 
         return {
-            "q0": head(keys[0], self.nets["q0"], dy, dx),
+            "q0": head(keys[0], self.nets["q0"], self.enc_dim, dx),
             "q1": head(keys[1], self.nets["q1"], dx, dx),
-            "q2": head(keys[2], self.nets["q2"], dy, dx),
+            "q2": head(keys[2], self.nets["q2"], self.enc_dim, dx),
             "f": head(keys[3], self.nets["f"], dx, dx),
             "g": head(keys[4], self.nets["g"], dx, dy, cov=g_cov),
             "qb": head(keys[5], self.nets["qb"], dx + dy, dx),
@@ -96,7 +99,21 @@ class SSM:
         )
 
     def _mean(self, net: Params, cfg: NetConfig, x: jax.Array):
-        return networks.mlp_mean(net, x, activation=cfg.activation)
+        """Mean-only head (Poisson log-rate / Dirac): same kernel/bf16
+        dispatch as _mean_scale — this is the hottest per-step MLP for
+        Poisson emissions."""
+        if self.use_pallas_mlp:
+            from psvo_tpu.ops import pallas_mlp
+
+            if pallas_mlp.ENABLE and cfg.activation in pallas_mlp._ACTS and (
+                pallas_mlp._on_tpu() or pallas_mlp._INTERPRET
+            ):
+                return pallas_mlp.fused_mlp_mean(
+                    net, x, cfg.activation, self.bf16_matmuls
+                )
+        return networks.mlp_mean(
+            net, x, activation=cfg.activation, bf16=self.bf16_matmuls
+        )
 
     # -- prior ----------------------------------------------------------------
 

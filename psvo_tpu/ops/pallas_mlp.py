@@ -299,7 +299,7 @@ def mlp_mean_scale(params, x, *, activation="relu", sigma_min=1e-3, bf16=False):
     )
     if not usable:
         return networks.mlp_mean_scale(
-            params, x, activation=activation, sigma_min=sigma_min
+            params, x, activation=activation, sigma_min=sigma_min, bf16=bf16
         )
     mean = fused_mlp_mean(params, x, activation, bf16)
     scale = jnp.broadcast_to(

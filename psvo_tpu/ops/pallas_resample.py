@@ -139,76 +139,6 @@ def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref):
         out_ref[:, q0 : q0 + QUERY_TILE, :] = acc
 
 
-def _gather_v2_kernel(k: int, logw_ref, u_ref, x_ref, out_ref):
-    """Single-pass fused resample+gather without materializing indices.
-
-    The inverse-CDF selection is an interval membership: query u_i selects
-    support j iff C_{j-1} <= u_i < C_j (catch-all on the last bin for fp
-    edge cases), so the one-hot mask is built directly from the CDF in the
-    same tile pass that contracts it against the particles — one pass over
-    (query × support) tiles instead of count-then-equality (≈40% fewer VPU
-    ops than the two-pass kernel, and no int32 output write).
-    """
-    logw = logw_ref[:]
-    m = jnp.max(logw, axis=-1, keepdims=True)
-    w = jnp.exp(logw - m)
-    cumw = _doubling_cumsum(w)
-    total = cumw[:, -1:]
-    u = u_ref[:] * total
-    prev = cumw - w  # exclusive cumsum
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, QUERY_TILE), 2)
-    for q0 in range(0, k, QUERY_TILE):
-        u_tile = u[:, q0 : q0 + QUERY_TILE][:, :, None]  # [R, Q, 1]
-        acc = jnp.zeros((u_tile.shape[0], QUERY_TILE, x_ref.shape[-1]), jnp.float32)
-        for s0 in range(0, k, QUERY_TILE):
-            c = cumw[:, s0 : s0 + QUERY_TILE][:, None, :]  # [R, 1, S]
-            p = prev[:, s0 : s0 + QUERY_TILE][:, None, :]
-            last = (col + s0) == (k - 1)
-            mask = ((p <= u_tile) & ((u_tile < c) | last)).astype(jnp.float32)
-            acc = acc + jax.lax.dot_general(
-                mask,
-                x_ref[:, s0 : s0 + QUERY_TILE, :],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        out_ref[:, q0 : q0 + QUERY_TILE, :] = acc
-
-
-def _scatter_v2_kernel(k: int, logw_ref, u_ref, g_ref, out_ref):
-    """VJP of `_gather_v2_kernel` w.r.t. x: dx[s] = Σ_q mask[q, s] g[q].
-
-    Rebuilds the same interval mask (transposed tiles) from (logw, u) — no
-    index tensor is ever stored, matching the rematerialization philosophy of
-    the whole backward pass.
-    """
-    logw = logw_ref[:]
-    m = jnp.max(logw, axis=-1, keepdims=True)
-    w = jnp.exp(logw - m)
-    cumw = _doubling_cumsum(w)
-    total = cumw[:, -1:]
-    u = u_ref[:] * total
-    prev = cumw - w
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, QUERY_TILE), 2)
-    for s0 in range(0, k, QUERY_TILE):
-        c = cumw[:, s0 : s0 + QUERY_TILE][:, None, :]  # [R, 1, S]
-        p = prev[:, s0 : s0 + QUERY_TILE][:, None, :]
-        last = (row + s0) == (k - 1)
-        acc = jnp.zeros((logw.shape[0], QUERY_TILE, g_ref.shape[-1]), jnp.float32)
-        for q0 in range(0, k, QUERY_TILE):
-            u_tile = u[:, q0 : q0 + QUERY_TILE][:, :, None]  # [R, Q, 1]
-            mask = ((p <= u_tile) & ((u_tile < c) | last)).astype(jnp.float32)
-            # mask [R, Q, S]; contract over Q: dx_tile [R, S, D]
-            acc = acc + jax.lax.dot_general(
-                mask,
-                g_ref[:, q0 : q0 + QUERY_TILE, :],
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        out_ref[:, s0 : s0 + QUERY_TILE, :] = acc
-
-
 def _scatter_kernel(k: int, idx_ref, g_ref, out_ref):
     """Transpose of the one-hot gather: out[s, d] = Σ_q [idx_q == s] g[q, d].
 
@@ -242,79 +172,6 @@ def _fused_usable(batch: int, k: int) -> bool:
         and k % QUERY_TILE == 0
         and batch % ROW_BLOCK == 0
     )
-
-
-@jax.custom_vjp
-def resample_gather(u: jax.Array, logw: jax.Array, x: jax.Array) -> jax.Array:
-    """Fused resample+gather, index-free (the hot-path op): x_res [B,K,D].
-
-    Single kernel, single pass over (query × support) tiles; same gradient
-    semantics as `resample_and_gather` (exact selection VJP to x, zero to
-    logw/u). Falls back to histogram/search + XLA gather off-kernel."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    batch, k = logw.shape
-    d = x.shape[-1]
-    if not _fused_usable(batch, k):
-        idx = resample_indices_from_positions(u, logw)
-        return jnp_resampling.gather_particles(x, idx)
-
-    r = _rows_per_block(batch, k)
-    return pl.pallas_call(
-        functools.partial(_gather_v2_kernel, k),
-        grid=(batch // r,),
-        in_specs=[
-            pl.BlockSpec((r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (r, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, k, d), jnp.float32),
-        interpret=_INTERPRET,
-    )(logw, u, x)
-
-
-def _rg2_fwd(u, logw, x):
-    return resample_gather(u, logw, x), (u, logw, x.shape)
-
-
-def _rg2_bwd(res, g_x):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    u, logw, x_shape = res
-    batch, k = logw.shape
-    d = x_shape[-1]
-    if not _fused_usable(batch, k):
-        idx = resample_indices_from_positions(u, logw)
-        dx = jnp.zeros(x_shape, g_x.dtype).at[
-            jnp.arange(batch)[:, None], idx
-        ].add(g_x)
-    else:
-        r = _rows_per_block(batch, k)
-        dx = pl.pallas_call(
-            functools.partial(_scatter_v2_kernel, k),
-            grid=(batch // r,),
-            in_specs=[
-                pl.BlockSpec((r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (r, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (r, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((batch, k, d), jnp.float32),
-            interpret=_INTERPRET,
-        )(logw, u, g_x)
-    return jnp.zeros_like(u), jnp.zeros_like(logw), dx
-
-
-resample_gather.defvjp(_rg2_fwd, _rg2_bwd)
 
 
 @jax.custom_vjp

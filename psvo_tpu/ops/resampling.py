@@ -141,7 +141,7 @@ def maybe_resample(
     method: str = "systematic",
     ess_threshold: float = 1.0,
     use_pallas: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """ESS-adaptive resampling step for one scan iteration.
 
     `u` is the step's pre-generated [B, K] quantile positions — see

@@ -70,6 +70,9 @@ class FilterResult:
     logw_last: jax.Array  # [B, K]
     xs: Optional[jax.Array] = None  # [T, B, K, Dx]
     logws: Optional[jax.Array] = None  # [T, B, K]
+    # per-step posterior filtering means — O(T·B·Dx), always emitted so that
+    # evaluation (k-step R², plots) never needs the full particle cache
+    filtered_means: Optional[jax.Array] = None  # [T, B, Dx]
     # zero-valued-gradient carrier for the resampling score-function term
     # (use_stop_gradient=False, the full FIVO gradient); None when disabled.
     score_surrogate: Optional[jax.Array] = None  # [B]
@@ -157,7 +160,10 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
         logw_new = constrain(logw + alpha)
         ell = _lse(logw_new) - _lse(logw)  # [B] logZ increment
 
-        out = (x_new, logw_new, ell, ess, score)
+        w_norm = jax.nn.softmax(logw_new, axis=-1)
+        fmean = jnp.einsum("bk,bkd->bd", w_norm, x_new)  # [B, Dx]
+
+        out = (x_new, logw_new, ell, ess, score, fmean)
         return (x_new, logw_new), out
 
     return body
@@ -230,9 +236,14 @@ def forward_filter(
         if cfg.remat
         else body
     )
-    (x_last, logw_last), (xs_scan, logws_scan, ells, esss, scores) = jax.lax.scan(
-        scan_body, carry0, (ys_tm[1:], enc_tm[1:], eps_scan, u_scan)
-    )
+    (x_last, logw_last), (
+        xs_scan,
+        logws_scan,
+        ells,
+        esss,
+        scores,
+        fmeans,
+    ) = jax.lax.scan(scan_body, carry0, (ys_tm[1:], enc_tm[1:], eps_scan, u_scan))
 
     increments = jnp.concatenate([ell0[None], ells], axis=0)  # [T, B]
     ess_all = jnp.concatenate(
@@ -245,6 +256,7 @@ def forward_filter(
         xs = jnp.concatenate([x0[None], xs_scan], axis=0)  # [T, B, K, Dx]
         logws = jnp.concatenate([alpha0[None], logws_scan], axis=0)
 
+    fmean0 = jnp.einsum("bk,bkd->bd", jax.nn.softmax(alpha0, axis=-1), x0)
     return FilterResult(
         log_z=log_z,
         increments=increments,
@@ -253,6 +265,7 @@ def forward_filter(
         logw_last=logw_last,
         xs=xs,
         logws=logws,
+        filtered_means=jnp.concatenate([fmean0[None], fmeans], axis=0),
         score_surrogate=(
             None if cfg.use_stop_gradient else _score_surrogate(ells, scores)
         ),
@@ -344,12 +357,12 @@ def forward_filter_segmented(
         x, logw = carry
         ys_s, enc_s, kp, kr = inputs
         eps, u = _segment_randomness(ssm, cfg, kp, kr, seg_len, batch, k)
-        (x_out, logw_out), (_, _, ells, esss, scores) = jax.lax.scan(
+        (x_out, logw_out), (_, _, ells, esss, scores, fmeans) = jax.lax.scan(
             inner_body, (x, logw), (ys_s, enc_s, eps, u)
         )
-        return (x_out, logw_out), (x, logw, ells, esss, scores)
+        return (x_out, logw_out), (x, logw, ells, esss, scores, fmeans)
 
-    (x_last, logw_last), (seg_x, seg_logw, ells, esss, scores) = jax.lax.scan(
+    (x_last, logw_last), (seg_x, seg_logw, ells, esss, scores, fmeans) = jax.lax.scan(
         outer, (x0, alpha0), (ys_seg, enc_seg, k_prop_segs, k_res_segs)
     )
 
@@ -358,12 +371,16 @@ def forward_filter_segmented(
         [effective_sample_size(alpha0, axis=-1)[None], esss.reshape(-1, batch)],
         axis=0,
     )
+    fmean0 = jnp.einsum("bk,bkd->bd", jax.nn.softmax(alpha0, axis=-1), x0)
     result = FilterResult(
         log_z=jnp.sum(increments, axis=0),
         increments=increments,
         ess=ess_all,
         x_last=x_last,
         logw_last=logw_last,
+        filtered_means=jnp.concatenate(
+            [fmean0[None], fmeans.reshape(-1, *fmeans.shape[2:])], axis=0
+        ),
         score_surrogate=(
             None
             if cfg.use_stop_gradient
@@ -410,7 +427,7 @@ def recompute_segment(
                 "resampled_x", "resample_idx"
             ),
         )
-    _, (xs, logws, _, _, _) = jax.lax.scan(
+    _, (xs, logws, _, _, _, _) = jax.lax.scan(
         body, (cache.seg_x[s], cache.seg_logw[s]), (ys_seg_s, enc_seg_s, eps, u)
     )
     return xs, logws

@@ -77,7 +77,13 @@ def make_train_step(ssm: SSM, cfg: Config, optimizer) -> Callable:
 
 
 def filtered_means(fwd) -> jax.Array:
-    """Posterior filtering means from cached particles: [B, T, Dx]."""
+    """Posterior filtering means: [B, T, Dx].
+
+    The scan emits them directly (FilterResult.filtered_means — O(T·B·Dx)),
+    so no particle cache is needed; the cached-particle path remains as a
+    fallback for hand-built FilterResults."""
+    if fwd.filtered_means is not None:
+        return jnp.swapaxes(fwd.filtered_means, 0, 1)
     logw_norm, _ = log_normalize(fwd.logws, axis=-1)  # [T, B, K]
     means = jnp.einsum("tbk,tbkd->tbd", jnp.exp(logw_norm), fwd.xs)
     return jnp.swapaxes(means, 0, 1)
@@ -102,14 +108,11 @@ def k_step_predictions(ssm: SSM, params, filt_means: jax.Array, k_max: int):
 def make_eval_step(ssm: SSM, cfg: Config) -> Callable:
     objective = make_objective(ssm, cfg)
     k_max = cfg.train.mse_k_steps
-    smc_cfg = cfg.smc
 
     @jax.jit
-    def eval_step(params, key, ys):
-        out = objective(params, key, ys)
+    def eval_step(params, key, ys, encoder_inputs=None):
+        out = objective(params, key, ys, encoder_inputs)
         fwd = out.filter_result
-        if fwd.xs is None:  # iwae/fivo don't cache; rerun with cache for eval
-            fwd = forward_filter(ssm, params, key, ys, smc_cfg, cache=True)
         fm = filtered_means(fwd)  # [B, T, Dx]
         preds = k_step_predictions(ssm, params, fm, k_max)
 
@@ -191,6 +194,7 @@ class Trainer:
         obs_test,
         n_steps: Optional[int] = None,
         hidden_train=None,
+        hidden_test=None,
     ) -> list[dict]:
         cfg = self.cfg
         n_steps = n_steps if n_steps is not None else cfg.train.n_steps
@@ -201,9 +205,10 @@ class Trainer:
         # q_uses_true_X debug mode: condition the encoder proposal on the true
         # latents instead of observations (reference flag, SURVEY.md §5).
         use_true_x = cfg.smc.q_uses_true_x
-        if use_true_x and hidden_train is None:
-            raise ValueError("q_uses_true_x=True requires hidden_train latents")
+        if use_true_x and (hidden_train is None or hidden_test is None):
+            raise ValueError("q_uses_true_x=True requires hidden_train/test latents")
         hidden_train = jnp.asarray(hidden_train) if use_true_x else None
+        hidden_test = jnp.asarray(hidden_test) if use_true_x else None
         rng = np.random.default_rng(cfg.seed + 2)
 
         st = self.state
@@ -233,7 +238,7 @@ class Trainer:
 
             if st.step % cfg.train.eval_every == 0 or st.step == n_steps:
                 st.key, k_eval = jax.random.split(st.key)
-                ev = self.eval_step(st.params, k_eval, obs_test)
+                ev = self.eval_step(st.params, k_eval, obs_test, hidden_test)
                 jax.block_until_ready(ev["elbo"])
                 dt = time.perf_counter() - t_start
                 steps_s = (st.step - steps_done_at) / max(dt, 1e-9)

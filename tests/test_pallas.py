@@ -121,33 +121,6 @@ def test_fused_resample_and_gather_matches_oracle(method):
     )
 
 
-@pytest.mark.parametrize("method", ["systematic", "multinomial"])
-def test_index_free_resample_gather_matches_indexed(method):
-    """v2 (interval-mask, index-free) must agree with the indexed kernel."""
-    rng = np.random.default_rng(9)
-    batch, k, d = 8, 256, 3
-    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32) * 2)
-    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
-    u_raw = jnp.asarray(
-        rng.uniform(size=(batch,) if method == "systematic" else (batch, k)).astype(
-            np.float32
-        )
-    )
-    u = resampling.quantile_positions_from_raw(u_raw, k, method)
-    idx, x_ref_res = pallas_resample.resample_and_gather(u, logw, x)
-    x_v2 = pallas_resample.resample_gather(u, logw, x)
-    np.testing.assert_array_equal(np.asarray(x_v2), np.asarray(x_ref_res))
-
-    # gradient: exact scatter, zero to logw
-    cot = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
-    gx = np.asarray(jax.grad(lambda xx: jnp.sum(
-        pallas_resample.resample_gather(u, logw, xx) * cot))(x))
-    want = np.zeros_like(gx)
-    for b in range(batch):
-        np.add.at(want[b], np.asarray(idx)[b], np.asarray(cot)[b])
-    np.testing.assert_allclose(gx, want, rtol=1e-6, atol=1e-6)
-
-
 def test_fused_resample_gather_gradient_is_exact_scatter():
     rng = np.random.default_rng(6)
     batch, k, d = 8, 128, 2

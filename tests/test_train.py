@@ -5,6 +5,7 @@ import dataclasses
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -133,6 +134,57 @@ def test_data_generation_properties():
     np.testing.assert_array_equal(np.asarray(ds.obs_train), np.asarray(ds2.obs_train))
     ds3 = generate_dataset(cfg, 1)
     assert not np.allclose(np.asarray(ds.obs_train), np.asarray(ds3.obs_train))
+
+
+def test_q_uses_true_x_debug_mode():
+    """The debug flag trains and evals with the encoder conditioned on the
+    true latents (mismatched-din and eval-input bugs are regression-guarded:
+    dx != dy here, and eval must receive hidden_test)."""
+    cfg = Config(
+        name="true_x_test",
+        data=DataConfig(
+            datatype="lorenz63", dx=3, dy=3, t_steps=15, n_train=8, n_test=4
+        ),
+        smc=SMCConfig(objective="fivo", n_particles=16, q_uses_true_x=True),
+        train=TrainConfig(batch_size=4, n_steps=6, eval_every=3),
+        use_pallas=False,
+    )
+    ds = generate_dataset(cfg.data, 0)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    trainer = Trainer(cfg, ssm, params)
+    with pytest.raises(ValueError):
+        trainer.run(ds.obs_train, ds.obs_test)  # latents are required
+    hist = Trainer(cfg, ssm, params).run(
+        ds.obs_train, ds.obs_test,
+        hidden_train=ds.hidden_train, hidden_test=ds.hidden_test,
+    )
+    assert np.isfinite(hist[-1]["test_elbo"])
+
+
+def test_filtered_means_emitted_without_cache():
+    """Eval path: filtering means come from the scan, no particle cache."""
+    from psvo_tpu.smc import forward_filter
+    from psvo_tpu.train import filtered_means
+
+    cfg = _cfg("fivo")
+    ds = generate_dataset(cfg.data, 0)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    fwd = forward_filter(
+        ssm, params, jax.random.key(1), jnp.asarray(ds.obs_test), cfg.smc, cache=True
+    )
+    assert fwd.filtered_means is not None and fwd.xs is not None
+    # emitted means must equal the cache-derived means
+    import jax.numpy as jnp2
+
+    logw_norm = fwd.logws - jax.scipy.special.logsumexp(
+        fwd.logws, axis=-1, keepdims=True
+    )
+    want = jnp2.swapaxes(
+        jnp2.einsum("tbk,tbkd->tbd", jnp2.exp(logw_norm), fwd.xs), 0, 1
+    )
+    np.testing.assert_allclose(
+        np.asarray(filtered_means(fwd)), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_dataset_save_load_roundtrip(tmp_path):
