@@ -25,6 +25,7 @@ __version__ = "0.2.0"
 from psvo_tpu import distributions
 from psvo_tpu import networks
 from psvo_tpu.data import Dataset, generate_dataset, load_dataset, save_dataset
+from psvo_tpu.infer import filter_posterior, smooth_posterior
 from psvo_tpu.smc import (
     FilterResult,
     forward_filter,
@@ -57,6 +58,7 @@ __all__ = [
     "TrainConfig",
     "Trainer",
     "distributions",
+    "filter_posterior",
     "forward_filter",
     "forward_filter_segmented",
     "generate_dataset",
@@ -69,4 +71,5 @@ __all__ = [
     "networks",
     "preset",
     "save_dataset",
+    "smooth_posterior",
 ]

@@ -1,0 +1,78 @@
+"""User-facing posterior inference on a trained model.
+
+The reference exposes inference only implicitly (latent paths inside its
+result pickles/plots); production users need it as an API. Both functions
+take observations [B, T, Dy] and return time-major-free, batch-leading
+arrays.
+
+- `filter_posterior`  — filtering means (and optionally the particle cloud).
+- `smooth_posterior`  — M smoothed trajectories via the model's smoothing
+  machinery: FFBSi (PSVO) by default, or the learned backward proposal (SVO)
+  when the config trained one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from psvo_tpu.config import Config
+from psvo_tpu.models.ssm import SSM
+from psvo_tpu.objectives import make_objective
+from psvo_tpu.smc import forward_filter
+from psvo_tpu.train import filtered_means
+
+
+def filter_posterior(
+    ssm: SSM,
+    params,
+    ys,
+    cfg: Config,
+    key: Optional[jax.Array] = None,
+    *,
+    return_particles: bool = False,
+):
+    """Filtering posterior: means [B, T, Dx] (+ particles/log-weights).
+
+    Uses the config's particle count and resampling scheme; one jitted scan.
+    """
+    key = key if key is not None else jax.random.key(cfg.seed + 17)
+    fwd = forward_filter(
+        ssm, params, key, jnp.asarray(ys), cfg.smc, cache=return_particles
+    )
+    means = filtered_means(fwd)
+    if return_particles:
+        return means, jnp.swapaxes(fwd.xs, 0, 1), jnp.swapaxes(fwd.logws, 0, 1)
+    return means
+
+
+def smooth_posterior(
+    ssm: SSM,
+    params,
+    ys,
+    cfg: Config,
+    key: Optional[jax.Array] = None,
+    *,
+    n_samples: Optional[int] = None,
+    method: Optional[str] = None,
+):
+    """Smoothed posterior trajectories [B, M, T, Dx].
+
+    method: "psvo" (FFBSi over the forward support — works for ANY trained
+    model) or "svo" (the learned backward proposal — requires a trained qb
+    head). Defaults to the config's objective when it is a smoothing one,
+    else FFBSi.
+    """
+    key = key if key is not None else jax.random.key(cfg.seed + 18)
+    method = method or (cfg.smc.objective if cfg.smc.objective in ("svo", "psvo") else "psvo")
+    m = n_samples or cfg.smc.n_smoothing_particles
+    run_cfg = dataclasses.replace(
+        cfg,
+        smc=dataclasses.replace(cfg.smc, objective=method, n_smoothing_particles=m),
+    )
+    out = make_objective(ssm, run_cfg)(params, key, jnp.asarray(ys))
+    # smoothed is [T, B, M, Dx] -> [B, M, T, Dx]
+    return jnp.transpose(out.smoothed, (1, 2, 0, 3))

@@ -65,6 +65,30 @@ def test_sharded_filter_matches_single_device():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_sharded_training_converges():
+    """Several sharded steps must actually LEARN (loss decreasing), not just
+    execute — guards against silent sharding-induced gradient corruption."""
+    from psvo_tpu.data import generate_dataset
+    from psvo_tpu.train import make_optimizer
+
+    cfg = _cfg()
+    ds = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    mesh = sharding.make_mesh(cfg)
+    step = sharding.make_sharded_train_step(ssm, cfg, optimizer, mesh)
+    batch = jnp.asarray(ds.obs_train[: cfg.train.batch_size])
+    losses = []
+    p, s = params, opt_state
+    for i in range(12):
+        p, s, m = step(p, s, jax.random.fold_in(jax.random.key(2), i), batch)
+        losses.append(float(m["loss"]))
+    context.set_mesh(None)
+    assert all(np.isfinite(l) for l in losses)
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
 @pytest.mark.parametrize("objective", ["fivo", "psvo"])
 def test_sharded_train_step_runs(objective):
     from psvo_tpu.train import make_optimizer
