@@ -96,6 +96,8 @@ class SMCConfig:
 @dataclass(frozen=True)
 class TrainConfig:
     lr: float = 3e-3
+    lr_schedule: str = "const"  # "const" | "cosine" (decay to 10% over n_steps)
+    keep_best: bool = True  # restore the best-test-ELBO params at end of run
     batch_size: int = 32
     n_steps: int = 2000
     clip_norm: float = 10.0

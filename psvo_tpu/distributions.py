@@ -41,9 +41,18 @@ def mvn_diag_sample(key: jax.Array, mean: jax.Array, scale: jax.Array) -> jax.Ar
     return mean + scale * eps
 
 
+# Finiteness guard: |z| beyond 1e4 standard deviations can only come from a
+# diverging network mean (f32 activation overflow turns it inf, making every
+# particle's log-weight -inf and the whole objective NaN *persistently* —
+# observed on Lorenz-63 after ~1k steps). Clamping keeps the density a finite,
+# astronomically-negative number, so the offending particle simply never wins
+# and training can recover; legitimate values never get near the clamp.
+_MAX_Z = 1e4
+
+
 def mvn_diag_log_prob(x: jax.Array, mean: jax.Array, scale: jax.Array) -> jax.Array:
     """Log density of a diagonal-covariance Gaussian, reduced over the last axis."""
-    z = (x - mean) / scale
+    z = jnp.clip((x - mean) / scale, -_MAX_Z, _MAX_Z)
     return jnp.sum(-0.5 * z * z - jnp.log(scale) - _HALF_LOG_2PI, axis=-1)
 
 
@@ -97,7 +106,12 @@ def mvn_full_log_prob(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Arr
 
 
 def poisson_log_prob(y: jax.Array, log_rate: jax.Array) -> jax.Array:
-    """sum_d [ y_d * log_rate_d - rate_d - lgamma(y_d + 1) ] over the event axis."""
+    """sum_d [ y_d * log_rate_d - rate_d - lgamma(y_d + 1) ] over the event axis.
+
+    log_rate is clamped to ±80 (exp(88) overflows f32): a diverging rate head
+    yields a huge-but-finite penalty instead of inf-contaminated weights.
+    """
+    log_rate = jnp.clip(log_rate, -80.0, 80.0)
     rate = jnp.exp(log_rate)
     return jnp.sum(y * log_rate - rate - jax.lax.lgamma(y + 1.0), axis=-1)
 

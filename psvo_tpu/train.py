@@ -41,10 +41,16 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     entirely (`apply_if_finite`) — the estimator is untouched; a bad draw
     just doesn't update.
     """
+    if cfg.train.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            cfg.train.lr, decay_steps=max(cfg.train.n_steps, 1), alpha=0.1
+        )
+    else:
+        lr = cfg.train.lr
     return optax.apply_if_finite(
         optax.chain(
             optax.clip_by_global_norm(cfg.train.clip_norm),
-            optax.adam(cfg.train.lr),
+            optax.adam(lr),
         ),
         max_consecutive_errors=100,
     )
@@ -147,6 +153,7 @@ class TrainState:
     step: int = 0
     best_elbo: float = -np.inf
     evals_since_best: int = 0
+    best_params: Any = None  # snapshot at the best test ELBO (keep_best)
 
 
 class Trainer:
@@ -267,6 +274,8 @@ class Trainer:
                 if rec["test_elbo"] > st.best_elbo + 1e-6:
                     st.best_elbo = rec["test_elbo"]
                     st.evals_since_best = 0
+                    if cfg.train.keep_best:
+                        st.best_params = st.params
                 else:
                     st.evals_since_best += 1
                     if st.evals_since_best >= cfg.train.patience:
@@ -276,6 +285,10 @@ class Trainer:
             if self.checkpointer is not None and st.step % cfg.train.save_every == 0:
                 self.checkpointer.save(st)
 
+        if cfg.train.keep_best and st.best_params is not None:
+            # model selection: end the run on the best-test-ELBO params (long
+            # runs can diverge late — observed on Lorenz-63 at lr 3e-3)
+            st.params = st.best_params
         if self.checkpointer is not None:
             self.checkpointer.save(st, force=True)
         return self.history
