@@ -49,6 +49,11 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         lr = cfg.train.lr
     return optax.apply_if_finite(
         optax.chain(
+            # a floored log-density (distributions._MIN_LOGP) zeroes its
+            # cotangent via select, but 0·inf upstream still yields NaN for
+            # the offending leaves — zero those out so the finite leaves keep
+            # training instead of every update being skipped
+            optax.zero_nans(),
             optax.clip_by_global_norm(cfg.train.clip_norm),
             optax.adam(lr),
         ),
