@@ -71,11 +71,24 @@ def _inferred_test_latents(cfg, ssm, params, dataset):
 
     key = jax.random.key(cfg.seed + 9)
     obs = jnp.asarray(dataset.obs_test)
+    # q_uses_true_x: the encoder heads were built with input dim Dx and must
+    # see the true latents, mirroring Trainer.run (shape error — or silently
+    # wrong plots when dx == dy — otherwise).
+    enc = _encoder_inputs_for(cfg, dataset)
     if cfg.smc.objective in ("svo", "psvo"):
-        out = make_objective(ssm, cfg)(params, key, obs)
+        out = make_objective(ssm, cfg)(params, key, obs, enc)
         return np.asarray(jnp.swapaxes(out.smoothed.mean(axis=2), 0, 1))
-    fwd = forward_filter(ssm, params, key, obs, cfg.smc, cache=True)
+    fwd = forward_filter(ssm, params, key, obs, cfg.smc, cache=True, encoder_inputs=enc)
     return np.asarray(filtered_means(fwd))
+
+
+def _encoder_inputs_for(cfg: Config, dataset):
+    """Test-set encoder inputs under the q_uses_true_x debug flag, else None."""
+    if not cfg.smc.q_uses_true_x:
+        return None
+    if dataset.hidden_test is None:
+        raise SystemExit("q_uses_true_x=True requires a dataset with saved latents")
+    return jnp.asarray(dataset.hidden_test)
 
 
 def cmd_train(args) -> int:
@@ -89,11 +102,19 @@ def cmd_train(args) -> int:
     print(f"config: {cfg.name} (hash {cfg.config_hash()})", flush=True)
 
     dataset, ssm, params = build(cfg, args.data_npz)
+    from psvo_tpu.parallel.sharding import maybe_mesh
     from psvo_tpu.train import Trainer
     from psvo_tpu.utils.checkpoint import Checkpointer
     from psvo_tpu.utils.metrics import MetricsWriter
     from psvo_tpu.utils.results import ResultsDir
 
+    mesh = maybe_mesh(cfg)
+    if mesh is not None:
+        print(
+            f"mesh: data={cfg.mesh.data} x particle={cfg.mesh.particle} "
+            f"({mesh.devices.size} devices)",
+            flush=True,
+        )
     results = ResultsDir(args.results_root, cfg)
     print(f"results: {results.path}", flush=True)
     ckpt_dir = args.resume if args.resume else results.checkpoint_dir()
@@ -101,6 +122,7 @@ def cmd_train(args) -> int:
         cfg,
         ssm,
         params,
+        mesh=mesh,
         metrics_writer=MetricsWriter(results.metrics_path()),
         checkpointer=Checkpointer(ckpt_dir, cfg.resume_hash()),
         profile_dir=args.profile,
@@ -116,7 +138,10 @@ def cmd_train(args) -> int:
         hidden_test=dataset.hidden_test,
     )
     results.save_history(history)
-    inferred = _inferred_test_latents(cfg, ssm, trainer.state.params, dataset)
+    # trainer.cfg/ssm: the mesh-prepared variants when sharded (pallas gating)
+    inferred = _inferred_test_latents(
+        trainer.cfg, trainer.ssm, trainer.state.params, dataset
+    )
     written = results.plot_all(history, dataset, inferred)
     print("plots:", *map(str, written), flush=True)
     return 0
@@ -133,7 +158,12 @@ def cmd_eval(args) -> int:
         if restored is None:
             raise SystemExit(f"no checkpoint found in {args.checkpoint}")
         params = restored
-    ev = make_eval_step(ssm, cfg)(params, jax.random.key(cfg.seed + 3), jnp.asarray(dataset.obs_test))
+    ev = make_eval_step(ssm, cfg)(
+        params,
+        jax.random.key(cfg.seed + 3),
+        jnp.asarray(dataset.obs_test),
+        _encoder_inputs_for(cfg, dataset),
+    )
     out = {k: np.asarray(v).tolist() for k, v in ev.items()}
     print(json.dumps(out, indent=2))
     return 0

@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+import typing
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -188,13 +189,17 @@ def _deep_tuple(v):
 
 def _tupled(d: dict, cls):
     """Rebuild a (possibly nested) frozen dataclass from a dict, tupling lists."""
+    # `from __future__ import annotations` makes f.type a *string*; resolve
+    # real types via get_type_hints so nested-dataclass fields reconstruct.
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-            v = _tupled(v, f.type)
+        t = hints.get(f.name, f.type)
+        if isinstance(t, type) and dataclasses.is_dataclass(t) and isinstance(v, dict):
+            v = _tupled(v, t)
         kwargs[f.name] = _deep_tuple(v) if isinstance(v, (list, tuple)) else v
     return cls(**kwargs)
 

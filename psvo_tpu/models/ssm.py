@@ -105,9 +105,7 @@ class SSM:
         if self.use_pallas_mlp:
             from psvo_tpu.ops import pallas_mlp
 
-            if pallas_mlp.ENABLE and cfg.activation in pallas_mlp._ACTS and (
-                pallas_mlp._on_tpu() or pallas_mlp._INTERPRET
-            ):
+            if pallas_mlp.usable(cfg.activation):
                 return pallas_mlp.fused_mlp_mean(
                     net, x, cfg.activation, self.bf16_matmuls
                 )

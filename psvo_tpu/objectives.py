@@ -250,6 +250,18 @@ def make_objective(ssm: SSM, cfg: Config):
     smc_cfg = cfg.smc
     if smc_cfg.objective == "iwae":
         smc_cfg = dataclasses.replace(smc_cfg, resampling="none")
+    if not smc_cfg.use_stop_gradient and smc_cfg.resampling == "systematic":
+        # The score-function term uses the product-categorical log-prob
+        # Σ_k log Ŵ[a_k], which is the ancestors' log-density only under iid
+        # multinomial draws; systematic resampling shares one uniform across
+        # all K ancestors, so that product is NOT its log-density and the
+        # "full FIVO gradient" would be mis-specified (Maddison et al. 2017
+        # derive the estimator for multinomial resampling).
+        raise ValueError(
+            "use_stop_gradient=False (the full FIVO gradient) requires "
+            "resampling='multinomial'; systematic resampling has no "
+            "product-categorical ancestor density"
+        )
     segmented = smc_cfg.objective == "psvo" and smc_cfg.ffbsi_segments > 1
     needs_cache = smc_cfg.objective in ("svo", "psvo") and not segmented
     m = smc_cfg.n_smoothing_particles

@@ -287,17 +287,18 @@ def fused_mlp_mean(
     return out[:n, :dout].reshape(*lead, dout)
 
 
+def usable(activation: str) -> bool:
+    """THE gating predicate for the fused kernels — the only place the
+    enable/platform/activation conditions live (callers must not re-derive
+    them from module internals; two copies of this logic drifted once)."""
+    return ENABLE and activation in _ACTS and (_on_tpu() or _INTERPRET)
+
+
 def mlp_mean_scale(params, x, *, activation="relu", sigma_min=1e-3, bf16=False):
     """Fused (mean, scale) MLP forward. Falls back to jnp off-TPU, for
     activations without a registered derivative, or for scale-head networks
     (the scale head shares the trunk — handled by the jnp path for now)."""
-    usable = (
-        ENABLE
-        and (_on_tpu() or _INTERPRET)
-        and activation in _ACTS
-        and "raw_scale" in params  # const-scale heads only
-    )
-    if not usable:
+    if not (usable(activation) and "raw_scale" in params):  # const-scale heads only
         return networks.mlp_mean_scale(
             params, x, activation=activation, sigma_min=sigma_min, bf16=bf16
         )

@@ -42,11 +42,18 @@ QUERY_TILE = 128
 
 def _rows_per_block(batch: int, k: int) -> int:
     """Batch rows per kernel instance for the D-carrying (gather/scatter)
-    kernels. Their [R, K, D] VMEM buffers lane-pad D to 128, so at K=1024 a
-    block is R·K·128·4 bytes per buffer ×3 buffers ×2 (double buffering) —
-    R=8 overflows the 16 MB VMEM budget in the backward kernel; R=4 fits."""
-    # NOTE: Mosaic requires the second-to-last block dim divisible by 8 (or
-    # full), so the 2-D (logw/u) refs pin R=8 unless batch itself is smaller.
+    kernels.
+
+    R is pinned to the sublane width 8: Mosaic requires the second-to-last
+    block dim of the 2-D (logw/u) refs to be divisible by 8 (or be the full
+    axis), and `_fused_usable` already gates on `batch % ROW_BLOCK == 0`, so
+    the full-batch return below is only reached by non-fused callers.
+    VMEM accounting at the R=8 / K=1024 ceiling: the [R, K, D] buffers
+    lane-pad D to 128 → 4 MB per buffer; with in/out + double buffering this
+    presses the 16 MB budget, which is why MAX_K stops at 2048 for the 2-D
+    kernels and the D-carrying fused path is only enabled where measured to
+    fit (tests/test_pallas.py exercises the compiled kernel at the ceiling).
+    """
     return 8 if batch % 8 == 0 else batch
 
 

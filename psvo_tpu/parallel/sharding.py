@@ -39,8 +39,34 @@ def make_mesh(cfg: Config, devices=None) -> Mesh:
         raise ValueError(
             f"config mesh {cfg.mesh} needs {n} devices, have {len(devices)}"
         )
+    if cfg.smc.n_particles % cfg.mesh.particle:
+        raise ValueError(
+            f"K={cfg.smc.n_particles} not divisible by mesh.particle={cfg.mesh.particle}"
+        )
+    if cfg.train.batch_size % cfg.mesh.data:
+        raise ValueError(
+            f"batch_size={cfg.train.batch_size} not divisible by mesh.data={cfg.mesh.data}"
+        )
     grid = np.asarray(devices[:n]).reshape(cfg.mesh.data, cfg.mesh.particle)
     return Mesh(grid, (context.DATA_AXIS, context.PARTICLE_AXIS))
+
+
+def maybe_mesh(cfg: Config) -> Optional[Mesh]:
+    """The CLI/Trainer entry: build the configured mesh when the devices for
+    it exist, else None (single-device path — the preset stays runnable on
+    one chip, just unsharded)."""
+    n = cfg.mesh.data * cfg.mesh.particle
+    if n <= 1:
+        return None
+    devices = jax.devices()
+    if len(devices) < n:
+        print(
+            f"mesh {cfg.mesh.data}x{cfg.mesh.particle} requested but only "
+            f"{len(devices)} device(s) present — running unsharded",
+            flush=True,
+        )
+        return None
+    return make_mesh(cfg, devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -51,6 +77,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def prepare_sharded(ssm, cfg: Config, mesh: Mesh):
+    """Return (ssm, cfg) adjusted for multi-device execution.
+
+    GSPMD cannot partition Pallas custom-calls across a sharded axis; the jnp
+    paths partition cleanly (psum/all-gather inserted by XLA). Sharded Pallas
+    via shard_map (per-shard kernels + ppermute exchange) is future work —
+    see docs/PARITY.md.
+    """
+    from psvo_tpu.models.ssm import SSM
+
+    if mesh.devices.size > 1 and (cfg.use_pallas_mlp or cfg.use_pallas_resample):
+        cfg = dataclasses.replace(
+            cfg, use_pallas_mlp=False, use_pallas_resample=False
+        )
+        ssm = SSM(cfg)
+    return ssm, cfg
+
+
 def make_sharded_train_step(ssm, cfg: Config, optimizer, mesh: Mesh):
     """The full training step jitted over the mesh.
 
@@ -59,25 +103,36 @@ def make_sharded_train_step(ssm, cfg: Config, optimizer, mesh: Mesh):
     forward+backward program. Params/opt-state replicate; the gradient
     all-reduce over "data"×"particle" is emitted by XLA.
     """
-    from psvo_tpu.models.ssm import SSM
     from psvo_tpu.train import make_train_step
 
-    if mesh.devices.size > 1 and (cfg.use_pallas_mlp or cfg.use_pallas_resample):
-        # GSPMD cannot partition Pallas custom-calls across a sharded axis;
-        # the jnp paths partition cleanly (psum/all-gather inserted by XLA).
-        # Sharded Pallas via shard_map (per-shard kernels + ppermute exchange)
-        # is future work — see docs/PARITY.md.
-        cfg = dataclasses.replace(
-            cfg, use_pallas_mlp=False, use_pallas_resample=False
-        )
-        ssm = SSM(cfg)
-
+    ssm, cfg = prepare_sharded(ssm, cfg, mesh)
     context.set_mesh(mesh)
     step = make_train_step(ssm, cfg, optimizer)  # jitted inside
 
-    def wrapped(params, opt_state, key, batch):
+    def wrapped(params, opt_state, key, batch, encoder_inputs=None):
         batch = jax.device_put(batch, batch_sharding(mesh))
-        return step(params, opt_state, key, batch)
+        if encoder_inputs is not None:
+            encoder_inputs = jax.device_put(encoder_inputs, batch_sharding(mesh))
+        return step(params, opt_state, key, batch, encoder_inputs)
+
+    return wrapped
+
+
+def make_sharded_eval_step(ssm, cfg: Config, mesh: Mesh):
+    """Evaluation (test ELBO + k-step R²) over the mesh: the test batch
+    shards over "data", particles over "particle" — same layout constraints
+    as training, so eval never silently falls back to a replicated run."""
+    from psvo_tpu.train import make_eval_step
+
+    ssm, cfg = prepare_sharded(ssm, cfg, mesh)
+    context.set_mesh(mesh)
+    step = make_eval_step(ssm, cfg)
+
+    def wrapped(params, key, ys, encoder_inputs=None):
+        ys = jax.device_put(ys, batch_sharding(mesh))
+        if encoder_inputs is not None:
+            encoder_inputs = jax.device_put(encoder_inputs, batch_sharding(mesh))
+        return step(params, key, ys, encoder_inputs)
 
     return wrapped
 

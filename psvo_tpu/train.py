@@ -125,13 +125,16 @@ def make_eval_step(ssm: SSM, cfg: Config) -> Callable:
         out = objective(params, key, ys, encoder_inputs)
         fwd = out.filter_result
         fm = filtered_means(fwd)  # [B, T, Dx]
-        preds = k_step_predictions(ssm, params, fm, k_max)
+        # horizons beyond the trajectory have no targets: k > T-1 would turn
+        # the `:T-k` slice negative and silently wrap (shape error / wrong R²)
+        k_max_eff = min(k_max, ys.shape[1] - 1)
+        preds = k_step_predictions(ssm, params, fm, k_max_eff)
 
         t_steps = ys.shape[1]
         var_y = jnp.var(ys, axis=(0, 1)).mean()
         r2 = []
         mse = []
-        for k in range(1, k_max + 1):
+        for k in range(1, k_max_eff + 1):
             err = preds[k - 1, :, : t_steps - k] - ys[:, k:]
             mse_k = jnp.mean(err**2)
             mse.append(mse_k)
@@ -174,16 +177,33 @@ class Trainer:
         ssm: SSM,
         params,
         *,
+        mesh=None,
         metrics_writer=None,
         checkpointer=None,
         profile_dir=None,
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-device run (cfg.mesh preset + enough devices): the train
+            # AND eval steps jit over the mesh — batch shards over "data",
+            # particles over "particle" (SURVEY.md §2-B / §7 M5).
+            from psvo_tpu.parallel import sharding
+
+            ssm, cfg = sharding.prepare_sharded(ssm, cfg, mesh)
         self.cfg = cfg
         self.ssm = ssm
         self.profile_dir = profile_dir  # jax.profiler trace target (SURVEY.md §5)
         self.optimizer = make_optimizer(cfg)
-        self.train_step = make_train_step(ssm, cfg, self.optimizer)
-        self.eval_step = make_eval_step(ssm, cfg)
+        if mesh is not None:
+            from psvo_tpu.parallel import sharding
+
+            self.train_step = sharding.make_sharded_train_step(
+                ssm, cfg, self.optimizer, mesh
+            )
+            self.eval_step = sharding.make_sharded_eval_step(ssm, cfg, mesh)
+        else:
+            self.train_step = make_train_step(ssm, cfg, self.optimizer)
+            self.eval_step = make_eval_step(ssm, cfg)
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params),

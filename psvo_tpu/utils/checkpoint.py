@@ -30,14 +30,21 @@ class Checkpointer:
     def save(self, state, force: bool = False) -> None:
         if state.step == self._last_saved and not force:
             return
+        # best_params must travel with best_elbo: restoring the threshold
+        # without the matching snapshot would end a resumed keep_best run on
+        # the last (possibly diverged) params. Saved as params when absent
+        # (has_best=0) to keep the payload structure static for Orbax.
+        has_best = state.best_params is not None
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
+            "best_params": state.best_params if has_best else state.params,
             "key_data": jax.random.key_data(state.key),
             "scalars": {
                 "step": np.array([state.step], np.int64),
                 "best_elbo": np.array([state.best_elbo], np.float64),
                 "evals_since_best": np.array([state.evals_since_best], np.int64),
+                "has_best": np.array([int(has_best)], np.int64),
             },
             "config_hash": np.frombuffer(
                 self.config_hash.encode().ljust(16), dtype=np.uint8
@@ -75,15 +82,34 @@ class Checkpointer:
         template = {
             "params": state.params,
             "opt_state": state.opt_state,
+            "best_params": state.params,
             "key_data": jax.random.key_data(state.key),
             "scalars": {
                 "step": np.zeros(1, np.int64),
                 "best_elbo": np.zeros(1, np.float64),
                 "evals_since_best": np.zeros(1, np.int64),
+                "has_best": np.zeros(1, np.int64),
             },
             "config_hash": np.zeros(16, dtype=np.uint8),
         }
-        restored = self.manager.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except Exception:
+            # round-1 checkpoints predate best_params/has_best: restore the
+            # fields that exist and reset the best-ELBO tracking to scratch.
+            legacy = dict(template)
+            legacy.pop("best_params")
+            legacy["scalars"] = {
+                k: v for k, v in template["scalars"].items() if k != "has_best"
+            }
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(legacy)
+            )
+            restored["best_params"] = None
+            restored["scalars"]["has_best"] = np.zeros(1, np.int64)
+            restored["scalars"]["best_elbo"] = np.array([-np.inf])
         saved_hash = bytes(np.asarray(restored["config_hash"])).rstrip().decode()
         if strict and saved_hash != self.config_hash:
             raise ValueError(
@@ -91,6 +117,11 @@ class Checkpointer:
             )
         state.params = restored["params"]
         state.opt_state = restored["opt_state"]
+        state.best_params = (
+            restored["best_params"]
+            if int(restored["scalars"]["has_best"][0])
+            else None
+        )
         state.key = jax.random.wrap_key_data(restored["key_data"])
         state.step = int(restored["scalars"]["step"][0])
         state.best_elbo = float(restored["scalars"]["best_elbo"][0])

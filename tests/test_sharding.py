@@ -89,6 +89,58 @@ def test_sharded_training_converges():
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+def test_cli_sharded_end_to_end(tmp_path, capsys):
+    """The reference's capability bar is 'run the experiment from the CLI'
+    (SURVEY.md §3.1): the sharded preset must build its mesh and train AND
+    eval through `cli train`, end to end, on the 8 virtual devices."""
+    from psvo_tpu import cli
+
+    rc = cli.main(
+        [
+            "train",
+            "--preset", "lorenz96_fivo_k8192_sharded",
+            "--steps", "6",
+            "--set", "smc.n_particles=32",
+            "--set", "data.dx=8", "--set", "data.dy=8",
+            "--set", "data.t_steps=6",
+            "--set", "data.n_train=8", "--set", "data.n_test=4",
+            "--set", "train.batch_size=4",
+            "--set", "train.eval_every=3", "--set", "train.save_every=100",
+            "--set", "use_pallas=false",
+            "--results-root", str(tmp_path),
+        ]
+    )
+    context.set_mesh(None)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mesh: data=1 x particle=8" in out  # the mesh was actually built
+    assert "test_elbo" in out  # sharded eval ran
+    runs = list(tmp_path.iterdir())
+    assert runs and (runs[0] / "history.json").exists()
+
+
+def test_eval_step_sharded():
+    """Sharded eval: same metrics as the single-device eval step."""
+    from psvo_tpu.train import make_eval_step
+
+    cfg = _cfg()
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ys = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
+    ref = make_eval_step(ssm, cfg)(params, jax.random.key(2), ys)
+
+    mesh = sharding.make_mesh(cfg)
+    ev = sharding.make_sharded_eval_step(ssm, cfg, mesh)(
+        params, jax.random.key(2), ys
+    )
+    context.set_mesh(None)
+    np.testing.assert_allclose(
+        float(ev["elbo"]), float(ref["elbo"]), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ev["r2_k"]), np.asarray(ref["r2_k"]), rtol=2e-4, atol=2e-4
+    )
+
+
 @pytest.mark.parametrize("objective", ["fivo", "psvo"])
 def test_sharded_train_step_runs(objective):
     from psvo_tpu.train import make_optimizer

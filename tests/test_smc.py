@@ -101,8 +101,10 @@ def test_grad_reverse_matches_forward_mode():
 
 def test_score_function_gradient_path():
     """use_stop_gradient=False adds the REINFORCE resampling term: loss value
-    must be unchanged, gradients must differ from the stop-gradient run."""
-    cfg, ssm, params, ys = _setup(objective="fivo")
+    must be unchanged, gradients must differ from the stop-gradient run.
+    Multinomial resampling only — the product-categorical ancestor density
+    the term uses doesn't exist for systematic resampling."""
+    cfg, ssm, params, ys = _setup(objective="fivo", resampling="multinomial")
     cfg_sf = dataclasses.replace(
         cfg, smc=dataclasses.replace(cfg.smc, use_stop_gradient=False)
     )
@@ -130,6 +132,18 @@ def test_score_function_gradient_path():
         assert all(
             np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(gs)
         )
+    # systematic resampling + the full gradient is a mis-specified estimator:
+    # construction must refuse it.
+    cfg_bad = _tiny_cfg(objective="fivo", resampling="systematic")
+    cfg_bad = dataclasses.replace(
+        cfg_bad, smc=dataclasses.replace(cfg_bad.smc, use_stop_gradient=False)
+    )
+    ssm_bad, _ = init_ssm(cfg_bad, jax.random.key(0))
+    try:
+        make_objective(ssm_bad, cfg_bad)
+        assert False, "expected ValueError for systematic + use_stop_gradient=False"
+    except ValueError:
+        pass
 
 
 def test_bootstrap_mode_runs():

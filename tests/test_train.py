@@ -62,8 +62,9 @@ def test_checkpoint_roundtrip(tmp_path):
     cfg = _cfg("fivo")
     ssm, params = init_ssm(cfg, jax.random.key(0))
     opt = make_optimizer(cfg)
+    best = jax.tree_util.tree_map(lambda a: a + 1.0, params)
     state = TrainState(params, opt.init(params), jax.random.key(5), step=17,
-                       best_elbo=-3.5, evals_since_best=2)
+                       best_elbo=-3.5, evals_since_best=2, best_params=best)
     ck = Checkpointer(tmp_path / "ck", cfg.config_hash())
     ck.save(state, force=True)
 
@@ -80,6 +81,21 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # best_params travels with best_elbo: a resumed keep_best run must be able
+    # to end on the best snapshot, not the last params (ADVICE r1)
+    assert restored.best_params is not None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(best),
+        jax.tree_util.tree_leaves(restored.best_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a state saved WITHOUT a best snapshot restores best_params=None
+    state_nb = TrainState(params, opt.init(params), jax.random.key(5), step=18)
+    ck.save(state_nb, force=True)
+    restored_nb = Checkpointer(tmp_path / "ck", cfg.config_hash()).restore(
+        TrainState(params, opt.init(params), jax.random.key(0))
+    )
+    assert restored_nb.best_params is None
     # wrong config hash must refuse
     with pytest.raises(ValueError):
         Checkpointer(tmp_path / "ck", "deadbeef0000").restore(fresh)
