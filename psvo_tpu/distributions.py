@@ -59,6 +59,19 @@ def mvn_diag_log_prob(x: jax.Array, mean: jax.Array, scale: jax.Array) -> jax.Ar
     return jnp.maximum(logp, _MIN_LOGP)
 
 
+def mvn_diag_log_prob_cm(x: jax.Array, mean: jax.Array, scale: jax.Array) -> jax.Array:
+    """`mvn_diag_log_prob` in channel-major layout: event axis at -2.
+
+    The forward filter stores particles as [B, D, K] so the K axis rides the
+    128-lane dimension and tiny D pads only to the 8-sublane width (the
+    [B, K, D] layout padded D to 128 lanes — up to 64× wasted HBM bytes on
+    every particle tensor; measured as the B=32→128 throughput regression).
+    """
+    z = (x - mean) / scale
+    logp = jnp.sum(-0.5 * z * z - jnp.log(scale) - _HALF_LOG_2PI, axis=-2)
+    return jnp.maximum(logp, _MIN_LOGP)
+
+
 def mvn_product(
     mean_a: jax.Array,
     scale_a: jax.Array,
@@ -117,6 +130,13 @@ def poisson_log_prob(y: jax.Array, log_rate: jax.Array) -> jax.Array:
     log_rate = jnp.clip(log_rate, -80.0, 80.0)
     rate = jnp.exp(log_rate)
     return jnp.sum(y * log_rate - rate - jax.lax.lgamma(y + 1.0), axis=-1)
+
+
+def poisson_log_prob_cm(y: jax.Array, log_rate: jax.Array) -> jax.Array:
+    """`poisson_log_prob` with the event axis at -2 (channel-major layout)."""
+    log_rate = jnp.clip(log_rate, -80.0, 80.0)
+    rate = jnp.exp(log_rate)
+    return jnp.sum(y * log_rate - rate - jax.lax.lgamma(y + 1.0), axis=-2)
 
 
 def poisson_sample(key: jax.Array, log_rate: jax.Array) -> jax.Array:

@@ -45,7 +45,13 @@ def filter_posterior(
     )
     means = filtered_means(fwd)
     if return_particles:
-        return means, jnp.swapaxes(fwd.xs, 0, 1), jnp.swapaxes(fwd.logws, 0, 1)
+        # internal cache is channel-major [T, B, Dx, K]; the public API keeps
+        # the reference-style [B, T, K, Dx] (cold path, one-off transpose)
+        return (
+            means,
+            jnp.transpose(fwd.xs, (1, 0, 3, 2)),
+            jnp.swapaxes(fwd.logws, 0, 1),
+        )
     return means
 
 

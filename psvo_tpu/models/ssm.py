@@ -201,6 +201,95 @@ class SSM:
             mean_q, scale_q = m1, s1
         return mean_q, scale_q, mean_f, scale_f
 
+    # -- channel-major variants (the forward filter's hot path) ---------------
+    #
+    # The filter keeps particle tensors as [B, Dx, K] — K on the 128-lane
+    # axis, the tiny feature dim on sublanes (see
+    # distributions.mvn_diag_log_prob_cm for the layout rationale). These
+    # methods mirror their feature-last counterparts above, which remain for
+    # the cold paths (backward smoothing over M≈16 draws, k-step eval,
+    # data generation).
+
+    def _mean_scale_cm(self, net: Params, cfg: NetConfig, x: jax.Array):
+        return networks.mlp_mean_scale_cm(
+            net,
+            x,
+            activation=cfg.activation,
+            sigma_min=cfg.sigma_min,
+            bf16=self.bf16_matmuls,
+        )
+
+    def prior_log_prob_cm(self, params: Params, x: jax.Array) -> jax.Array:
+        """x [..., Dx, K] -> [..., K]."""
+        mean, scale = self.prior_params(params)
+        return dist.mvn_diag_log_prob_cm(x, mean[:, None], scale[:, None])
+
+    def transition_params_cm(self, params: Params, x_prev: jax.Array):
+        """x_prev [..., Dx, K] -> (mean, scale) [..., Dx, K]."""
+        return self._mean_scale_cm(params["f"], self.nets["f"], x_prev)
+
+    def step_heads_cm(self, params: Params, x_prev: jax.Array, y_t: jax.Array):
+        """Channel-major `step_heads`: x_prev [B, Dx, K], y_t [B, E] ->
+        (mean_q, scale_q, mean_f, scale_f), each [B, Dx, K].
+
+        The encoder head q2 runs feature-last on the [B, E] observation (one
+        row per trajectory — no K broadcast ever materializes) and joins the
+        fusion as [B, Dx, 1].
+        """
+        if self.use_bootstrap:
+            mean_f, scale_f = self.transition_params_cm(params, x_prev)
+            return mean_f, scale_f, mean_f, scale_f
+
+        q1_cfg, f_cfg = self.nets["q1"], self.nets["f"]
+        stackable = (
+            q1_cfg.hidden == f_cfg.hidden
+            and q1_cfg.activation == f_cfg.activation
+            and q1_cfg.cov_type == f_cfg.cov_type == "const"
+            and q1_cfg.sigma_min == f_cfg.sigma_min
+        )
+        if stackable:
+            stacked = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), params["q1"], params["f"]
+            )
+            means, scales = jax.vmap(
+                lambda net: networks.mlp_mean_scale_cm(
+                    net,
+                    x_prev,
+                    activation=q1_cfg.activation,
+                    sigma_min=q1_cfg.sigma_min,
+                    bf16=self.bf16_matmuls,
+                )
+            )(stacked)
+            m1, s1 = means[0], scales[0]
+            mean_f, scale_f = means[1], scales[1]
+        else:
+            m1, s1 = self._mean_scale_cm(params["q1"], q1_cfg, x_prev)
+            mean_f, scale_f = self.transition_params_cm(params, x_prev)
+
+        if self.use_2q:
+            m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)  # [B, Dx]
+            mean_q, scale_q = dist.mvn_product(
+                m1, s1, m2[..., None], s2[..., None]
+            )
+        else:
+            mean_q, scale_q = m1, s1
+        return mean_q, scale_q, mean_f, scale_f
+
+    def emission_log_prob_cm(
+        self, params: Params, x: jax.Array, y: jax.Array
+    ) -> jax.Array:
+        """x [B, Dx, K], y [B, Dy] -> [B, K]."""
+        if self.emission == "poisson":
+            log_rate = networks.mlp_mean_cm(
+                params["g"],
+                x,
+                activation=self.nets["g"].activation,
+                bf16=self.bf16_matmuls,
+            )
+            return dist.poisson_log_prob_cm(y[..., :, None], log_rate)
+        mean, scale = self._mean_scale_cm(params["g"], self.nets["g"], x)
+        return dist.mvn_diag_log_prob_cm(y[..., :, None], mean, scale)
+
     # -- transition / emission -------------------------------------------------
 
     def transition_params(self, params: Params, x_prev: jax.Array):

@@ -149,5 +149,71 @@ def mlp_mean_scale(
     return mean, scale
 
 
+# ---------------------------------------------------------------------------
+# Channel-major apply: features on axis -2, particles on the last (lane) axis.
+#
+# The forward filter keeps particle tensors as [B, D, K] (see
+# distributions.mvn_diag_log_prob_cm for the layout rationale), so the dense
+# chain contracts the -2 axis: out[..., e, k] = Σ_d w[d, e] · h[..., d, k].
+# Per batch row this is exactly the MXU-native [E, D] × [D, K] product with K
+# on lanes — no lane padding of the tiny feature dim anywhere in the chain.
+# ---------------------------------------------------------------------------
+
+
+def _dense_cm(h: jax.Array, w: jax.Array, b: jax.Array, bf16: bool) -> jax.Array:
+    """One dense layer over the -2 (channel) axis: [..., Din, K] -> [..., Dout, K]."""
+    if bf16:
+        out = jnp.einsum(
+            "de,...dk->...ek",
+            w.astype(jnp.bfloat16),
+            h.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.einsum("de,...dk->...ek", w, h, preferred_element_type=jnp.float32)
+    return out + b[..., :, None]
+
+
+def mlp_features_cm(
+    params: Params, x: jax.Array, activation: str = "relu", bf16: bool = False
+) -> jax.Array:
+    act = _ACTIVATIONS[activation]
+    h = x
+    for w, b in params["layers"]:
+        h = act(_dense_cm(h, w, b, bf16))
+    return h
+
+
+def mlp_mean_cm(
+    params: Params, x: jax.Array, activation: str = "relu", bf16: bool = False
+) -> jax.Array:
+    h = mlp_features_cm(params, x, activation, bf16)
+    w, b = params["mean"]
+    return _dense_cm(h, w, b, bf16)
+
+
+def mlp_mean_scale_cm(
+    params: Params,
+    x: jax.Array,
+    activation: str = "relu",
+    sigma_min: float = 1e-3,
+    bf16: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Channel-major (mean, scale): [..., Din, K] -> 2× [..., Dout, K]."""
+    h = mlp_features_cm(params, x, activation, bf16)
+    w, b = params["mean"]
+    mean = _dense_cm(h, w, b, bf16)
+    if "raw_scale" in params:
+        scale = jnp.broadcast_to(
+            scale_from_raw(params["raw_scale"], sigma_min)[..., :, None], mean.shape
+        )
+    elif "scale_head" in params:
+        ws, bs = params["scale_head"]
+        scale = scale_from_raw(_dense_cm(h, ws, bs, bf16), sigma_min)
+    else:
+        raise ValueError("network has no scale parameterization (cov_type='none')")
+    return mean, scale
+
+
 def count_params(params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))

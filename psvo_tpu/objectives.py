@@ -51,7 +51,12 @@ import jax
 import jax.numpy as jnp
 
 from psvo_tpu.config import Config
-from psvo_tpu.distributions import log_normalize, mvn_diag_log_prob
+from psvo_tpu.distributions import (
+    _HALF_LOG_2PI,
+    _MIN_LOGP,
+    log_normalize,
+    mvn_diag_log_prob,
+)
 from psvo_tpu.models.ssm import SSM
 from psvo_tpu.smc import FilterResult, forward_filter
 
@@ -69,16 +74,28 @@ class ObjectiveOutput:
 def _pairwise_transition_logp(
     ssm: SSM, params, x_support: jax.Array, x_query: jax.Array
 ) -> jax.Array:
-    """log f(x_query^m | x_support^j) for all (m, j): [B,M,Dx],[B,K,Dx] -> [B,M,K].
+    """log f(x_query^m | x_support^j) for all (m, j):
+    x_support [B,Dx,K] (channel-major), x_query [B,M,Dx] -> [B,M,K].
 
-    One batched MLP forward over the K support points, then a broadcasted
-    diagonal-Gaussian density — the O(K·M) inner loop of FFBSi (SURVEY.md
-    §3.3) expressed as pure tensor ops.
+    The O(K·M·D) inner loop of FFBSi (SURVEY.md §3.3 "THE hot spot of PSVO").
+    One batched MLP forward over the K support points gives (m, s) [B,Dx,K];
+    then, with r = 1/s², the squared Mahalanobis term expands into three MXU
+    contractions over d instead of a broadcast [B,M,K,D] tensor:
+
+        Σ_d (q_d − m_dj)²·r_dj = Σ_d q_d²·r_dj − 2·Σ_d q_d·(m·r)_dj + Σ_d m²r
+
+    — round-1 ROADMAP #4 ("fused pairwise density kernel") realized as plain
+    dot_generals riding the MXU; no Pallas needed.
     """
-    mean, scale = ssm.transition_params(params, x_support)  # [B, K, Dx]
-    return mvn_diag_log_prob(
-        x_query[:, :, None, :], mean[:, None, :, :], scale[:, None, :, :]
-    )
+    mean, scale = ssm.transition_params_cm(params, x_support)  # [B, Dx, K]
+    r = 1.0 / (scale * scale)
+    t1 = jnp.einsum("bmd,bdk->bmk", x_query * x_query, r)
+    t2 = jnp.einsum("bmd,bdk->bmk", x_query, mean * r)
+    t3 = jnp.sum(mean * mean * r, axis=-2)[:, None, :]  # [B, 1, K]
+    logdet = jnp.sum(jnp.log(scale), axis=-2)[:, None, :]
+    d = x_query.shape[-1]
+    logp = -0.5 * (t1 - 2.0 * t2 + t3) - logdet - d * _HALF_LOG_2PI
+    return jnp.maximum(logp, _MIN_LOGP)
 
 
 def _predictive_mixture_logp(
@@ -95,8 +112,8 @@ def _sample_final_particles(key, fwd: FilterResult, m: int):
     logw_norm, _ = log_normalize(fwd.logw_last, axis=-1)  # [B, K]
     idx = jax.random.categorical(key, logw_norm[None], axis=-1, shape=(m, logw_norm.shape[0]))
     idx = jnp.swapaxes(idx, 0, 1)  # [B, M]
-    x_t = jnp.take_along_axis(fwd.x_last, idx[..., None], axis=1)  # [B, M, Dx]
-    return x_t, idx
+    x_t = jnp.take_along_axis(fwd.x_last, idx[:, None, :], axis=-1)  # [B, Dx, M]
+    return jnp.swapaxes(x_t, -1, -2), idx  # [B, M, Dx]
 
 
 def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
@@ -148,13 +165,15 @@ def _make_ffbsi_body(ssm: SSM, params):
 
     def body(carry, inputs):
         x_next, logp = carry
-        x_t_support, logw_t, y_t, k_t = inputs  # [B,K,Dx], [B,K], [B,Dy], key
+        x_t_support, logw_t, y_t, k_t = inputs  # [B,Dx,K], [B,K], [B,Dy], key
 
         logw_norm, _ = log_normalize(logw_t, axis=-1)  # [B, K]
         pair = _pairwise_transition_logp(ssm, params, x_t_support, x_next)
         logits = pair + logw_norm[:, None, :]  # [B, M, K] backward weights
         idx = jax.random.categorical(k_t, logits, axis=-1)  # [B, M]
-        x_t = jnp.take_along_axis(x_t_support, idx[..., None], axis=1)
+        x_t = jnp.swapaxes(
+            jnp.take_along_axis(x_t_support, idx[:, None, :], axis=-1), -1, -2
+        )  # [B, M, Dx]
 
         logp = (
             logp

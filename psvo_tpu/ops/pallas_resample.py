@@ -1,22 +1,41 @@
-"""Branch-free Pallas resampling kernel: normalize + cumsum + inverse-CDF.
+"""Fused Pallas resampling kernel: normalize + cumsum + banded inverse-CDF + gather.
 
 The north-star op (BASELINE.json): "resampling (multinomial + systematic)
 becomes a branch-free Pallas cumsum+searchsorted gather so the data-dependent
-ancestor selection stays on-device". One kernel per batch-row block fuses what
-the jnp path runs as ~5 separate HLOs (max, exp, sum, cumsum, searchsorted):
+ancestor selection stays on-device". One kernel fuses what the jnp path runs
+as ~5 separate HLOs (max, exp, sum, cumsum, searchsorted, gather).
 
-- log-weights normalize in VMEM (max-shifted exp, sum);
-- inclusive cumulative sum via branch-free log-step doubling (shift-and-add
-  with an iota mask — `jnp.cumsum` is not guaranteed to lower in Mosaic);
-- ancestor indices by *compare-and-count*: a_i = Σ_j 1[cumw_j ≤ u_i],
-  evaluated in (query-tile × support-tile) blocks on the VPU — no binary
-  search, no data-dependent control flow, fully vectorized.
+Channel-major layout: particles are [B, D, K] with K on the 128-lane axis and
+the tiny feature dim on sublanes (see distributions.mvn_diag_log_prob_cm).
+This is what unlocks large K entirely in VMEM: a [R, D_TILE, K] block at
+K=8192 is 2 MB — the round-1 [R, K, D] layout lane-padded D to 128 and capped
+any whole-row kernel at K≈2048.
 
-O(K²/8·128) VPU work per row: the right trade below K ≈ 2048 where the whole
-row fits VMEM and the quadratic term is cheaper than XLA's sort-based merge.
-Larger K falls back to the jnp path (`psvo_tpu.ops.resampling`). The gather
-itself stays outside the kernel — XLA's take_along_axis is already a single
-efficient dynamic-gather HLO.
+Algorithm (per batch row-block, everything in VMEM):
+
+1. log-weights normalize (max-shifted exp) + inclusive cumulative sum via
+   branch-free log-step doubling (`jnp.cumsum` is not guaranteed in Mosaic);
+2. **banded** inverse-CDF: both sequences are sorted (the CDF by
+   construction; systematic positions are affine, multinomial draws are
+   pre-sorted), so a 128-query tile only intersects the support tiles between
+   the CDF ranks of its first and last query. Two O(K) full-row counts give
+   the band, then a `fori_loop` over just the in-band tiles does the
+   compare-and-count  a_i = Σ_j 1[cumw_j ≤ u_i].  Work is O(K·band) ≈ O(K) —
+   the round-1 quadratic kernel evaluated all (K/128)² tile pairs;
+3. the gather is an exact one-hot contraction on the MXU:
+   out[d, q] = Σ_s 1[a_q == s] · x[d, s], accumulated over in-band support
+   tiles only. Profiling round 1 showed XLA's dynamic gather at 0.22 ms/step
+   — over half the whole SMC step at K=1024.
+
+The D axis is tiled over the grid (last-fastest), so large-D states (e.g.
+Lorenz-96, D=40) stream through the same kernel; ancestor indices are
+computed once per batch block (first D step) and re-read from the output
+buffer, which Pallas keeps resident across grid steps of the same block.
+
+The custom VJP is a second banded kernel: the transpose one-hot contraction
+dx[d, s] = Σ_q 1[a_q == s] · g[d, q] (offspring copy cotangents back to
+their ancestor — the reparameterized path FIVO keeps; d/d logw and d/d u are
+zero: stop-gradient through the discrete choice, SURVEY.md §3.2).
 
 Equivalence with the jnp path is tested in interpret mode on CPU and (when a
 TPU is attached) compiled, in tests/test_pallas.py.
@@ -35,26 +54,14 @@ from psvo_tpu.ops import resampling as jnp_resampling
 ENABLE = True
 _INTERPRET = False  # flipped by tests to run on CPU
 
-ROW_BLOCK = 8  # batch rows per kernel instance (sublane width)
-MAX_K = 2048  # above this the quadratic compare-count loses to XLA's sort
-QUERY_TILE = 128
-
-
-def _rows_per_block(batch: int, k: int) -> int:
-    """Batch rows per kernel instance for the D-carrying (gather/scatter)
-    kernels.
-
-    R is pinned to the sublane width 8: Mosaic requires the second-to-last
-    block dim of the 2-D (logw/u) refs to be divisible by 8 (or be the full
-    axis), and `_fused_usable` already gates on `batch % ROW_BLOCK == 0`, so
-    the full-batch return below is only reached by non-fused callers.
-    VMEM accounting at the R=8 / K=1024 ceiling: the [R, K, D] buffers
-    lane-pad D to 128 → 4 MB per buffer; with in/out + double buffering this
-    presses the 16 MB budget, which is why MAX_K stops at 2048 for the 2-D
-    kernels and the D-carrying fused path is only enabled where measured to
-    fit (tests/test_pallas.py exercises the compiled kernel at the ceiling).
-    """
-    return 8 if batch % 8 == 0 else batch
+ROW_BLOCK = 8  # batch rows per block (Mosaic sublane constraint on 2-D refs)
+D_TILE = 8  # feature sublanes per grid step of the D axis
+Q = 128  # query/support tile width (lane width)
+# VMEM ceiling: x in+out blocks [8, 8, K] are 2 MB each at K=8192; with
+# pipelining double-buffers plus the [8, K] weight/position/index buffers the
+# budget tops out just under 16 MB. Larger K falls back to the jnp path
+# (histogram + XLA gather).
+MAX_K = 8192
 
 
 def _on_tpu() -> bool:
@@ -62,6 +69,20 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _usable(batch: int, k: int) -> bool:
+    return (
+        ENABLE
+        and (_on_tpu() or _INTERPRET)
+        and k % Q == 0
+        and k <= MAX_K
+        and batch % ROW_BLOCK == 0
+    )
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 def _doubling_cumsum(w: jax.Array) -> jax.Array:
@@ -81,112 +102,131 @@ def _doubling_cumsum(w: jax.Array) -> jax.Array:
     return out
 
 
-def _kernel(k: int, method: str, logw_ref, u_ref, idx_ref):
-    """logw [R, K] f32, u [R, K] f32 (quantile positions) -> idx [R, K] i32."""
-    logw = logw_ref[:]
-    m = jnp.max(logw, axis=-1, keepdims=True)
-    w = jnp.exp(logw - m)
-    cumw = _doubling_cumsum(w)
-    total = cumw[:, -1:]  # normalizer: cumw becomes the CDF
-    u = u_ref[:] * total  # compare u*total <= cumw instead of dividing K values
-
-    # compare-and-count in query tiles: a_i = sum_j [cumw_j <= u_i]
-    for q0 in range(0, k, QUERY_TILE):
-        u_tile = u[:, q0 : q0 + QUERY_TILE]  # [R, Q]
-        # [R, Q, K] boolean is too big; accumulate over support tiles instead
-        count = jnp.zeros(u_tile.shape, jnp.int32)
-        for s0 in range(0, k, QUERY_TILE):
-            c_tile = cumw[:, s0 : s0 + QUERY_TILE]  # [R, S]
-            le = c_tile[:, None, :] <= u_tile[:, :, None]  # [R, Q, S]
-            count = count + jnp.sum(le.astype(jnp.int32), axis=-1)
-        idx_ref[:, q0 : q0 + QUERY_TILE] = jnp.minimum(count, k - 1)
+def _count_le(cumw: jax.Array, bound: jax.Array) -> jax.Array:
+    """#{j : C_j <= bound} per row. cumw [R,K], bound [R,1] -> [R,1] i32."""
+    return jnp.sum((cumw <= bound).astype(jnp.int32), axis=-1, keepdims=True)
 
 
-def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref):
-    """Fused inverse-CDF + particle gather (the north-star op end-to-end).
+def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref, cumw_s):
+    """One batch row-block × one D tile.
 
-    logw [R,K], u [R,K], x [R,K,D] -> idx [R,K] i32, x_out [R,K,D].
-
-    The gather is an exact one-hot contraction: after counting ancestor
-    indices a_i, the selection matrix M_ij = [a_i == j] (built per tile with
-    broadcasted iota — branch-free) contracts against the particles:
-    out[q, d] = Σ_s M[q, s] x[s, d]. Profiling showed XLA's dynamic gather at
-    0.22 ms/step — over half the whole SMC step — while this contraction is
-    ordinary VPU/MXU work on data already in VMEM.
+    logw/u [R, K]; x [R, DT, K]; outputs idx [R, K] i32 (written on the first
+    D step, re-read after), x_out [R, DT, K]; cumw_s [R, K] f32 scratch.
     """
-    logw = logw_ref[:]
-    m = jnp.max(logw, axis=-1, keepdims=True)
-    w = jnp.exp(logw - m)
-    cumw = _doubling_cumsum(w)
-    total = cumw[:, -1:]
-    u = u_ref[:] * total
+    from jax.experimental import pallas as pl
 
-    for q0 in range(0, k, QUERY_TILE):
-        u_tile = u[:, q0 : q0 + QUERY_TILE]  # [R, Q]
-        count = jnp.zeros(u_tile.shape, jnp.int32)
-        for s0 in range(0, k, QUERY_TILE):
-            c_tile = cumw[:, s0 : s0 + QUERY_TILE]
-            le = c_tile[:, None, :] <= u_tile[:, :, None]
-            count = count + jnp.sum(le.astype(jnp.int32), axis=-1)
-        idx = jnp.minimum(count, k - 1)  # [R, Q]
-        idx_ref[:, q0 : q0 + QUERY_TILE] = idx
+    r = logw_ref.shape[0]
+    nq = k // Q
+    d_step = pl.program_id(1)
 
-        # one-hot gather: accumulate over support tiles
-        acc = jnp.zeros((*u_tile.shape, x_ref.shape[-1]), jnp.float32)  # [R,Q,D]
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, QUERY_TILE), 2)
-        for s0 in range(0, k, QUERY_TILE):
-            onehot = (idx[:, :, None] == (col + s0)).astype(jnp.float32)  # [R,Q,S]
-            x_tile = x_ref[:, s0 : s0 + QUERY_TILE, :]  # [R,S,D]
-            acc = acc + jax.lax.dot_general(
-                onehot,
+    # ---- Pass 1 (first D step only): CDF + banded inverse-CDF indices.
+    @pl.when(d_step == 0)
+    def _():
+        logw = logw_ref[:]
+        m = jnp.max(logw, axis=-1, keepdims=True)
+        w = jnp.exp(logw - m)
+        cumw = _doubling_cumsum(w)
+        cumw_s[:] = cumw
+        # compare u*total <= cumw instead of dividing the K-vector
+        u = u_ref[:] * cumw[:, -1:]
+
+        for t in range(nq):
+            u_tile = u[:, t * Q : (t + 1) * Q]  # [R, Q]
+            base = _count_le(cumw, u_tile[:, :1])  # rank of the first query
+            hi = _count_le(cumw, u_tile[:, -1:])  # rank of the last query
+            lo_t = jnp.min(base) // Q  # scalar band bounds over the row block
+            hi_t = jnp.maximum(jnp.max(hi) - 1, 0) // Q
+
+            def body(s, cnt, u_tile=u_tile):
+                c = cumw_s[:, pl.ds(pl.multiple_of(s * Q, Q), Q)]  # [R, S]
+                le = c[:, None, :] <= u_tile[:, :, None]  # [R, Q, S]
+                return cnt + jnp.sum(le.astype(jnp.int32), axis=-1)
+
+            # tiles below the band contribute Q each; in-band tiles counted
+            cnt = jax.lax.fori_loop(
+                lo_t, hi_t + 1, body, jnp.zeros((r, Q), jnp.int32)
+            )
+            idx_ref[:, t * Q : (t + 1) * Q] = jnp.minimum(Q * lo_t + cnt, k - 1)
+
+    # ---- Pass 2 (every D step): banded one-hot gather for this feature tile.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Q), 2)
+    for t in range(nq):
+        idx_t = idx_ref[:, t * Q : (t + 1) * Q]  # [R, Q] (resident block)
+        lo_t = jnp.min(idx_t) // Q
+        hi_t = jnp.max(idx_t) // Q
+
+        def body(s, acc, idx_t=idx_t):
+            onehot = (idx_t[:, :, None] == (col + s * Q)).astype(jnp.float32)
+            x_tile = x_ref[:, :, pl.ds(pl.multiple_of(s * Q, Q), Q)]  # [R, DT, S]
+            return acc + jax.lax.dot_general(
                 x_tile,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                onehot,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[:, q0 : q0 + QUERY_TILE, :] = acc
+
+        acc = jax.lax.fori_loop(
+            lo_t,
+            hi_t + 1,
+            body,
+            jnp.zeros((r, x_ref.shape[1], Q), jnp.float32),
+        )
+        out_ref[:, :, t * Q : (t + 1) * Q] = acc
 
 
-def _scatter_kernel(k: int, idx_ref, g_ref, out_ref):
-    """Transpose of the one-hot gather: out[s, d] = Σ_q [idx_q == s] g[q, d].
+def _scatter_kernel(k: int, idx_ref, g_ref, dx_ref):
+    """Transpose of the one-hot gather: dx[d, s] = Σ_q 1[idx_q == s] · g[d, q].
 
-    The VJP of `resample_and_gather` w.r.t. the particles — a segment-sum over
-    offspring, built from the same branch-free one-hot tiles.
+    Ancestor indices are monotone (positions are sorted), so the queries
+    hitting a support tile form a contiguous band — found with two O(K)
+    full-row counts per support tile, then accumulated tile-by-tile.
     """
-    idx = idx_ref[:]
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, QUERY_TILE, 1), 1)
-    for s0 in range(0, k, QUERY_TILE):
-        acc = jnp.zeros((idx.shape[0], QUERY_TILE, g_ref.shape[-1]), jnp.float32)
-        for q0 in range(0, k, QUERY_TILE):
-            idx_tile = idx[:, q0 : q0 + QUERY_TILE]  # [R, Q]
-            onehot_t = (idx_tile[:, None, :] == (row + s0)).astype(
-                jnp.float32
-            )  # [R, S, Q]: onehot_t[r, s, q] = [idx_q == s0+s]
-            g_tile = g_ref[:, q0 : q0 + QUERY_TILE, :]  # [R, Q, D]
-            acc = acc + jax.lax.dot_general(
-                onehot_t,
-                g_tile,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    from jax.experimental import pallas as pl
+
+    r = idx_ref.shape[0]
+    nq = k // Q
+    idx_all = idx_ref[:]
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, Q, 1), 1)
+
+    for st in range(nq):
+        in_lo = jnp.sum((idx_all < st * Q).astype(jnp.int32), axis=-1)  # [R]
+        in_hi = jnp.sum((idx_all < (st + 1) * Q).astype(jnp.int32), axis=-1)
+        lo_t = jnp.min(in_lo) // Q
+        hi_t = (jnp.max(in_hi) - 1) // Q  # < lo_t when the tile has no queries
+
+        def body(qt, acc):
+            q0 = pl.multiple_of(qt * Q, Q)
+            idx_t = idx_ref[:, pl.ds(q0, Q)]  # [R, Q]
+            g_t = g_ref[:, :, pl.ds(q0, Q)]  # [R, DT, Q]
+            onehot = (idx_t[:, None, :] == (srow + st * Q)).astype(jnp.float32)
+            return acc + jax.lax.dot_general(
+                g_t,
+                onehot,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[:, s0 : s0 + QUERY_TILE, :] = acc
+
+        acc = jax.lax.fori_loop(
+            lo_t,
+            hi_t + 1,
+            body,
+            jnp.zeros((r, g_ref.shape[1], Q), jnp.float32),
+        )
+        dx_ref[:, :, st * Q : (st + 1) * Q] = acc
 
 
-def _fused_usable(batch: int, k: int) -> bool:
-    return (
-        ENABLE
-        and (_on_tpu() or _INTERPRET)
-        and k <= MAX_K
-        and k % QUERY_TILE == 0
-        and batch % ROW_BLOCK == 0
-    )
+def _indices_jnp(u: jax.Array, logw: jax.Array) -> jax.Array:
+    logw_norm, _ = jnp_resampling.log_normalize(logw, axis=-1)
+    cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
+    return jnp_resampling.inverse_cdf_indices(cumw, u)
 
 
 @jax.custom_vjp
 def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
-    """Fused inverse-CDF resampling + particle gather.
+    """Fused inverse-CDF resampling + particle gather (channel-major).
 
-    u [B,K] sorted quantile positions, logw [B,K], x [B,K,D]
-    -> (idx [B,K] i32, x_res [B,K,D]).
+    u [B,K] sorted quantile positions, logw [B,K], x [B,D,K]
+    -> (idx [B,K] i32, x_res [B,D,K]).
 
     Gradient semantics: d x_res/d x is the exact selection matrix (offspring
     copy gradients back to their ancestor — the reparameterized path FIVO
@@ -197,38 +237,46 @@ def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
     from jax.experimental.pallas import tpu as pltpu
 
     batch, k = logw.shape
-    d = x.shape[-1]
-    if not _fused_usable(batch, k):
-        idx = resample_indices_from_positions(u, logw)
+    d = x.shape[-2]
+    if not _usable(batch, k):
+        idx = _indices_jnp(u, logw)
         return idx, jnp_resampling.gather_particles(x, idx)
 
-    r = _rows_per_block(batch, k)
-    return pl.pallas_call(
+    dp = _round_up(d, D_TILE)
+    x_p = jnp.pad(x, ((0, 0), (0, dp - d), (0, 0))) if dp != d else x
+    r = ROW_BLOCK
+    idx, out = pl.pallas_call(
         functools.partial(_fused_kernel, k),
-        grid=(batch // r,),
+        grid=(batch // r, dp // D_TILE),
         in_specs=[
-            pl.BlockSpec((r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, k), lambda b, dd: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, k), lambda b, dd: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (r, D_TILE, k), lambda b, dd: (b, dd, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, k), lambda b, dd: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (r, D_TILE, k), lambda b, dd: (b, dd, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, k), jnp.int32),
-            jax.ShapeDtypeStruct((batch, k, d), jnp.float32),
+            jax.ShapeDtypeStruct((batch, dp, k), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((r, k), jnp.float32)],
         interpret=_INTERPRET,
-    )(logw, u, x)
+    )(logw, u, x_p)
+    return idx, out[:, :d, :] if dp != d else out
 
 
 def _rg_fwd(u, logw, x):
     idx, x_res = resample_and_gather(u, logw, x)
     # Named residual: without it, jax.checkpoint re-runs this whole kernel in
-    # the backward just to rebuild idx for the scatter VJP (measured: the
-    # rematted pallas_call dominated the backward and its lane-padded scoped
-    # buffers OOM'd VMEM at B=64). idx is [B,K] i32 — cheap to save.
+    # the backward just to rebuild idx for the scatter VJP (measured in round
+    # 1: the rematted pallas_call dominated the backward). idx is [B,K] i32 —
+    # cheap to save.
     idx = _checkpoint_name(idx, "resample_idx")
     return (idx, x_res), (u, logw, idx)
 
@@ -240,98 +288,38 @@ def _rg_bwd(res, cots):
     u, logw, idx = res
     _, g_x = cots  # cotangent of idx is int/zero
     batch, k = idx.shape
-    d = g_x.shape[-1]
-    if not _fused_usable(batch, k):
-        dx = jnp.zeros_like(g_x).at[
-            jnp.arange(batch)[:, None], idx
-        ].add(g_x)
+    d = g_x.shape[-2]
+    if not _usable(batch, k):
+        # cm scatter-add: dx[b, :, idx[b, q]] += g[b, :, q]
+        dx = (
+            jnp.zeros_like(g_x)
+            .at[jnp.arange(batch)[:, None], :, idx]
+            .add(jnp.swapaxes(g_x, -1, -2))
+        )
     else:
-        r = _rows_per_block(batch, k)
+        dp = _round_up(d, D_TILE)
+        g_p = (
+            jnp.pad(g_x, ((0, 0), (0, dp - d), (0, 0))) if dp != d else g_x
+        )
+        r = ROW_BLOCK
         dx = pl.pallas_call(
             functools.partial(_scatter_kernel, k),
-            grid=(batch // r,),
+            grid=(batch // r, dp // D_TILE),
             in_specs=[
-                pl.BlockSpec((r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, k), lambda b, dd: (b, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (r, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    (r, D_TILE, k), lambda b, dd: (b, dd, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (r, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (r, D_TILE, k), lambda b, dd: (b, dd, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((batch, k, d), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((batch, dp, k), jnp.float32),
             interpret=_INTERPRET,
-        )(idx, g_x)
+        )(idx, g_p)
+        if dp != d:
+            dx = dx[:, :d, :]
     return jnp.zeros_like(u), jnp.zeros_like(logw), dx
 
 
 resample_and_gather.defvjp(_rg_fwd, _rg_bwd)
-
-
-def resample_indices_from_positions(u: jax.Array, logw: jax.Array) -> jax.Array:
-    """Ancestor indices [B, K] from [B, K] quantile positions."""
-    batch, k = logw.shape
-    usable = (
-        ENABLE
-        and (_on_tpu() or _INTERPRET)
-        and k <= MAX_K
-        and k % QUERY_TILE == 0
-        and batch % ROW_BLOCK == 0
-    )
-    if not usable:
-        logw_norm, _ = jnp_resampling.log_normalize(logw, axis=-1)
-        cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
-        return jnp_resampling.inverse_cdf_indices(cumw, u)
-
-    return _indices_nondiff(logw, u)
-
-
-def resample_indices_from_raw(
-    u_raw: jax.Array, logw: jax.Array, method: str = "systematic"
-) -> jax.Array:
-    """Ancestor indices [B, K] from raw uniforms (see resampling.raw_uniforms)."""
-    u = jnp_resampling.quantile_positions_from_raw(u_raw, logw.shape[-1], method)
-    return resample_indices_from_positions(u, logw)
-
-
-@jax.custom_vjp
-def _indices_nondiff(logw: jax.Array, u: jax.Array) -> jax.Array:
-    """Ancestor indices are integers — no gradient path exists through them
-    (FIVO stop-gradient semantics, SURVEY.md §3.2). The custom VJP makes that
-    explicit so jax.checkpoint/linearize never ask the kernel for rules."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    batch, k = logw.shape
-    return pl.pallas_call(
-        functools.partial(_kernel, k, "inverse_cdf"),
-        grid=(batch // ROW_BLOCK,),
-        in_specs=[
-            pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (ROW_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, k), jnp.int32),
-        interpret=_INTERPRET,
-    )(logw, u)
-
-
-def _indices_fwd(logw, u):
-    return _indices_nondiff(logw, u), (logw, u)
-
-
-def _indices_bwd(res, _g):
-    logw, u = res
-    return jnp.zeros_like(logw), jnp.zeros_like(u)
-
-
-_indices_nondiff.defvjp(_indices_fwd, _indices_bwd)
-
-
-def resample_indices(key: jax.Array, logw: jax.Array, method: str = "systematic"):
-    """Convenience wrapper drawing the uniforms from a key (tests/eval)."""
-    batch, k = logw.shape
-    u_raw = jnp_resampling.raw_uniforms(key, batch, k, method)
-    return resample_indices_from_raw(u_raw, logw, method)

@@ -129,8 +129,12 @@ def resample_indices(
 
 
 def gather_particles(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather along the particle axis: x [B, K, D], idx [B, K] -> [B, K, D]."""
-    return jnp.take_along_axis(x, idx[..., None], axis=1)
+    """Gather along the particle (last) axis: x [B, D, K], idx [B, K] -> [B, D, K].
+
+    Channel-major layout: the K axis is last (lanes); the gather broadcasts
+    the [B, 1, K] index over the feature sublanes.
+    """
+    return jnp.take_along_axis(x, idx[:, None, :], axis=-1)
 
 
 def maybe_resample(
@@ -142,11 +146,11 @@ def maybe_resample(
     ess_threshold: float = 1.0,
     use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """ESS-adaptive resampling step for one scan iteration.
+    """ESS-adaptive resampling step for one scan iteration (channel-major x).
 
     `u` is the step's pre-generated [B, K] quantile positions — see
     `bulk_positions` (positions for ALL steps are built outside the scan).
-    Returns (x_out [B,K,D], logw_out [B,K], did_resample [B] bool, ess [B],
+    Returns (x_out [B,D,K], logw_out [B,K], did_resample [B] bool, ess [B],
     idx [B,K] the ancestor indices — consumed by the score-function gradient
     term when `use_stop_gradient=False`).
     Resampling happens per batch row where ESS/K < ess_threshold (the
@@ -165,13 +169,10 @@ def maybe_resample(
     if use_pallas:
         from psvo_tpu.ops import pallas_resample
 
-        # Measured on v5e at B=32, K=1024: the branch-free quadratic kernel
-        # wins (66 ms/train) over both the banded tiled-merge (86 ms — the
-        # pl.when branch setup outweighs the skipped tiles) and the jnp path
-        # (82 ms fwd-only). K > 2048 falls back to histogram + XLA gather
-        # inside resample_and_gather: any whole-row-in-VMEM kernel is barred
-        # by the lane-padded [R,K,D] footprint; an HBM-resident variant with
-        # banded DMA is the path to large-K kernels (docs/PARITY.md).
+        # Channel-major fused kernel (banded inverse-CDF + one-hot gather,
+        # D-tiled): VMEM-resident through K=8192 thanks to the [B, D, K]
+        # layout. K beyond MAX_K falls back to the jnp path inside
+        # resample_and_gather.
         idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
     else:
         logw_norm, _ = log_normalize(logw, axis=-1)

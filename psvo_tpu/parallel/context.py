@@ -35,11 +35,16 @@ def get_mesh() -> Optional[Mesh]:
 
 
 def constrain(x: jax.Array, *, has_particles: bool = True) -> jax.Array:
-    """Constrain a batch-leading tensor: [B, K, ...] or [B, ...] layouts."""
+    """Constrain a batch-leading tensor.
+
+    Particle tensors are channel-major: the K axis is LAST ([B, K] weights,
+    [B, D, K] particles — see distributions.mvn_diag_log_prob_cm), so the
+    particle mesh axis binds to the final dim.
+    """
     if _MESH is None:
         return x
     if has_particles and x.ndim >= 2:
-        spec = P(DATA_AXIS, PARTICLE_AXIS, *([None] * (x.ndim - 2)))
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 2)), PARTICLE_AXIS)
     else:
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(_MESH, spec))

@@ -11,7 +11,11 @@ filter is one traced scan):
 
 - time   -> `lax.scan` carry (inherently sequential; SURVEY.md §2-B)
 - batch  -> leading tensor axis [B], shardable over Mesh axis "data"
-- K      -> tensor axis [K], shardable over Mesh axis "particle"
+- K      -> the LAST tensor axis (128-lane dim), shardable over Mesh axis
+  "particle". Particle tensors are channel-major [B, Dx, K]: the tiny state
+  dim pads only to the 8-sublane width instead of the 128-lane width — the
+  [B, K, Dx] layout wasted up to 64× HBM bytes on every particle tensor and
+  caused the measured B=32→128 throughput regression (round-1 ROADMAP #1/#5).
 - the only data-dependent op is the resampling gather
   (`psvo_tpu.ops.resampling`), which stays on-device.
 
@@ -40,7 +44,7 @@ from psvo_tpu.config import SMCConfig
 from psvo_tpu.distributions import (
     effective_sample_size,
     log_normalize,
-    mvn_diag_log_prob,
+    mvn_diag_log_prob_cm,
 )
 from psvo_tpu.models.ssm import SSM
 from psvo_tpu.ops import resampling
@@ -66,9 +70,9 @@ class FilterResult:
     log_z: jax.Array  # [B] final normalizing-constant estimate
     increments: jax.Array  # [T, B] per-step logZ increments ℓ_t
     ess: jax.Array  # [T, B] effective sample size before resampling
-    x_last: jax.Array  # [B, K, Dx]
+    x_last: jax.Array  # [B, Dx, K] (channel-major: K on lanes)
     logw_last: jax.Array  # [B, K]
-    xs: Optional[jax.Array] = None  # [T, B, K, Dx]
+    xs: Optional[jax.Array] = None  # [T, B, Dx, K]
     logws: Optional[jax.Array] = None  # [T, B, K]
     # per-step posterior filtering means — O(T·B·Dx), always emitted so that
     # evaluation (k-step R², plots) never needs the full particle cache
@@ -79,22 +83,18 @@ class FilterResult:
 
 
 def _init_t0(ssm: SSM, params, eps0, y0, enc0):
-    """t=0: propose x0 ~ q0(·|y0) (reparameterized with eps0), weight against
-    the learned prior: α0 = log p(x0) + log g(y0|x0) − log q0(x0)."""
-    batch = y0.shape[0]
-    k = eps0.shape[1]
+    """t=0: propose x0 ~ q0(·|y0) (reparameterized with eps0 [B, Dx, K]),
+    weight against the learned prior: α0 = log p(x0) + log g(y0|x0) − log q0(x0)."""
     mean0, scale0 = ssm.propose_initial(params, enc0)  # [B, Dx]
-    x0 = constrain(mean0[:, None, :] + scale0[:, None, :] * eps0)  # [B, K, Dx]
-    mean0 = jnp.broadcast_to(mean0[:, None, :], (batch, k, ssm.dx))
-    scale0 = jnp.broadcast_to(scale0[:, None, :], (batch, k, ssm.dx))
-    log_g0 = ssm.emission_log_prob(params, x0, y0[:, None, :])
+    x0 = constrain(mean0[:, :, None] + scale0[:, :, None] * eps0)  # [B, Dx, K]
+    log_g0 = ssm.emission_log_prob_cm(params, x0, y0)
     if ssm.use_bootstrap:
         alpha0 = log_g0  # proposal == prior: densities cancel
     else:
         alpha0 = (
-            ssm.prior_log_prob(params, x0)
+            ssm.prior_log_prob_cm(params, x0)
             + log_g0
-            - mvn_diag_log_prob(x0, mean0, scale0)
+            - mvn_diag_log_prob_cm(x0, mean0[:, :, None], scale0[:, :, None])
         )
     return x0, alpha0
 
@@ -102,14 +102,14 @@ def _init_t0(ssm: SSM, params, eps0, y0, enc0):
 def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
     """One filtering step t: (maybe) resample → propose → weight.
 
-    carry (x [B,K,Dx], logw [B,K]); inputs (y_t, enc_t, eps_t, u_t);
+    carry (x [B,Dx,K], logw [B,K]); inputs (y_t, enc_t, eps_t, u_t);
     emits (x_new, logw_new, ell, ess).
     """
     resample_on = cfg.resampling != "none"
 
     def body(carry, inputs):
         x, logw = carry
-        y_t, enc_t, eps_t, u_t = inputs  # [B, Dy], [B, Dy], [B, K, Dx], [B, K]
+        y_t, enc_t, eps_t, u_t = inputs  # [B, Dy], [B, Dy], [B, Dx, K], [B, K]
 
         score = jnp.zeros(logw.shape[0])
         if resample_on:
@@ -139,29 +139,27 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
             ess = effective_sample_size(logw, axis=-1)
 
         # Propose K new particles. enc_t feeds the encoder head q2. q1 and f
-        # evaluate as one stacked MLP (ssm.step_heads), so α_t below reuses
+        # evaluate as one stacked MLP (ssm.step_heads_cm), so α_t below reuses
         # the transition parameters instead of re-running the f network.
-        mean_q, scale_q, mean_f, scale_f = ssm.step_heads(
-            params, x, enc_t[:, None, :]
-        )
-        x_new = constrain(mean_q + scale_q * eps_t)
+        mean_q, scale_q, mean_f, scale_f = ssm.step_heads_cm(params, x, enc_t)
+        x_new = constrain(mean_q + scale_q * eps_t)  # [B, Dx, K]
 
         # Incremental weight α_t = log f + log g − log q (bootstrap: f == q).
-        log_g = ssm.emission_log_prob(params, x_new, y_t[:, None, :])
+        log_g = ssm.emission_log_prob_cm(params, x_new, y_t)
         if ssm.use_bootstrap:
             alpha = log_g
         else:
             alpha = (
-                mvn_diag_log_prob(x_new, mean_f, scale_f)
+                mvn_diag_log_prob_cm(x_new, mean_f, scale_f)
                 + log_g
-                - mvn_diag_log_prob(x_new, mean_q, scale_q)
+                - mvn_diag_log_prob_cm(x_new, mean_q, scale_q)
             )
 
         logw_new = constrain(logw + alpha)
         ell = _lse(logw_new) - _lse(logw)  # [B] logZ increment
 
         w_norm = jax.nn.softmax(logw_new, axis=-1)
-        fmean = jnp.einsum("bk,bkd->bd", w_norm, x_new)  # [B, Dx]
+        fmean = jnp.einsum("bk,bdk->bd", w_norm, x_new)  # [B, Dx]
 
         out = (x_new, logw_new, ell, ess, score, fmean)
         return (x_new, logw_new), out
@@ -171,7 +169,7 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
 
 def _segment_randomness(ssm: SSM, cfg: SMCConfig, k_prop_seg, k_res_seg, length, batch, k):
     """Per-segment bulk RNG (proposal normals + resampling positions)."""
-    eps = jax.random.normal(k_prop_seg, (length, batch, k, ssm.dx))
+    eps = jax.random.normal(k_prop_seg, (length, batch, ssm.dx, k))
     if cfg.resampling != "none":
         u = resampling.bulk_positions(k_res_seg, length, batch, k, cfg.resampling)
     else:
@@ -207,8 +205,8 @@ def forward_filter(
     # latency-bound on TPU, so per-step key splits + sample chains dominate;
     # hoisting them out cuts per-timestep kernel count sharply.
     k0, k_prop, k_res = jax.random.split(key, 3)
-    eps0 = jax.random.normal(k0, (batch, k, ssm.dx))
-    eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, k, ssm.dx))
+    eps0 = jax.random.normal(k0, (batch, ssm.dx, k))
+    eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, ssm.dx, k))
     if resample_on:
         # [T-1, B, K] quantile positions, sorted along K, built in one shot —
         # per-step position math (1-D iota / sort inside the scan) measured
@@ -253,10 +251,10 @@ def forward_filter(
 
     xs = logws = None
     if cache:
-        xs = jnp.concatenate([x0[None], xs_scan], axis=0)  # [T, B, K, Dx]
+        xs = jnp.concatenate([x0[None], xs_scan], axis=0)  # [T, B, Dx, K]
         logws = jnp.concatenate([alpha0[None], logws_scan], axis=0)
 
-    fmean0 = jnp.einsum("bk,bkd->bd", jax.nn.softmax(alpha0, axis=-1), x0)
+    fmean0 = jnp.einsum("bk,bdk->bd", jax.nn.softmax(alpha0, axis=-1), x0)
     return FilterResult(
         log_z=log_z,
         increments=increments,
@@ -298,9 +296,9 @@ def _score_surrogate(ells: jax.Array, scores: jax.Array) -> jax.Array:
 class SegmentedCache:
     """Everything needed to reproduce any forward segment exactly."""
 
-    x0: jax.Array  # [B, K, Dx] initial particles
+    x0: jax.Array  # [B, Dx, K] initial particles (channel-major)
     alpha0: jax.Array  # [B, K] t=0 log-weights
-    seg_x: jax.Array  # [S, B, K, Dx] carry entering each segment
+    seg_x: jax.Array  # [S, B, Dx, K] carry entering each segment
     seg_logw: jax.Array  # [S, B, K]
     k_prop_segs: jax.Array  # [S] keys for per-segment proposal noise
     k_res_segs: jax.Array  # [S] keys for per-segment resampling positions
@@ -330,7 +328,7 @@ def forward_filter_segmented(
     )
 
     k0, k_prop, k_res = jax.random.split(key, 3)
-    eps0 = jax.random.normal(k0, (batch, k, ssm.dx))
+    eps0 = jax.random.normal(k0, (batch, ssm.dx, k))
     k_prop_segs = jax.random.split(k_prop, n_segments)
     k_res_segs = jax.random.split(k_res, n_segments)
 
@@ -371,7 +369,7 @@ def forward_filter_segmented(
         [effective_sample_size(alpha0, axis=-1)[None], esss.reshape(-1, batch)],
         axis=0,
     )
-    fmean0 = jnp.einsum("bk,bkd->bd", jax.nn.softmax(alpha0, axis=-1), x0)
+    fmean0 = jnp.einsum("bk,bdk->bd", jax.nn.softmax(alpha0, axis=-1), x0)
     result = FilterResult(
         log_z=jnp.sum(increments, axis=0),
         increments=increments,
@@ -411,7 +409,7 @@ def recompute_segment(
 ) -> tuple[jax.Array, jax.Array]:
     """Re-run forward segment `s` (static index) from its stored carry.
 
-    Returns (xs [L,B,K,Dx], logws [L,B,K]) — the cache entries for
+    Returns (xs [L,B,Dx,K], logws [L,B,K]) — the cache entries for
     t in [1 + s·L, s·L + L], bit-identical to the original forward pass
     (same keys, same kernels)."""
     seg_len, batch = ys_seg_s.shape[0], ys_seg_s.shape[1]

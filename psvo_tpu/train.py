@@ -96,7 +96,7 @@ def filtered_means(fwd) -> jax.Array:
     if fwd.filtered_means is not None:
         return jnp.swapaxes(fwd.filtered_means, 0, 1)
     logw_norm, _ = log_normalize(fwd.logws, axis=-1)  # [T, B, K]
-    means = jnp.einsum("tbk,tbkd->tbd", jnp.exp(logw_norm), fwd.xs)
+    means = jnp.einsum("tbk,tbdk->tbd", jnp.exp(logw_norm), fwd.xs)
     return jnp.swapaxes(means, 0, 1)
 
 

@@ -190,7 +190,7 @@ def test_smoothing_beats_filtering_rmse(lgssm):
         jnp.asarray(np.asarray(fwd.logws)), axis=-1, keepdims=True
     )
     w = np.exp(np.asarray(logw_norm))  # [T, B, K]
-    filt_mean = np.einsum("tbk,tbkd->tbd", w, np.asarray(fwd.xs))
+    filt_mean = np.einsum("tbk,tbdk->tbd", w, np.asarray(fwd.xs))
     filt_mean = np.swapaxes(filt_mean, 0, 1)
     sm = np.swapaxes(np.asarray(out.smoothed).mean(2), 0, 1)
     rmse_f = np.sqrt(np.mean((filt_mean - lgssm["xs"]) ** 2))

@@ -9,14 +9,13 @@ import numpy as np
 import pytest
 
 from psvo_tpu import networks
-from psvo_tpu.ops import pallas_mlp, pallas_resample, pallas_resample_banded, resampling
+from psvo_tpu.ops import pallas_mlp, pallas_resample, resampling
 
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     monkeypatch.setattr(pallas_mlp, "_INTERPRET", True)
     monkeypatch.setattr(pallas_resample, "_INTERPRET", True)
-    monkeypatch.setattr(pallas_resample_banded, "_INTERPRET", True)
 
 
 @pytest.mark.parametrize("hidden", [(), (64,), (64, 64)])
@@ -60,47 +59,25 @@ def test_fused_mlp_under_jit_and_vmap_shapes():
     assert m.shape == (4, 8, 2) and s.shape == (4, 8, 2)
 
 
-@pytest.mark.parametrize("method", ["systematic", "multinomial"])
-@pytest.mark.parametrize("k", [128, 1024])
-def test_pallas_resample_matches_jnp_oracle(method, k):
-    rng = np.random.default_rng(0)
-    batch = 16
-    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32) * 3)
-    u_raw = jnp.asarray(
-        rng.uniform(size=(batch,) if method == "systematic" else (batch, k)).astype(
-            np.float32
-        )
-    )
-    got = pallas_resample.resample_indices_from_raw(u_raw, logw, method)
+# ---------------------------------------------------------------------------
+# Fused resample+gather kernel (channel-major [B, D, K], banded inverse-CDF)
+# ---------------------------------------------------------------------------
 
+
+def _oracle_idx(logw, u):
     logw_norm, _ = resampling.log_normalize(logw, axis=-1)
     cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
-    u = resampling.quantile_positions_from_raw(u_raw, k, method)
-    want = np.asarray(resampling.inverse_cdf_indices(cumw, u))
-    got = np.asarray(got)
-    # kernel normalizes as `u * total` vs oracle's `cumw / total`: float ties
-    # at CDF boundaries may flip an index by ±1; anything more is a bug.
-    diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
-    assert np.mean(diff == 0) > 0.995, np.mean(diff == 0)
-    assert diff.max() <= 1, diff.max()
-
-
-def test_pallas_resample_fallback_large_k():
-    """K > MAX_K must silently take the jnp path (still correct)."""
-    rng = np.random.default_rng(1)
-    logw = jnp.asarray(rng.standard_normal((8, 4096)).astype(np.float32))
-    u_raw = jnp.asarray(rng.uniform(size=(8,)).astype(np.float32))
-    idx = pallas_resample.resample_indices_from_raw(u_raw, logw, "systematic")
-    assert idx.shape == (8, 4096)
-    assert int(idx.max()) < 4096
+    return np.asarray(resampling.inverse_cdf_indices(cumw, u))
 
 
 @pytest.mark.parametrize("method", ["systematic", "multinomial"])
-def test_fused_resample_and_gather_matches_oracle(method):
+@pytest.mark.parametrize("k,d", [(128, 3), (256, 2), (1024, 11)])
+def test_fused_resample_and_gather_matches_oracle(method, k, d):
+    """d=11 exercises the D-tiling grid (two D_TILE=8 steps with padding)."""
     rng = np.random.default_rng(5)
-    batch, k, d = 16, 256, 3
+    batch = 16
     logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32) * 2)
-    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
     u_raw = jnp.asarray(
         rng.uniform(size=(batch,) if method == "systematic" else (batch, k)).astype(
             np.float32
@@ -109,27 +86,42 @@ def test_fused_resample_and_gather_matches_oracle(method):
     u = resampling.quantile_positions_from_raw(u_raw, k, method)
     idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
 
-    logw_norm, _ = resampling.log_normalize(logw, axis=-1)
-    cumw = jnp.cumsum(jnp.exp(logw_norm), axis=-1)
-    want_idx = np.asarray(resampling.inverse_cdf_indices(cumw, u))
+    want_idx = _oracle_idx(logw, u)
     got_idx = np.asarray(idx)
+    # kernel normalizes as `u * total` vs oracle's `cumw / total`: float ties
+    # at CDF boundaries may flip an index by ±1; anything more is a bug.
     diff = np.abs(got_idx.astype(np.int64) - want_idx.astype(np.int64))
-    assert diff.max() <= 1 and np.mean(diff == 0) > 0.99
+    assert diff.max() <= 1 and np.mean(diff == 0) > 0.99, (diff.max(), np.mean(diff == 0))
     # the gather must be consistent with the kernel's OWN indices (exact)
     np.testing.assert_array_equal(
         np.asarray(x_res), np.asarray(resampling.gather_particles(x, idx))
     )
 
 
+def test_fused_resample_degenerate_weights():
+    """ESS=1 corner: all mass on one particle — the band is a single tile."""
+    batch, d, k = 8, 2, 256
+    logw = jnp.where(jnp.arange(k) == 137, 0.0, -200.0)[None].repeat(batch, 0)
+    x = jax.random.normal(jax.random.key(0), (batch, d, k))
+    u = resampling.quantile_positions_from_raw(
+        jax.random.uniform(jax.random.key(1), (batch,)), k, "systematic"
+    )
+    idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
+    np.testing.assert_array_equal(np.asarray(idx), 137)
+    np.testing.assert_allclose(
+        np.asarray(x_res), np.broadcast_to(np.asarray(x[:, :, 137:138]), x.shape)
+    )
+
+
 def test_fused_resample_gather_gradient_is_exact_scatter():
     rng = np.random.default_rng(6)
-    batch, k, d = 8, 128, 2
+    batch, d, k = 8, 2, 128
     logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32))
-    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
     u = resampling.quantile_positions_from_raw(
         jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32)), k, "systematic"
     )
-    cot = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
 
     def f(x):
         _, x_res = pallas_resample.resample_and_gather(u, logw, x)
@@ -139,7 +131,8 @@ def test_fused_resample_gather_gradient_is_exact_scatter():
     idx = np.asarray(pallas_resample.resample_and_gather(u, logw, x)[0])
     want = np.zeros_like(gx)
     for b in range(batch):
-        np.add.at(want[b], idx[b], np.asarray(cot)[b])
+        for q in range(k):
+            want[b, :, idx[b, q]] += np.asarray(cot)[b, :, q]
     np.testing.assert_allclose(gx, want, rtol=1e-6, atol=1e-6)
     # stop-gradient semantics through the discrete choice
     glw = np.asarray(jax.grad(lambda lw: jnp.sum(
@@ -147,62 +140,20 @@ def test_fused_resample_gather_gradient_is_exact_scatter():
     np.testing.assert_array_equal(glw, 0.0)
 
 
-@pytest.mark.parametrize("method", ["systematic", "multinomial"])
-@pytest.mark.parametrize("k", [128, 512])
-def test_banded_kernel_matches_quadratic(method, k):
-    """The O(K) banded tiled-merge must agree with the quadratic kernel
-    exactly (same arithmetic, just predicated tile skipping)."""
-    rng = np.random.default_rng(11)
-    batch, d = 16, 3
-    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32) * 3)
-    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
-    u_raw = jnp.asarray(
-        rng.uniform(size=(batch,) if method == "systematic" else (batch, k)).astype(
-            np.float32
-        )
-    )
-    u = resampling.quantile_positions_from_raw(u_raw, k, method)
-    idx_q, x_q = pallas_resample.resample_and_gather(u, logw, x)
-    idx_b, x_b = pallas_resample_banded.resample_and_gather_banded(u, logw, x)
-    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_q))
-    np.testing.assert_array_equal(np.asarray(x_b), np.asarray(x_q))
-
-
-def test_banded_degenerate_weights():
-    """ESS=1 corner: all mass on one particle — band is a single tile."""
-    batch, k, d = 8, 256, 2
-    logw = jnp.where(jnp.arange(k) == 137, 0.0, -200.0)[None].repeat(batch, 0)
-    x = jax.random.normal(jax.random.key(0), (batch, k, d))
-    u = resampling.quantile_positions_from_raw(
-        jax.random.uniform(jax.random.key(1), (batch,)), k, "systematic"
-    )
-    idx, x_res = pallas_resample_banded.resample_and_gather_banded(u, logw, x)
-    np.testing.assert_array_equal(np.asarray(idx), 137)
-    np.testing.assert_allclose(
-        np.asarray(x_res), np.broadcast_to(np.asarray(x[:, 137:138]), x.shape)
-    )
-
-
-def test_banded_gradient_matches_scatter():
-    rng = np.random.default_rng(12)
-    batch, k, d = 8, 256, 2
+def test_fused_resample_fallback_large_k():
+    """K > MAX_K must silently take the jnp path (still correct)."""
+    rng = np.random.default_rng(1)
+    batch, d, k = 8, 2, 2 * pallas_resample.MAX_K
     logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32))
-    x = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
     u = resampling.quantile_positions_from_raw(
         jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32)), k, "systematic"
     )
-    cot = jnp.asarray(rng.standard_normal((batch, k, d)).astype(np.float32))
-
-    def f(xx):
-        _, xr = pallas_resample_banded.resample_and_gather_banded(u, logw, xx)
-        return jnp.sum(xr * cot)
-
-    gx = np.asarray(jax.grad(f)(x))
-    idx = np.asarray(pallas_resample_banded.resample_and_gather_banded(u, logw, x)[0])
-    want = np.zeros_like(gx)
-    for b in range(batch):
-        np.add.at(want[b], idx[b], np.asarray(cot)[b])
-    np.testing.assert_allclose(gx, want, rtol=1e-6, atol=1e-6)
+    idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
+    np.testing.assert_array_equal(np.asarray(idx), _oracle_idx(logw, u))
+    np.testing.assert_array_equal(
+        np.asarray(x_res), np.asarray(resampling.gather_particles(x, idx))
+    )
 
 
 def test_doubling_cumsum_matches_jnp():

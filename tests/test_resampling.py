@@ -77,7 +77,8 @@ def test_indices_are_sorted_for_sorted_positions():
 def test_maybe_resample_threshold_behavior():
     rng = np.random.default_rng(4)
     b, k, d = 2, 32, 3
-    x = jnp.asarray(rng.standard_normal((b, k, d)).astype(np.float32))
+    # channel-major particles [B, D, K]
+    x = jnp.asarray(rng.standard_normal((b, d, k)).astype(np.float32))
     # row 0: uniform weights (ESS = K); row 1: degenerate (ESS ~ 1)
     logw = jnp.stack([jnp.zeros(k), jnp.where(jnp.arange(k) == 5, 0.0, -100.0)])
 
@@ -91,14 +92,17 @@ def test_maybe_resample_threshold_behavior():
     np.testing.assert_allclose(np.asarray(logw_out[1]), 0.0)  # reset
     # degenerate row: every resampled particle equals particle 5
     np.testing.assert_allclose(
-        np.asarray(x_out[1]), np.broadcast_to(np.asarray(x[1, 5]), (k, d)), rtol=1e-6
+        np.asarray(x_out[1]),
+        np.broadcast_to(np.asarray(x[1, :, 5:6]), (d, k)),
+        rtol=1e-6,
     )
     np.testing.assert_allclose(np.asarray(ess[0]), k, rtol=1e-4)
 
 
 def test_gather_particles():
-    x = jnp.arange(24, dtype=jnp.float32).reshape(2, 4, 3)
+    # [B, D, K] = [2, 3, 4]: gather along the last (particle) axis
+    x = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)
     idx = jnp.array([[3, 3, 0, 1], [0, 0, 0, 2]])
     out = resampling.gather_particles(x, idx)
-    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(x[0, 3]))
-    np.testing.assert_allclose(np.asarray(out[1, 3]), np.asarray(x[1, 2]))
+    np.testing.assert_allclose(np.asarray(out[0, :, 0]), np.asarray(x[0, :, 3]))
+    np.testing.assert_allclose(np.asarray(out[1, :, 3]), np.asarray(x[1, :, 2]))

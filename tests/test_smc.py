@@ -37,7 +37,7 @@ def test_increments_sum_to_logz_and_shapes():
     cfg, ssm, params, ys = _setup()
     fwd = forward_filter(ssm, params, jax.random.key(2), ys, cfg.smc, cache=True)
     t, b, k = cfg.data.t_steps, 3, cfg.smc.n_particles
-    assert fwd.xs.shape == (t, b, k, 2)
+    assert fwd.xs.shape == (t, b, 2, k)  # channel-major: K on lanes
     assert fwd.logws.shape == (t, b, k)
     assert fwd.ess.shape == (t, b)
     np.testing.assert_allclose(

@@ -196,7 +196,7 @@ def test_filtered_means_emitted_without_cache():
         fwd.logws, axis=-1, keepdims=True
     )
     want = jnp2.swapaxes(
-        jnp2.einsum("tbk,tbkd->tbd", jnp2.exp(logw_norm), fwd.xs), 0, 1
+        jnp2.einsum("tbk,tbdk->tbd", jnp2.exp(logw_norm), fwd.xs), 0, 1
     )
     np.testing.assert_allclose(
         np.asarray(filtered_means(fwd)), np.asarray(want), rtol=1e-4, atol=1e-5
