@@ -57,11 +57,16 @@ _INTERPRET = False  # flipped by tests to run on CPU
 ROW_BLOCK = 8  # batch rows per block (Mosaic sublane constraint on 2-D refs)
 D_TILE = 8  # feature sublanes per grid step of the D axis
 Q = 128  # query/support tile width (lane width)
-# VMEM ceiling: x in+out blocks [8, 8, K] are 2 MB each at K=8192; with
-# pipelining double-buffers plus the [8, K] weight/position/index buffers the
-# budget tops out just under 16 MB. Larger K falls back to the jnp path
-# (histogram + XLA gather).
-MAX_K = 8192
+# Measured ceiling (v5e, 2026-08-16): the banded kernel wins decisively at
+# K=1024 (38 vs 138 ms/train on the primary config) but the per-query-tile
+# `fori_loop`s carry ~10s-of-µs scalar-loop overhead each, and at K=8192
+# (64 tiles × D-tiles) that overhead dominates: 13.5 ms/step vs the jnp
+# histogram path's 1.27 ms. VMEM would allow K=8192 ([8, 8, K] blocks are
+# 2 MB); the loop structure doesn't. Above MAX_K the jnp path (histogram +
+# XLA gather) takes over; a static two-level one-hot formulation is the
+# candidate large-K design if resampling ever dominates there (profiled:
+# at K=8192/D=40 the step is MLP/density-bound, not resample-bound).
+MAX_K = 2048
 
 
 def _on_tpu() -> bool:
