@@ -80,17 +80,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def prepare_sharded(ssm, cfg: Config, mesh: Mesh):
     """Return (ssm, cfg) adjusted for multi-device execution.
 
-    GSPMD cannot partition Pallas custom-calls across a sharded axis; the jnp
-    paths partition cleanly (psum/all-gather inserted by XLA). Sharded Pallas
-    via shard_map (per-shard kernels + ppermute exchange) is future work —
-    see docs/PARITY.md.
+    GSPMD cannot partition Pallas custom-calls across a sharded axis, so the
+    fused MLP kernel is disabled under meshes. The resample kernel no longer
+    needs this: resampling runs inside a shard_map island (manual SPMD —
+    ops/sharded_resampling.py) where the kernel executes per shard.
     """
     from psvo_tpu.models.ssm import SSM
 
-    if mesh.devices.size > 1 and (cfg.use_pallas_mlp or cfg.use_pallas_resample):
-        cfg = dataclasses.replace(
-            cfg, use_pallas_mlp=False, use_pallas_resample=False
-        )
+    if mesh.devices.size > 1 and cfg.use_pallas_mlp:
+        cfg = dataclasses.replace(cfg, use_pallas_mlp=False)
         ssm = SSM(cfg)
     return ssm, cfg
 

@@ -106,6 +106,37 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
     emits (x_new, logw_new, ell, ess).
     """
     resample_on = cfg.resampling != "none"
+    # Trace-time dispatch: under an active mesh the resample runs as a
+    # shard_map island (hierarchical inverse-CDF + ppermute ring) so GSPMD
+    # never sees the data-dependent gather — it would otherwise all-gather
+    # the full [B, D, K] particle tensor every step (HLO-verified; see
+    # ops/sharded_resampling.py). Manual SPMD also re-enables the fused
+    # Pallas kernel per shard, where per-shard K is small.
+    from psvo_tpu.parallel.context import get_mesh
+
+    mesh = get_mesh()
+
+    def _resample(u_t, logw, x):
+        if mesh is not None:
+            from psvo_tpu.ops.sharded_resampling import sharded_maybe_resample
+
+            return sharded_maybe_resample(
+                mesh,
+                u_t,
+                logw,
+                x,
+                method=cfg.resampling,
+                ess_threshold=cfg.ess_threshold,
+                use_pallas=ssm.use_pallas_resample,
+            )
+        return resampling.maybe_resample(
+            u_t,
+            logw,
+            x,
+            method=cfg.resampling,
+            ess_threshold=cfg.ess_threshold,
+            use_pallas=ssm.use_pallas_resample,
+        )
 
     def body(carry, inputs):
         x, logw = carry
@@ -114,14 +145,7 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
         score = jnp.zeros(logw.shape[0])
         if resample_on:
             logw_pre = logw
-            x, logw, did, ess, idx = resampling.maybe_resample(
-                u_t,
-                logw,
-                x,
-                method=cfg.resampling,
-                ess_threshold=cfg.ess_threshold,
-                use_pallas=ssm.use_pallas_resample,
-            )
+            x, logw, did, ess, idx = _resample(u_t, logw, x)
             if not cfg.use_stop_gradient:
                 # Score-function term for the resampling distribution (the
                 # full FIVO gradient, Maddison et al. 2017): the categorical

@@ -141,6 +141,70 @@ def test_eval_step_sharded():
     )
 
 
+def test_sharded_hlo_collectives():
+    """The sharded filter's HLO must (a) psum the per-step weight normalizer
+    (all-reduce), (b) exchange particles via the shard_map ring
+    (collective-permute), and (c) NEVER all-gather the full [B, D, K]
+    particle tensor — the GSPMD default this round replaced (a verified
+    `f32[2,8,256] all-gather` per step before ops/sharded_resampling.py)."""
+    import re
+
+    cfg = _cfg()
+    k = cfg.smc.n_particles
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    mesh = sharding.make_mesh(cfg)
+    context.set_mesh(mesh)
+    ys = jax.device_put(
+        jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy)),
+        sharding.batch_sharding(mesh),
+    )
+    f = jax.jit(lambda p, key, y: forward_filter(ssm, p, key, y, cfg.smc).log_z.sum())
+    txt = f.lower(params, jax.random.key(2), ys).compile().as_text()
+    context.set_mesh(None)
+
+    assert "all-reduce" in txt  # the psum normalizer/ESS
+    assert "collective-permute" in txt  # the particle ring
+    # no all-gather may produce a tensor carrying the FULL particle axis
+    # alongside a state axis (i.e. a replicated [*, D, K] particle tensor)
+    for shape in re.findall(r"= (\w+\[[\d,]*\])[^\n]*all-gather\(", txt):
+        dims = [int(d) for d in shape[shape.index("[") + 1 : -1].split(",") if d]
+        assert not (len(dims) >= 3 and dims[-1] == k), (
+            f"full particle tensor all-gathered: {shape}"
+        )
+
+
+def test_sharded_island_with_pallas_kernel(monkeypatch):
+    """The fused resample kernel runs per-shard inside the shard_map island
+    (interpret mode on the CPU mesh); results must match the jnp island."""
+    from psvo_tpu.ops import pallas_resample
+
+    monkeypatch.setattr(pallas_resample, "_INTERPRET", True)
+    cfg = _cfg()
+    # kernel gating: local batch 16/2=8 rows, local K 512/4=128 lanes
+    cfg = dataclasses.replace(
+        cfg,
+        smc=dataclasses.replace(cfg.smc, n_particles=512),
+        train=dataclasses.replace(cfg.train, batch_size=16),
+    )
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ys = jax.random.normal(jax.random.key(1), (16, cfg.data.t_steps, cfg.data.dy))
+    mesh = sharding.make_mesh(cfg)
+    context.set_mesh(mesh)
+    ys_sh = jax.device_put(ys, sharding.batch_sharding(mesh))
+
+    run = lambda s: jax.jit(
+        lambda p, k, y: forward_filter(s, p, k, y, cfg.smc).log_z
+    )(params, jax.random.key(2), ys_sh)
+    ssm_pallas = type(ssm)(
+        dataclasses.replace(cfg, use_pallas=True, use_pallas_resample=True)
+    )
+    ssm_jnp = type(ssm)(dataclasses.replace(cfg, use_pallas=False))
+    got = np.asarray(run(ssm_pallas))
+    want = np.asarray(run(ssm_jnp))
+    context.set_mesh(None)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("objective", ["fivo", "psvo"])
 def test_sharded_train_step_runs(objective):
     from psvo_tpu.train import make_optimizer
