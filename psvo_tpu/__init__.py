@@ -22,6 +22,26 @@ module here cites the component it covers.
 
 __version__ = "0.2.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: remote TPU compiles through this
+# environment's relay run 15 s–10 min, dominating iteration time; caching
+# them makes every later invocation of the same program near-instant
+# (ROADMAP #9). Opt out with PSVO_TPU_NO_CACHE=1.
+if not _os.environ.get("PSVO_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "PSVO_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "psvo_tpu_xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+
 from psvo_tpu import distributions
 from psvo_tpu import networks
 from psvo_tpu.data import Dataset, generate_dataset, load_dataset, save_dataset

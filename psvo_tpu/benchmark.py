@@ -38,6 +38,45 @@ def _time_loop(fn, n: int) -> float:
     return (time.perf_counter() - t0) / n
 
 
+def _time_windows(fn, n: int, windows: int = 3) -> list[float]:
+    """Median-friendly timing: `windows` independent chained windows of n
+    steps each (round-1 observed ±10% window-to-window variance through the
+    relay — one window can mislead by that much)."""
+    return [_time_loop(fn, n) for _ in range(windows)]
+
+
+def _mlp_flops_per_row(din: int, hidden, dout: int) -> int:
+    sizes = [din, *hidden, dout]
+    return sum(2 * a * b for a, b in zip(sizes[:-1], sizes[1:]))
+
+
+def analytic_cost(cfg) -> tuple[float, float]:
+    """(GFLOP, GB) moved per train step — analytic lower bounds from the
+    model structure, so the bench can report achieved FLOP/s and bytes/s
+    next to steps/s (layout regressions show as a ratio, not just a
+    throughput delta).
+
+    FLOPs: per-timestep MLP matmuls over B·K rows (q1+f stacked, g; q2 runs
+    per-trajectory) × T, × 4 for backward + remat recompute (bwd ≈ 2× fwd,
+    remat re-runs the fwd). Bytes: the per-step particle-state HBM traffic —
+    [B, Dp, K] carry read+write (+eps read, weights rw) with Dp the
+    8-sublane-padded state dim, × 3 for the backward sweep.
+    """
+    b, k, t = cfg.train.batch_size, cfg.smc.n_particles, cfg.data.t_steps
+    dx, dy, di = cfg.data.dx, cfg.data.dy, cfg.data.di
+    nets = {name: c for name, c in cfg.nets}
+    per_row = (
+        _mlp_flops_per_row(dx + di, nets["q1"].hidden, dx)
+        + _mlp_flops_per_row(dx + di, nets["f"].hidden, dx)
+        + _mlp_flops_per_row(dx, nets["g"].hidden, dy)
+    )
+    flops = 4.0 * t * b * k * per_row  # fwd + bwd(2x) + remat recompute
+    dp = -(-dx // 8) * 8
+    bytes_per_ts = 4 * b * k * (2 * dp + dp + 3)  # x rw, eps r, logw/alpha rw
+    gbytes = 3.0 * t * bytes_per_ts / 1e9
+    return flops / 1e9, gbytes
+
+
 def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
     from psvo_tpu.config import preset
     from psvo_tpu.data import generate_dataset
@@ -77,13 +116,25 @@ def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
         state["i"] += 1
         return m["loss"]
 
-    step_time = _time_loop(one_step, steps)
+    window_times = _time_windows(one_step, steps, windows=3)
+    step_time = sorted(window_times)[len(window_times) // 2]  # median window
     steps_per_sec = 1.0 / step_time
+    gflop, gbyte = analytic_cost(cfg)
+    perf = {
+        "value_windows": [round(1.0 / w, 3) for w in window_times],
+        "gflops_per_step": round(gflop, 3),
+        "achieved_gflops_per_sec": round(gflop / step_time, 2),
+        "gbytes_per_step": round(gbyte, 3),
+        "achieved_gbytes_per_sec": round(gbyte / step_time, 2),
+    }
     device = jax.devices()[0]
     print(
         f"# device={device.platform}:{device.device_kind} "
         f"config={cfg.name} K={cfg.smc.n_particles} T={cfg.data.t_steps} "
-        f"B={cfg.train.batch_size} step_time={step_time*1e3:.2f}ms",
+        f"B={cfg.train.batch_size} step_time={step_time*1e3:.2f}ms "
+        f"windows={[f'{1e3*w:.1f}ms' for w in window_times]} "
+        f"achieved={perf['achieved_gflops_per_sec']} GFLOP/s "
+        f"{perf['achieved_gbytes_per_sec']} GB/s (analytic)",
         file=sys.stderr,
     )
 
@@ -95,6 +146,7 @@ def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
                     "value": round(steps_per_sec, 3),
                     "unit": "steps/s",
                     "vs_baseline": None,
+                    **perf,
                 }
             )
         )
@@ -121,6 +173,7 @@ def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / base_sps, 2),
+                **perf,
             }
         )
     )

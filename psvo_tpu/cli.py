@@ -75,10 +75,13 @@ def _inferred_test_latents(cfg, ssm, params, dataset):
     # see the true latents, mirroring Trainer.run (shape error — or silently
     # wrong plots when dx == dy — otherwise).
     enc = _encoder_inputs_for(cfg, dataset)
+    ctrl = jnp.asarray(dataset.controls_test) if cfg.data.di else None
     if cfg.smc.objective in ("svo", "psvo"):
-        out = make_objective(ssm, cfg)(params, key, obs, enc)
+        out = make_objective(ssm, cfg)(params, key, obs, enc, ctrl)
         return np.asarray(jnp.swapaxes(out.smoothed.mean(axis=2), 0, 1))
-    fwd = forward_filter(ssm, params, key, obs, cfg.smc, cache=True, encoder_inputs=enc)
+    fwd = forward_filter(
+        ssm, params, key, obs, cfg.smc, cache=True, encoder_inputs=enc, controls=ctrl
+    )
     return np.asarray(filtered_means(fwd))
 
 
@@ -136,6 +139,8 @@ def cmd_train(args) -> int:
         dataset.obs_test,
         hidden_train=dataset.hidden_train,
         hidden_test=dataset.hidden_test,
+        controls_train=dataset.controls_train,
+        controls_test=dataset.controls_test,
     )
     results.save_history(history)
     # trainer.cfg/ssm: the mesh-prepared variants when sharded (pallas gating)
@@ -163,6 +168,7 @@ def cmd_eval(args) -> int:
         jax.random.key(cfg.seed + 3),
         jnp.asarray(dataset.obs_test),
         _encoder_inputs_for(cfg, dataset),
+        jnp.asarray(dataset.controls_test) if cfg.data.di else None,
     )
     out = {k: np.asarray(v).tolist() for k, v in ev.items()}
     print(json.dumps(out, indent=2))

@@ -4,9 +4,9 @@ Covers the reference's `runner_flag.py` (SURVEY.md §2-A/§5): every
 reconstructed `tf.app.flags` flag has a named field here. Parity table
 (reference flag -> field):
 
-  Dx, Dy                      -> DataConfig.dx, DataConfig.dy
+  Dx, Dy, Di                  -> DataConfig.dx, .dy, .di
   n_particles (K)             -> SMCConfig.n_particles
-  batch_size / lr / epoch     -> TrainConfig.batch_size / .lr / .n_steps
+  batch_size / lr / epoch     -> TrainConfig.batch_size / .lr / .epochs (or .n_steps)
   seed                        -> Config.seed
   datatype {fhn,lorenz,...}   -> DataConfig.datatype
   time (T) / n_train / n_test -> DataConfig.t_steps / .n_train / .n_test
@@ -46,7 +46,14 @@ class NetConfig:
 
     hidden: tuple[int, ...] = (64, 64)
     activation: str = "relu"
-    cov_type: str = "const"  # "const" | "head" | "none"
+    # "const": trainable state-independent diagonal scale (reference default)
+    # "head":  diagonal scale from a second linear head on the trunk
+    # "tril":  trainable state-independent FULL covariance (Cholesky factor,
+    #          softplus-floored diagonal) — the reference mvn's "full" option;
+    #          supported for the transition f and emission g (proposals stay
+    #          diagonal: the use_2q precision fusion is diagonal math)
+    # "none":  mean-only network (Dirac / Poisson log-rate heads)
+    cov_type: str = "const"
     sigma_init: float = 1.0
     # scale floor: 1e-3 lets a single degenerate particle contribute
     # |log-density| ~ 1e6 with gradient ~ 1e6/σ — measured gradient-norm
@@ -62,10 +69,15 @@ class DataConfig:
     datatype: str = "fhn"  # "fhn" | "lorenz63" | "lorenz96" | "lgssm"
     dx: int = 2
     dy: int = 2
+    di: int = 0  # exogenous control input dim (reference `Di`); 0 = none.
+    # When di > 0 the simulator draws iid N(0,1) controls and adds
+    # B_u @ u_t (a fixed random [Di, Dx] map) to the drift; the learned
+    # transition/dynamics-proposal heads condition on [x_prev, u_t].
+    control_scale: float = 1.0  # magnitude of the true control effect
     t_steps: int = 100
     n_train: int = 200
     n_test: int = 40
-    emission: str = "linear_gaussian"  # | "poisson" | "identity_gaussian"
+    emission: str = "linear_gaussian"  # | "poisson" | "identity_gaussian" | "dirac"
     obs_scale: float = 0.2  # emission noise std
     proc_scale: float = 0.1  # process noise std injected during simulation
     dyn_overrides: tuple[tuple[str, Any], ...] = ()  # e.g. (("dt", 0.25),)
@@ -83,6 +95,10 @@ class SMCConfig:
     # store carries at T/(segments) boundaries, recompute segment interiors
     # during the backward sweep instead of caching all T steps in HBM.
     resampling: str = "systematic"  # "systematic" | "multinomial" | "none"
+    transition: str = "mlp"  # "mlp" | "known": f's mean is the TRUE dynamics
+    # stepper (FHN/Lorenz/LGSSM from data.datatype) with a learned noise
+    # scale — the learn-proposals-only ablation the reference's bootstrap
+    # mode gestures at (models/dynamics.py role 2).
     ess_threshold: float = 1.0  # resample when ESS/K < threshold; 1.0 = always
     use_2q: bool = True  # fuse q1(x|x_prev) with encoder q2(x|y)
     remat: bool = True  # rematerialize the scan body in backprop (SURVEY.md §5):
@@ -101,6 +117,9 @@ class TrainConfig:
     keep_best: bool = True  # restore the best-test-ELBO params at end of run
     batch_size: int = 32
     n_steps: int = 2000
+    epochs: int = 0  # >0: reference-style epoch accounting — each epoch is one
+    # pass over shuffled without-replacement minibatches (overrides n_steps
+    # with epochs * floor(n_train / batch_size)).
     clip_norm: float = 10.0
     eval_every: int = 100
     save_every: int = 500
@@ -172,7 +191,7 @@ class Config:
         excluded; anything shaping params/optimizer-state structure is not.
         """
         d = self.to_dict()
-        for k in ("n_steps", "eval_every", "save_every", "patience", "batch_size", "lr"):
+        for k in ("n_steps", "epochs", "eval_every", "save_every", "patience", "batch_size", "lr"):
             d["train"].pop(k, None)
         blob = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:12]

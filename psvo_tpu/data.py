@@ -32,6 +32,10 @@ class Dataset:
     hidden_train: jax.Array  # [n_train, T, Dx]
     hidden_test: jax.Array  # [n_test, T, Dx]
     emission_matrix: jax.Array  # [Dx, Dy] true emission map (for diagnostics)
+    # exogenous control inputs (reference `Di`); None when DataConfig.di == 0
+    controls_train: jax.Array | None = None  # [n_train, T, Di]
+    controls_test: jax.Array | None = None  # [n_test, T, Di]
+    control_matrix: jax.Array | None = None  # [Di, Dx] true control->drift map
 
 
 # Burn-in pushes chaotic initial states onto the attractor before recording.
@@ -40,16 +44,7 @@ _X0_OFFSET = {"lorenz63": (0.0, 0.0, 25.0)}  # start near the attractor center
 
 
 def _make_stepper(cfg: DataConfig):
-    if cfg.datatype == "lgssm":
-        # Stable rotation-ish linear system for oracle tests.
-        theta = 0.3
-        a = [
-            [0.9 * jnp.cos(theta), -0.9 * jnp.sin(theta)],
-            [0.9 * jnp.sin(theta), 0.9 * jnp.cos(theta)],
-        ]
-        mat = tuple(tuple(float(v) for v in row) for row in jnp.asarray(a)[: cfg.dx, : cfg.dx].tolist())
-        return dyn.LinearDynamics(matrix=mat)
-    return dyn.make_dynamics(cfg.datatype, **dict(cfg.dyn_overrides))
+    return dyn.make_stepper(cfg)
 
 
 def emission_map(cfg: DataConfig, key: jax.Array) -> jax.Array:
@@ -65,8 +60,21 @@ def emission_map(cfg: DataConfig, key: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("cfg", "n_traj"))
 def _simulate(cfg: DataConfig, key: jax.Array, n_traj: int):
     stepper = _make_stepper(cfg)
-    k_x0, k_proc, k_obs, k_emit = jax.random.split(key, 4)
+    k_x0, k_proc, k_obs, k_emit, k_ctrl, k_cmat = jax.random.split(key, 6)
     c_emit = emission_map(cfg, k_emit)
+
+    # exogenous controls: iid N(0,1) inputs entering the drift through a
+    # fixed random [Di, Dx] map (reference `Di` capability)
+    if cfg.di:
+        u_all = jax.random.normal(k_ctrl, (cfg.t_steps, n_traj, cfg.di))
+        b_ctrl = (
+            cfg.control_scale
+            * jax.random.normal(k_cmat, (cfg.di, cfg.dx))
+            / jnp.sqrt(float(cfg.di))
+        )
+    else:
+        u_all = jnp.zeros((cfg.t_steps, n_traj, 0), jnp.float32)
+        b_ctrl = jnp.zeros((0, cfg.dx), jnp.float32)
 
     offset = jnp.asarray(_X0_OFFSET.get(cfg.datatype, (0.0,) * cfg.dx), jnp.float32)
     x0 = offset + cfg.x0_scale * jax.random.normal(k_x0, (n_traj, cfg.dx))
@@ -75,53 +83,90 @@ def _simulate(cfg: DataConfig, key: jax.Array, n_traj: int):
     if burn:
         x0 = jax.lax.fori_loop(0, burn, lambda _, x: stepper.step(x), x0)
 
-    def step(x, keys):
-        k_p, k_o = keys
-        x_next = stepper.step(x) + cfg.proc_scale * jax.random.normal(
-            k_p, x.shape
+    def step(x, inputs):
+        k_p, k_o, u_t = inputs
+        x_next = (
+            stepper.step(x)
+            + u_t @ b_ctrl
+            + cfg.proc_scale * jax.random.normal(k_p, x.shape)
         )
         proj = x_next @ c_emit
         if cfg.emission == "poisson":
             y = jax.random.poisson(k_o, jnp.exp(jnp.tanh(proj))).astype(jnp.float32)
+        elif cfg.emission == "dirac":
+            y = proj  # deterministic observation map (dirac_delta parity)
         else:
             y = proj + cfg.obs_scale * jax.random.normal(k_o, proj.shape)
         return x_next, (x_next, y)
 
-    keys = (
+    inputs = (
         jax.random.split(k_proc, cfg.t_steps),
         jax.random.split(k_obs, cfg.t_steps),
+        u_all,
     )
-    _, (xs, ys) = jax.lax.scan(step, x0, keys)
+    _, (xs, ys) = jax.lax.scan(step, x0, inputs)
     # scan stacks time first: [T, n, D] -> [n, T, D]
-    return jnp.swapaxes(xs, 0, 1), jnp.swapaxes(ys, 0, 1), c_emit
+    return (
+        jnp.swapaxes(xs, 0, 1),
+        jnp.swapaxes(ys, 0, 1),
+        c_emit,
+        jnp.swapaxes(u_all, 0, 1),
+        b_ctrl,
+    )
 
 
 def generate_dataset(cfg: DataConfig, seed: int) -> Dataset:
     key = jax.random.key(seed)
-    hidden, obs, c_emit = _simulate(cfg, key, cfg.n_train + cfg.n_test)
+    hidden, obs, c_emit, ctrl, b_ctrl = _simulate(cfg, key, cfg.n_train + cfg.n_test)
+    if not bool(jnp.isfinite(hidden).all()):
+        # e.g. FHN's cubic term diverges under strong control pushes or a
+        # too-large dt — fail loudly instead of training on NaN data
+        raise ValueError(
+            f"simulated {cfg.datatype} trajectories diverged (non-finite states); "
+            "reduce control_scale/proc_scale or the integrator dt"
+        )
     return Dataset(
         obs_train=obs[: cfg.n_train],
         obs_test=obs[cfg.n_train :],
         hidden_train=hidden[: cfg.n_train],
         hidden_test=hidden[cfg.n_train :],
         emission_matrix=c_emit,
+        controls_train=ctrl[: cfg.n_train] if cfg.di else None,
+        controls_test=ctrl[cfg.n_train :] if cfg.di else None,
+        control_matrix=b_ctrl if cfg.di else None,
     )
 
 
 # --- dataset persistence (reference parity: loading pre-generated datasets
 # from data/, SURVEY.md §2-A L6c) -------------------------------------------
 
-_FIELDS = ("obs_train", "obs_test", "hidden_train", "hidden_test", "emission_matrix")
+_FIELDS = (
+    "obs_train",
+    "obs_test",
+    "hidden_train",
+    "hidden_test",
+    "emission_matrix",
+    "controls_train",
+    "controls_test",
+    "control_matrix",
+)
 
 
 def save_dataset(ds: Dataset, path) -> None:
     import numpy as np
 
-    np.savez_compressed(path, **{f: np.asarray(getattr(ds, f)) for f in _FIELDS})
+    arrays = {
+        f: np.asarray(getattr(ds, f))
+        for f in _FIELDS
+        if getattr(ds, f) is not None
+    }
+    np.savez_compressed(path, **arrays)
 
 
 def load_dataset(path) -> Dataset:
     import numpy as np
 
     with np.load(path) as z:
-        return Dataset(**{f: jnp.asarray(z[f]) for f in _FIELDS})
+        return Dataset(
+            **{f: jnp.asarray(z[f]) for f in _FIELDS if f in z.files}
+        )

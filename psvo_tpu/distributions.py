@@ -116,6 +116,22 @@ def mvn_full_log_prob(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Arr
     return -0.5 * jnp.sum(z * z, axis=-1) - log_det - d * _HALF_LOG_2PI
 
 
+def mvn_full_log_prob_cm(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Array:
+    """Full-covariance Gaussian log density in channel-major layout.
+
+    x/mean [..., D, K] with a CONSTANT [D, D] Cholesky factor (the
+    cov_type="tril" heads are state-independent): one triangular solve
+    against the [D, K] matrix per batch row — K rides the lane axis for free.
+    """
+    d = chol.shape[-1]
+    diff = x - mean
+    chol_b = jnp.broadcast_to(chol, (*diff.shape[:-2], d, d))
+    z = jax.scipy.linalg.solve_triangular(chol_b, diff, lower=True)
+    log_det = jnp.sum(jnp.log(jnp.diagonal(chol)))
+    logp = -0.5 * jnp.sum(z * z, axis=-2) - log_det - d * _HALF_LOG_2PI
+    return jnp.maximum(logp, _MIN_LOGP)
+
+
 # ---------------------------------------------------------------------------
 # Poisson (count emissions — reference `distribution/poisson.py`)
 # ---------------------------------------------------------------------------

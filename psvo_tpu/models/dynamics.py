@@ -7,13 +7,15 @@ roles there and here:
 1. Data generation — simulate the true state-space model to create
    (hidden, obs) datasets (`psvo_tpu.data`).
 2. Known-dynamics mode — use the true drift as the transition mean f when
-   learning only proposals/emissions (the reference's bootstrap-style ablation).
+   learning only proposals/emissions (SMCConfig.transition="known", the
+   reference's bootstrap-style ablation; wired in models/ssm.py).
 
-All steppers are pure jnp functions of shape [..., D] -> [..., D] and vectorize
-over arbitrary leading axes, so the same code runs per-trajectory on host-side
-data gen and per-particle inside the jitted SMC scan. Integration is RK4
-(`integrator="rk4"`) or Euler, fixed step `dt` — fixed shapes, no adaptive
-control flow, as XLA requires.
+All steppers are pure jnp functions over an arbitrary state axis (default
+last; the SMC hot path passes axis=-2 for the channel-major [B, D, K]
+particle layout) and vectorize over every other axis, so the same code runs
+per-trajectory on host-side data gen and per-particle inside the jitted SMC
+scan. Integration is RK4 (`integrator="rk4"`) or Euler, fixed step `dt` —
+fixed shapes, no adaptive control flow, as XLA requires.
 """
 
 from __future__ import annotations
@@ -21,9 +23,15 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 Drift = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def _comp(x: jnp.ndarray, i: int, axis: int) -> jnp.ndarray:
+    """State component i along `axis` (the steppers' axis-generic accessor)."""
+    return jax.lax.index_in_dim(x, i, axis=axis if axis >= 0 else x.ndim + axis, keepdims=False)
 
 
 def euler_step(drift: Drift, x: jnp.ndarray, dt: float) -> jnp.ndarray:
@@ -53,14 +61,14 @@ class FitzHughNagumo:
     integrator: str = "rk4"
     dim = 2
 
-    def drift(self, x: jnp.ndarray) -> jnp.ndarray:
-        v, w = x[..., 0], x[..., 1]
+    def drift(self, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        v, w = _comp(x, 0, axis), _comp(x, 1, axis)
         dv = v - (v**3) / 3.0 - w + self.current
         dw = (v + self.a - self.b * w) / self.tau
-        return jnp.stack([dv, dw], axis=-1)
+        return jnp.stack([dv, dw], axis=axis)
 
-    def step(self, x: jnp.ndarray) -> jnp.ndarray:
-        return _STEPPERS[self.integrator](self.drift, x, self.dt)
+    def step(self, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        return _STEPPERS[self.integrator](lambda z: self.drift(z, axis), x, self.dt)
 
 
 @dataclass(frozen=True)
@@ -74,19 +82,19 @@ class Lorenz63:
     integrator: str = "rk4"
     dim = 3
 
-    def drift(self, x: jnp.ndarray) -> jnp.ndarray:
-        a, b, c = x[..., 0], x[..., 1], x[..., 2]
+    def drift(self, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        a, b, c = _comp(x, 0, axis), _comp(x, 1, axis), _comp(x, 2, axis)
         return jnp.stack(
             [
                 self.sigma * (b - a),
                 a * (self.rho - c) - b,
                 a * b - self.beta * c,
             ],
-            axis=-1,
+            axis=axis,
         )
 
-    def step(self, x: jnp.ndarray) -> jnp.ndarray:
-        return _STEPPERS[self.integrator](self.drift, x, self.dt)
+    def step(self, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        return _STEPPERS[self.integrator](lambda z: self.drift(z, axis), x, self.dt)
 
 
 @dataclass(frozen=True)
@@ -103,14 +111,14 @@ class Lorenz96:
     dt: float = 0.05
     integrator: str = "rk4"
 
-    def drift(self, x: jnp.ndarray) -> jnp.ndarray:
-        xp1 = jnp.roll(x, -1, axis=-1)
-        xm1 = jnp.roll(x, 1, axis=-1)
-        xm2 = jnp.roll(x, 2, axis=-1)
+    def drift(self, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        xp1 = jnp.roll(x, -1, axis=axis)
+        xm1 = jnp.roll(x, 1, axis=axis)
+        xm2 = jnp.roll(x, 2, axis=axis)
         return (xp1 - xm2) * xm1 - x + self.forcing
 
-    def step(self, x: jnp.ndarray) -> jnp.ndarray:
-        return _STEPPERS[self.integrator](self.drift, x, self.dt)
+    def step(self, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        return _STEPPERS[self.integrator](lambda z: self.drift(z, axis), x, self.dt)
 
 
 @dataclass(frozen=True)
@@ -124,11 +132,17 @@ class LinearDynamics:
     def dim(self) -> int:
         return len(self.matrix)
 
-    def step(self, x: jnp.ndarray) -> jnp.ndarray:
+    def step(self, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
         a = jnp.asarray(self.matrix, jnp.float32)
-        out = x @ a.T
+        if axis in (-1, x.ndim - 1):
+            out = x @ a.T
+            if self.offset:
+                out = out + jnp.asarray(self.offset, jnp.float32)
+            return out
+        assert axis in (-2, x.ndim - 2)
+        out = jnp.einsum("ij,...jk->...ik", a, x)
         if self.offset:
-            out = out + jnp.asarray(self.offset, jnp.float32)
+            out = out + jnp.asarray(self.offset, jnp.float32)[:, None]
         return out
 
 
@@ -137,6 +151,24 @@ DYNAMICS = {
     "lorenz63": Lorenz63,
     "lorenz96": Lorenz96,
 }
+
+
+def make_stepper(data_cfg):
+    """Ground-truth stepper for a DataConfig — shared by data generation and
+    the known-dynamics transition mode (SMCConfig.transition="known")."""
+    if data_cfg.datatype == "lgssm":
+        # Stable rotation-ish linear system for oracle tests.
+        theta = 0.3
+        a = [
+            [0.9 * jnp.cos(theta), -0.9 * jnp.sin(theta)],
+            [0.9 * jnp.sin(theta), 0.9 * jnp.cos(theta)],
+        ]
+        mat = tuple(
+            tuple(float(v) for v in row)
+            for row in jnp.asarray(a)[: data_cfg.dx, : data_cfg.dx].tolist()
+        )
+        return LinearDynamics(matrix=mat)
+    return make_dynamics(data_cfg.datatype, **dict(data_cfg.dyn_overrides))
 
 
 def make_dynamics(name: str, **overrides):

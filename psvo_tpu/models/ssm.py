@@ -5,18 +5,31 @@ that assembles learnable (transformation, distribution) pairs from flags —
 initial proposal q0(x_0|y_0), dynamics proposal q1(x_t|x_{t-1}), encoder
 proposal q2(x_t|y_t), transition f(x_t|x_{t-1}), emission g(y_t|x_t) — with
 bootstrap mode (proposal := f) and two-proposal Gaussian fusion (`use_2_q`,
-SURVEY.md §3.2).
+SURVEY.md §3.2). Reference capability coverage beyond the MLP+diag default:
+
+- exogenous control inputs (`Di`, SURVEY.md §5 flag table): when
+  cfg.data.di > 0, the q1/f heads condition on [x_prev, u_t];
+- full-covariance heads (`distribution/mvn.py` "diagonal or full"):
+  cov_type="tril" on f and/or g — a trainable constant Cholesky factor
+  (proposals stay diagonal: the use_2q precision fusion is diagonal math);
+- Dirac-delta emissions (`distribution/dirac_delta.py`): emission="dirac"
+  observes a deterministic function of state and contributes 0 to weights;
+- known-dynamics transitions (SMCConfig.transition="known"): f's mean is the
+  TRUE dynamics stepper with a learned noise scale — the learn-proposals-only
+  ablation (models/dynamics.py role 2).
 
 TPU-first shape: `SSM` is a *static* description (dims, net configs, flags) —
 hashable, safe to close over in jit — while all learnable state lives in one
 params dict pytree `{"q0","q1","q2","f","g","qb","prior"}`. Every method is a
-pure function `(params, arrays) -> arrays` that broadcasts over [B, K, ...]
-leading axes, so `smc.py` never reshapes for the model.
+pure function `(params, arrays) -> arrays`. The `_cm` variants operate on the
+channel-major [B, Dx, K] particle layout of the forward filter (see
+distributions.mvn_diag_log_prob_cm); the feature-last variants serve the cold
+paths (backward smoothing over M≈16 draws, k-step eval, data generation).
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +37,7 @@ import jax.numpy as jnp
 from psvo_tpu import distributions as dist
 from psvo_tpu import networks
 from psvo_tpu.config import Config, NetConfig
+from psvo_tpu.models import dynamics as dyn
 
 Params = dict[str, Any]
 
@@ -34,6 +48,7 @@ class SSM:
     def __init__(self, cfg: Config):
         self.dx = cfg.data.dx
         self.dy = cfg.data.dy
+        self.di = cfg.data.di
         self.emission = cfg.data.emission
         self.use_2q = cfg.smc.use_2q
         self.use_bootstrap = cfg.smc.use_bootstrap
@@ -45,12 +60,34 @@ class SSM:
         self.use_pallas_resample = cfg.use_pallas and cfg.use_pallas_resample
         self.bf16_matmuls = cfg.train.bf16_matmuls
 
+        self.transition_known = cfg.smc.transition == "known"
+        self.stepper = dyn.make_stepper(cfg.data) if self.transition_known else None
+        self.f_tril = (not self.transition_known) and self.nets["f"].cov_type == "tril"
+        self.g_tril = self.nets["g"].cov_type == "tril"
+
+        for q in ("q0", "q1", "q2", "qb"):
+            if self.nets[q].cov_type == "tril":
+                raise ValueError(
+                    f"cov_type='tril' is not supported on proposal head {q!r}: "
+                    "the use_2q precision fusion and reparameterized draws are "
+                    "diagonal; use it on 'f' or 'g'"
+                )
+        if self.transition_known and self.nets["f"].cov_type == "tril":
+            raise ValueError("transition='known' uses a diagonal learned noise scale")
+        if self.transition_known and self.di:
+            raise ValueError("transition='known' does not take control inputs (di>0)")
+        if self.emission == "poisson" and self.g_tril:
+            raise ValueError("poisson emissions have no covariance head")
+
     # -- init ---------------------------------------------------------------
 
     def init(self, key: jax.Array) -> Params:
         keys = jax.random.split(key, 7)
-        dx, dy = self.dx, self.dy
-        g_cov = "none" if self.emission == "poisson" else self.nets["g"].cov_type
+        dx, dy, di = self.dx, self.dy, self.di
+        if self.emission in ("poisson", "dirac"):
+            g_cov = "none"
+        else:
+            g_cov = self.nets["g"].cov_type
 
         def head(k, cfg: NetConfig, din, dout, cov=None):
             return networks.init_mlp_head(
@@ -63,11 +100,21 @@ class SSM:
                 sigma_min=cfg.sigma_min,
             )
 
+        if self.transition_known:
+            # true-dynamics mean + learned per-dim noise scale only
+            f_cfg = self.nets["f"]
+            raw = jnp.log(
+                jnp.expm1(jnp.maximum(f_cfg.sigma_init - f_cfg.sigma_min, 1e-6))
+            )
+            f_params: Params = {"raw_scale": jnp.full((dx,), raw, jnp.float32)}
+        else:
+            f_params = head(keys[3], self.nets["f"], dx + di, dx)
+
         return {
             "q0": head(keys[0], self.nets["q0"], self.enc_dim, dx),
-            "q1": head(keys[1], self.nets["q1"], dx, dx),
+            "q1": head(keys[1], self.nets["q1"], dx + di, dx),
             "q2": head(keys[2], self.nets["q2"], self.enc_dim, dx),
-            "f": head(keys[3], self.nets["f"], dx, dx),
+            "f": f_params,
             "g": head(keys[4], self.nets["g"], dx, dy, cov=g_cov),
             "qb": head(keys[5], self.nets["qb"], dx + dy, dx),
             # learned initial prior p(x_0) = N(mu0, diag(scale0^2))
@@ -99,9 +146,8 @@ class SSM:
         )
 
     def _mean(self, net: Params, cfg: NetConfig, x: jax.Array):
-        """Mean-only head (Poisson log-rate / Dirac): same kernel/bf16
-        dispatch as _mean_scale — this is the hottest per-step MLP for
-        Poisson emissions."""
+        """Mean-only head (Poisson log-rate / Dirac / tril mean): same kernel
+        dispatch as _mean_scale."""
         if self.use_pallas_mlp:
             from psvo_tpu.ops import pallas_mlp
 
@@ -112,6 +158,36 @@ class SSM:
         return networks.mlp_mean(
             net, x, activation=cfg.activation, bf16=self.bf16_matmuls
         )
+
+    # -- control-input concat -------------------------------------------------
+
+    def _with_control(self, x: jax.Array, u: Optional[jax.Array]) -> jax.Array:
+        """Feature-last concat: x [..., Dx] with u either [B, Di] (broadcast
+        over middle axes) or already position-matched [..., Di]."""
+        if not self.di:
+            return x
+        if u is None:
+            u = jnp.zeros((*x.shape[:-1], self.di), x.dtype)
+        elif u.ndim == x.ndim and u.shape[:-1] == x.shape[:-1]:
+            pass  # position-matched (e.g. k-step rollouts over [B, T, ...])
+        else:
+            u = jnp.broadcast_to(
+                u.reshape(u.shape[0], *([1] * (x.ndim - 2)), self.di),
+                (*x.shape[:-1], self.di),
+            )
+        return jnp.concatenate([x, u], axis=-1)
+
+    def _with_control_cm(self, x: jax.Array, u: Optional[jax.Array]) -> jax.Array:
+        """Channel-major concat: x [B, Dx, K], u [B, Di] -> [B, Dx+Di, K]."""
+        if not self.di:
+            return x
+        if u is None:
+            u_b = jnp.zeros((x.shape[0], self.di, x.shape[-1]), x.dtype)
+        else:
+            u_b = jnp.broadcast_to(
+                u[:, :, None], (x.shape[0], self.di, x.shape[-1])
+            )
+        return jnp.concatenate([x, u_b], axis=-2)
 
     # -- prior ----------------------------------------------------------------
 
@@ -134,12 +210,15 @@ class SSM:
             )
         return self._mean_scale(params["q0"], self.nets["q0"], y0)
 
-    def propose(self, params: Params, x_prev: jax.Array, y_t: jax.Array):
-        """q(x_t | x_{t-1}, y_t): q1 ⊗ q2 precision-weighted fusion under use_2q,
-        plain q1 otherwise, and the transition f itself in bootstrap mode."""
+    def propose(self, params: Params, x_prev: jax.Array, y_t: jax.Array, u=None):
+        """q(x_t | x_{t-1}, y_t[, u_t]): q1 ⊗ q2 precision-weighted fusion under
+        use_2q, plain q1 otherwise, and the transition f itself in bootstrap
+        mode (diagonal f only)."""
         if self.use_bootstrap:
-            return self.transition_params(params, x_prev)
-        m1, s1 = self._mean_scale(params["q1"], self.nets["q1"], x_prev)
+            return self.transition_params(params, x_prev, u)
+        m1, s1 = self._mean_scale(
+            params["q1"], self.nets["q1"], self._with_control(x_prev, u)
+        )
         if not self.use_2q:
             return m1, s1
         m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)
@@ -152,63 +231,7 @@ class SSM:
         )
         return self._mean_scale(params["qb"], self.nets["qb"], inp)
 
-    def step_heads(self, params: Params, x_prev: jax.Array, y_t: jax.Array):
-        """All per-step conditionals on x_prev in one go:
-        returns (mean_q, scale_q, mean_f, scale_f).
-
-        q1 and f consume the SAME input, so when their architectures match
-        (the default) they evaluate as ONE stacked vmapped MLP — XLA emits a
-        single batched matmul chain, halving per-step MLP op count (the scan
-        is latency-bound on TPU, so op count ≈ time). Also returns the
-        transition parameters so the incremental weight α_t never re-runs the
-        f network.
-        """
-        if self.use_bootstrap:
-            mean_f, scale_f = self.transition_params(params, x_prev)
-            return mean_f, scale_f, mean_f, scale_f
-
-        q1_cfg, f_cfg = self.nets["q1"], self.nets["f"]
-        stackable = (
-            q1_cfg.hidden == f_cfg.hidden
-            and q1_cfg.activation == f_cfg.activation
-            and q1_cfg.cov_type == f_cfg.cov_type == "const"
-            and q1_cfg.sigma_min == f_cfg.sigma_min
-            and not self.use_pallas_mlp  # fused kernel handles its own batching
-        )
-        if stackable:
-            stacked = jax.tree_util.tree_map(
-                lambda a, b: jnp.stack([a, b]), params["q1"], params["f"]
-            )
-            means, scales = jax.vmap(
-                lambda net: networks.mlp_mean_scale(
-                    net,
-                    x_prev,
-                    activation=q1_cfg.activation,
-                    sigma_min=q1_cfg.sigma_min,
-                    bf16=self.bf16_matmuls,
-                )
-            )(stacked)
-            m1, s1 = means[0], scales[0]
-            mean_f, scale_f = means[1], scales[1]
-        else:
-            m1, s1 = self._mean_scale(params["q1"], q1_cfg, x_prev)
-            mean_f, scale_f = self.transition_params(params, x_prev)
-
-        if self.use_2q:
-            m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)
-            mean_q, scale_q = dist.mvn_product(m1, s1, m2, s2)
-        else:
-            mean_q, scale_q = m1, s1
-        return mean_q, scale_q, mean_f, scale_f
-
     # -- channel-major variants (the forward filter's hot path) ---------------
-    #
-    # The filter keeps particle tensors as [B, Dx, K] — K on the 128-lane
-    # axis, the tiny feature dim on sublanes (see
-    # distributions.mvn_diag_log_prob_cm for the layout rationale). These
-    # methods mirror their feature-last counterparts above, which remain for
-    # the cold paths (backward smoothing over M≈16 draws, k-step eval,
-    # data generation).
 
     def _mean_scale_cm(self, net: Params, cfg: NetConfig, x: jax.Array):
         return networks.mlp_mean_scale_cm(
@@ -224,29 +247,80 @@ class SSM:
         mean, scale = self.prior_params(params)
         return dist.mvn_diag_log_prob_cm(x, mean[:, None], scale[:, None])
 
-    def transition_params_cm(self, params: Params, x_prev: jax.Array):
-        """x_prev [..., Dx, K] -> (mean, scale) [..., Dx, K]."""
-        return self._mean_scale_cm(params["f"], self.nets["f"], x_prev)
+    def transition_params_cm(self, params: Params, x_prev: jax.Array, u=None):
+        """Diagonal transition: x_prev [..., Dx, K] -> (mean, scale) [..., Dx, K]."""
+        if self.transition_known:
+            mean = self.stepper.step(x_prev, axis=-2)
+            scale = networks.scale_from_raw(
+                params["f"]["raw_scale"], self.nets["f"].sigma_min
+            )
+            return mean, jnp.broadcast_to(scale[:, None], mean.shape)
+        return self._mean_scale_cm(
+            params["f"], self.nets["f"], self._with_control_cm(x_prev, u)
+        )
 
-    def step_heads_cm(self, params: Params, x_prev: jax.Array, y_t: jax.Array):
-        """Channel-major `step_heads`: x_prev [B, Dx, K], y_t [B, E] ->
-        (mean_q, scale_q, mean_f, scale_f), each [B, Dx, K].
+    def transition_full_cm(self, params: Params, x_prev: jax.Array, u=None):
+        """Full-covariance transition (cov_type='tril' on f):
+        -> (mean [..., Dx, K], chol [Dx, Dx])."""
+        mean = networks.mlp_mean_cm(
+            params["f"],
+            self._with_control_cm(x_prev, u),
+            activation=self.nets["f"].activation,
+            bf16=self.bf16_matmuls,
+        )
+        chol = networks.tril_from_raw(params["f"]["raw_tril"], self.nets["f"].sigma_min)
+        return mean, chol
 
-        The encoder head q2 runs feature-last on the [B, E] observation (one
-        row per trajectory — no K broadcast ever materializes) and joins the
-        fusion as [B, Dx, 1].
+    def transition_log_prob_cm(
+        self, params: Params, x_prev: jax.Array, x: jax.Array, u=None
+    ) -> jax.Array:
+        """log f(x | x_prev[, u]) in channel-major layout -> [..., K]."""
+        if self.f_tril:
+            mean, chol = self.transition_full_cm(params, x_prev, u)
+            return dist.mvn_full_log_prob_cm(x, mean, chol)
+        mean, scale = self.transition_params_cm(params, x_prev, u)
+        return dist.mvn_diag_log_prob_cm(x, mean, scale)
+
+    def propose_cm(self, params: Params, x_prev: jax.Array, y_t: jax.Array, u=None):
+        """Diagonal proposal in channel-major layout (bootstrap: diagonal f)."""
+        if self.use_bootstrap:
+            return self.transition_params_cm(params, x_prev, u)
+        m1, s1 = self._mean_scale_cm(
+            params["q1"], self.nets["q1"], self._with_control_cm(x_prev, u)
+        )
+        if not self.use_2q:
+            return m1, s1
+        m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)  # [B, Dx]
+        return dist.mvn_product(m1, s1, m2[..., None], s2[..., None])
+
+    def step_heads_cm(self, params: Params, x_prev: jax.Array, y_t: jax.Array, u=None):
+        """All per-step diagonal conditionals on x_prev in one go:
+        x_prev [B, Dx, K], y_t [B, E] -> (mean_q, scale_q, mean_f, scale_f),
+        each [B, Dx, K]. Diagonal-f configs only — the smc body routes tril
+        transitions through propose_cm/transition_log_prob_cm instead.
+
+        q1 and f consume the SAME input, so when their architectures match
+        (the default) they evaluate as ONE stacked vmapped MLP — XLA emits a
+        single batched matmul chain, halving per-step MLP op count (the scan
+        is latency-bound on TPU, so op count ≈ time). Also returns the
+        transition parameters so the incremental weight α_t never re-runs the
+        f network. The encoder head q2 runs feature-last on the [B, E]
+        observation (one row per trajectory — no K broadcast materializes)
+        and joins the fusion as [B, Dx, 1].
         """
         if self.use_bootstrap:
-            mean_f, scale_f = self.transition_params_cm(params, x_prev)
+            mean_f, scale_f = self.transition_params_cm(params, x_prev, u)
             return mean_f, scale_f, mean_f, scale_f
 
         q1_cfg, f_cfg = self.nets["q1"], self.nets["f"]
         stackable = (
-            q1_cfg.hidden == f_cfg.hidden
+            not self.transition_known
+            and q1_cfg.hidden == f_cfg.hidden
             and q1_cfg.activation == f_cfg.activation
             and q1_cfg.cov_type == f_cfg.cov_type == "const"
             and q1_cfg.sigma_min == f_cfg.sigma_min
         )
+        x_in = self._with_control_cm(x_prev, u)
         if stackable:
             stacked = jax.tree_util.tree_map(
                 lambda a, b: jnp.stack([a, b]), params["q1"], params["f"]
@@ -254,7 +328,7 @@ class SSM:
             means, scales = jax.vmap(
                 lambda net: networks.mlp_mean_scale_cm(
                     net,
-                    x_prev,
+                    x_in,
                     activation=q1_cfg.activation,
                     sigma_min=q1_cfg.sigma_min,
                     bf16=self.bf16_matmuls,
@@ -263,8 +337,8 @@ class SSM:
             m1, s1 = means[0], scales[0]
             mean_f, scale_f = means[1], scales[1]
         else:
-            m1, s1 = self._mean_scale_cm(params["q1"], q1_cfg, x_prev)
-            mean_f, scale_f = self.transition_params_cm(params, x_prev)
+            m1, s1 = self._mean_scale_cm(params["q1"], q1_cfg, x_in)
+            mean_f, scale_f = self.transition_params_cm(params, x_prev, u)
 
         if self.use_2q:
             m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)  # [B, Dx]
@@ -279,32 +353,81 @@ class SSM:
         self, params: Params, x: jax.Array, y: jax.Array
     ) -> jax.Array:
         """x [B, Dx, K], y [B, Dy] -> [B, K]."""
+        g_cfg = self.nets["g"]
+        if self.emission == "dirac":
+            # deterministic observation map (reference dirac_delta semantics):
+            # constant density, contributes 0 to the weights
+            return jnp.zeros((*x.shape[:-2], x.shape[-1]), x.dtype)
         if self.emission == "poisson":
             log_rate = networks.mlp_mean_cm(
-                params["g"],
-                x,
-                activation=self.nets["g"].activation,
-                bf16=self.bf16_matmuls,
+                params["g"], x, activation=g_cfg.activation, bf16=self.bf16_matmuls
             )
             return dist.poisson_log_prob_cm(y[..., :, None], log_rate)
-        mean, scale = self._mean_scale_cm(params["g"], self.nets["g"], x)
+        if self.g_tril:
+            mean = networks.mlp_mean_cm(
+                params["g"], x, activation=g_cfg.activation, bf16=self.bf16_matmuls
+            )
+            chol = networks.tril_from_raw(params["g"]["raw_tril"], g_cfg.sigma_min)
+            return dist.mvn_full_log_prob_cm(y[..., :, None], mean, chol)
+        mean, scale = self._mean_scale_cm(params["g"], g_cfg, x)
         return dist.mvn_diag_log_prob_cm(y[..., :, None], mean, scale)
 
-    # -- transition / emission -------------------------------------------------
+    # -- transition / emission (feature-last: backward smoothing, eval) --------
 
-    def transition_params(self, params: Params, x_prev: jax.Array):
-        return self._mean_scale(params["f"], self.nets["f"], x_prev)
+    def transition_params(self, params: Params, x_prev: jax.Array, u=None):
+        """Diagonal transition -> (mean, scale), feature-last."""
+        if self.transition_known:
+            mean = self.stepper.step(x_prev)
+            scale = networks.scale_from_raw(
+                params["f"]["raw_scale"], self.nets["f"].sigma_min
+            )
+            return mean, jnp.broadcast_to(scale, mean.shape)
+        return self._mean_scale(
+            params["f"], self.nets["f"], self._with_control(x_prev, u)
+        )
+
+    def transition_mean(self, params: Params, x_prev: jax.Array, u=None) -> jax.Array:
+        """Mean next state — k-step prediction rollouts (SURVEY.md §3.4)."""
+        if self.transition_known:
+            return self.stepper.step(x_prev)
+        if self.f_tril:
+            return networks.mlp_mean(
+                params["f"],
+                self._with_control(x_prev, u),
+                activation=self.nets["f"].activation,
+                bf16=self.bf16_matmuls,
+            )
+        return self.transition_params(params, x_prev, u)[0]
 
     def transition_log_prob(
-        self, params: Params, x_prev: jax.Array, x: jax.Array
+        self, params: Params, x_prev: jax.Array, x: jax.Array, u=None
     ) -> jax.Array:
-        mean, scale = self.transition_params(params, x_prev)
+        if self.f_tril:
+            mean = networks.mlp_mean(
+                params["f"],
+                self._with_control(x_prev, u),
+                activation=self.nets["f"].activation,
+                bf16=self.bf16_matmuls,
+            )
+            chol = networks.tril_from_raw(
+                params["f"]["raw_tril"], self.nets["f"].sigma_min
+            )
+            return dist.mvn_full_log_prob(x, mean, chol)
+        mean, scale = self.transition_params(params, x_prev, u)
         return dist.mvn_diag_log_prob(x, mean, scale)
 
     def emission_log_prob(self, params: Params, x: jax.Array, y: jax.Array) -> jax.Array:
+        if self.emission == "dirac":
+            return jnp.zeros(x.shape[:-1], x.dtype)
         if self.emission == "poisson":
             log_rate = self._mean(params["g"], self.nets["g"], x)
             return dist.poisson_log_prob(y, log_rate)
+        if self.g_tril:
+            mean = self._mean(params["g"], self.nets["g"], x)
+            chol = networks.tril_from_raw(
+                params["g"]["raw_tril"], self.nets["g"].sigma_min
+            )
+            return dist.mvn_full_log_prob(y, mean, chol)
         mean, scale = self._mean_scale(params["g"], self.nets["g"], x)
         return dist.mvn_diag_log_prob(y, mean, scale)
 
@@ -312,6 +435,8 @@ class SSM:
         """Mean observation ŷ(x) — used by k-step prediction R² (SURVEY.md §3.4)."""
         if self.emission == "poisson":
             return jnp.exp(self._mean(params["g"], self.nets["g"], x))
+        if self.emission == "dirac" or self.g_tril:
+            return self._mean(params["g"], self.nets["g"], x)
         return self._mean_scale(params["g"], self.nets["g"], x)[0]
 
 

@@ -74,6 +74,15 @@ def init_mlp_head(
         # softplus(raw) + sigma_min == sigma_init at init.
         raw = jnp.log(jnp.expm1(jnp.maximum(sigma_init - sigma_min, 1e-6)))
         params["raw_scale"] = jnp.full((dout,), raw, jnp.float32)
+    elif cov_type == "tril":
+        # trainable state-independent FULL covariance via its Cholesky factor:
+        # diag = softplus(raw_diag) + sigma_min (floored, sigma_init at init),
+        # strict lower triangle free (zero at init -> starts diagonal).
+        raw = jnp.log(jnp.expm1(jnp.maximum(sigma_init - sigma_min, 1e-6)))
+        params["raw_tril"] = {
+            "diag": jnp.full((dout,), raw, jnp.float32),
+            "off": jnp.zeros((dout * (dout - 1) // 2,), jnp.float32),
+        }
     elif cov_type == "head":
         raw = jnp.log(jnp.expm1(jnp.maximum(sigma_init - sigma_min, 1e-6)))
         w, b = _init_dense(keys[-1], sizes[-1], dout)
@@ -86,6 +95,18 @@ def init_mlp_head(
 def scale_from_raw(raw: jax.Array, sigma_min: float) -> jax.Array:
     """softplus + floor, the reference's sigma_min clamp (SURVEY.md §2-A mvn)."""
     return jax.nn.softplus(raw) + sigma_min
+
+
+def tril_from_raw(raw_tril: dict, sigma_min: float) -> jax.Array:
+    """Assemble the [D, D] lower-triangular Cholesky factor from its packed
+    parameterization (cov_type="tril"): floored-softplus diagonal, free
+    strict-lower entries."""
+    d = raw_tril["diag"].shape[0]
+    chol = jnp.diag(scale_from_raw(raw_tril["diag"], sigma_min))
+    if d > 1:
+        rows, cols = jnp.tril_indices(d, k=-1)
+        chol = chol.at[rows, cols].set(raw_tril["off"])
+    return chol
 
 
 def _dense(h: jax.Array, w: jax.Array, b: jax.Array, bf16: bool) -> jax.Array:

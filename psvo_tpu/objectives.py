@@ -72,7 +72,7 @@ class ObjectiveOutput:
 
 
 def _pairwise_transition_logp(
-    ssm: SSM, params, x_support: jax.Array, x_query: jax.Array
+    ssm: SSM, params, x_support: jax.Array, x_query: jax.Array, u=None
 ) -> jax.Array:
     """log f(x_query^m | x_support^j) for all (m, j):
     x_support [B,Dx,K] (channel-major), x_query [B,M,Dx] -> [B,M,K].
@@ -87,23 +87,35 @@ def _pairwise_transition_logp(
     — round-1 ROADMAP #4 ("fused pairwise density kernel") realized as plain
     dot_generals riding the MXU; no Pallas needed.
     """
-    mean, scale = ssm.transition_params_cm(params, x_support)  # [B, Dx, K]
-    r = 1.0 / (scale * scale)
+    d = x_query.shape[-1]
+    if ssm.f_tril:
+        # constant full covariance: whiten both sides with L⁻¹, then the same
+        # expansion applies with unit scales
+        mean, chol = ssm.transition_full_cm(params, x_support, u)  # [B,Dx,K], [D,D]
+        solve = lambda v: jax.scipy.linalg.solve_triangular(
+            jnp.broadcast_to(chol, (*v.shape[:-2], d, d)), v, lower=True
+        )
+        mean = solve(mean)
+        x_query = jnp.swapaxes(solve(jnp.swapaxes(x_query, -1, -2)), -1, -2)
+        r = jnp.ones_like(mean)
+        logdet = jnp.sum(jnp.log(jnp.diagonal(chol)))
+    else:
+        mean, scale = ssm.transition_params_cm(params, x_support, u)  # [B, Dx, K]
+        r = 1.0 / (scale * scale)
+        logdet = jnp.sum(jnp.log(scale), axis=-2)[:, None, :]
     t1 = jnp.einsum("bmd,bdk->bmk", x_query * x_query, r)
     t2 = jnp.einsum("bmd,bdk->bmk", x_query, mean * r)
     t3 = jnp.sum(mean * mean * r, axis=-2)[:, None, :]  # [B, 1, K]
-    logdet = jnp.sum(jnp.log(scale), axis=-2)[:, None, :]
-    d = x_query.shape[-1]
     logp = -0.5 * (t1 - 2.0 * t2 + t3) - logdet - d * _HALF_LOG_2PI
     return jnp.maximum(logp, _MIN_LOGP)
 
 
 def _predictive_mixture_logp(
-    ssm: SSM, params, x_prev: jax.Array, logw_prev: jax.Array, x_query: jax.Array
+    ssm: SSM, params, x_prev: jax.Array, logw_prev: jax.Array, x_query: jax.Array, u=None
 ) -> jax.Array:
     """log p̂(x_query | y_{1:t}) = logsumexp_j [ logŴ_t^j + log f(x_query|X_t^j) ]."""
     logw_norm, _ = log_normalize(logw_prev, axis=-1)  # [B, K]
-    pair = _pairwise_transition_logp(ssm, params, x_prev, x_query)  # [B, M, K]
+    pair = _pairwise_transition_logp(ssm, params, x_prev, x_query, u)  # [B, M, K]
     return jax.scipy.special.logsumexp(pair + logw_norm[:, None, :], axis=-1)
 
 
@@ -116,7 +128,7 @@ def _sample_final_particles(key, fwd: FilterResult, m: int):
     return jnp.swapaxes(x_t, -1, -2), idx  # [B, M, Dx]
 
 
-def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
+def _svo_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: int):
     """Backward simulation with the learned proposal q_b; returns (logw̃ [B,M], x̃ [T,B,M,Dx])."""
     t_steps = ys_tm.shape[0]
     batch = ys_tm.shape[1]
@@ -128,7 +140,7 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
     # q-side T-term: continuous filter-density surrogate ρ_T (module docstring).
     log_g_t = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
     log_pred = _predictive_mixture_logp(
-        ssm, params, fwd.xs[-2], fwd.logws[-2], x_tilde_t
+        ssm, params, fwd.xs[-2], fwd.logws[-2], x_tilde_t, ctrl_tm[-1]
     )
     log_rho_t = log_g_t + log_pred - fwd.increments[-1][:, None]  # [B, M]
 
@@ -138,12 +150,12 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
 
     def body(carry, inputs):
         x_next, logp, logq = carry
-        y_t, eps_t = inputs
+        y_t, u_next, eps_t = inputs  # u_next: control at t+1 (into x_next)
         mean_b, scale_b = ssm.backward_propose(params, x_next, y_t[:, None, :])
         x_t = mean_b + scale_b * eps_t  # [B, M, Dx] reparameterized draw
         logp = (
             logp
-            + ssm.transition_log_prob(params, x_t, x_next)
+            + ssm.transition_log_prob(params, x_t, x_next, u_next)
             + ssm.emission_log_prob(params, x_t, y_t[:, None, :])
         )
         logq = logq + mvn_diag_log_prob(x_t, mean_b, scale_b)
@@ -151,7 +163,10 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
 
     # reverse scan over t = T-2 .. 0
     (x_first, logp, logq), xs_rev = jax.lax.scan(
-        body, (x_tilde_t, logp, logq), (ys_tm[:-1], eps_scan), reverse=True
+        body,
+        (x_tilde_t, logp, logq),
+        (ys_tm[:-1], ctrl_tm[1:], eps_scan),
+        reverse=True,
     )
     logp = logp + ssm.prior_log_prob(params, x_first)
 
@@ -165,10 +180,11 @@ def _make_ffbsi_body(ssm: SSM, params):
 
     def body(carry, inputs):
         x_next, logp = carry
-        x_t_support, logw_t, y_t, k_t = inputs  # [B,Dx,K], [B,K], [B,Dy], key
+        # [B,Dx,K], [B,K], [B,Dy], [B,Di] control at t+1 (into x_next), key
+        x_t_support, logw_t, y_t, u_next, k_t = inputs
 
         logw_norm, _ = log_normalize(logw_t, axis=-1)  # [B, K]
-        pair = _pairwise_transition_logp(ssm, params, x_t_support, x_next)
+        pair = _pairwise_transition_logp(ssm, params, x_t_support, x_next, u_next)
         logits = pair + logw_norm[:, None, :]  # [B, M, K] backward weights
         idx = jax.random.categorical(k_t, logits, axis=-1)  # [B, M]
         x_t = jnp.swapaxes(
@@ -177,7 +193,7 @@ def _make_ffbsi_body(ssm: SSM, params):
 
         logp = (
             logp
-            + ssm.transition_log_prob(params, x_t, x_next)
+            + ssm.transition_log_prob(params, x_t, x_next, u_next)
             + ssm.emission_log_prob(params, x_t, y_t[:, None, :])
         )
         return (x_t, logp), x_t
@@ -185,7 +201,7 @@ def _make_ffbsi_body(ssm: SSM, params):
     return body
 
 
-def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
+def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: int):
     """FFBSi discrete backward simulation over the forward support.
 
     Returns (smoothed [T,B,M,Dx], log p(smoothed, y) [B,M]) — the smoothed
@@ -201,7 +217,7 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
     (x_first, logp), xs_rev = jax.lax.scan(
         _make_ffbsi_body(ssm, params),
         (x_tilde_t, logp),
-        (fwd.xs[:-1], fwd.logws[:-1], ys_tm[:-1], cat_keys),
+        (fwd.xs[:-1], fwd.logws[:-1], ys_tm[:-1], ctrl_tm[1:], cat_keys),
         reverse=True,
     )
     logp = logp + ssm.prior_log_prob(params, x_first)
@@ -210,7 +226,7 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, fwd: FilterResult, m: int):
 
 
 def _ffbsi_backward_segmented(
-    ssm: SSM, params, key, ys_tm, enc_tm, fwd, cache, m: int, smc_cfg
+    ssm: SSM, params, key, ys_tm, enc_tm, ctrl_tm, fwd, cache, m: int, smc_cfg
 ):
     """FFBSi over a segmented forward cache (the long-T path, SURVEY.md §5):
     each forward segment is recomputed bit-exactly from its boundary carry
@@ -231,30 +247,34 @@ def _ffbsi_backward_segmented(
     body = _make_ffbsi_body(ssm, params)
     ys_seg = ys_tm[1:].reshape(n_segments, seg_len, batch, -1)
     enc_seg = enc_tm[1:].reshape(n_segments, seg_len, batch, -1)
+    ctrl_seg = ctrl_tm[1:].reshape(n_segments, seg_len, batch, ssm.di)
 
     carry = (x_tilde_t, logp)
     pieces = []  # smoothed segments, collected in reverse time order
     for s in reversed(range(n_segments)):
         xs_seg, logws_seg = recompute_segment(
-            ssm, params, smc_cfg, cache, s, ys_seg[s], enc_seg[s]
+            ssm, params, smc_cfg, cache, s, ys_seg[s], enc_seg[s], ctrl_seg[s]
         )
         # segment s holds support entries t = 1+sL .. sL+L; the reverse sweep
         # consumes t <= T-2, so the last segment drops its final entry (that
-        # time step is the anchor). Support t pairs with ys[t] and cat_keys[t]
-        # (cat_keys[0] is reserved for the final t=0 step below).
+        # time step is the anchor). Support t pairs with ys[t], the control at
+        # t+1, and cat_keys[t] (cat_keys[0] is reserved for the t=0 step below).
         lo = 1 + s * seg_len
         hi = min(s * seg_len + seg_len, t_steps - 2)
         n_sup = hi - lo + 1
         xs_sup, logw_sup = xs_seg[:n_sup], logws_seg[:n_sup]
         ys_sup = ys_tm[lo : hi + 1]
+        ctrl_sup = ctrl_tm[lo + 1 : hi + 2]
         keys_sup = cat_keys[lo : hi + 1]
         carry, xs_rev = jax.lax.scan(
-            body, carry, (xs_sup, logw_sup, ys_sup, keys_sup), reverse=True
+            body, carry, (xs_sup, logw_sup, ys_sup, ctrl_sup, keys_sup), reverse=True
         )
         pieces.append(xs_rev)
 
     # final reverse step: support t = 0 (the initial particles)
-    carry, x0_tilde = body(carry, (cache.x0, cache.alpha0, ys_tm[0], cat_keys[0]))
+    carry, x0_tilde = body(
+        carry, (cache.x0, cache.alpha0, ys_tm[0], ctrl_tm[1], cat_keys[0])
+    )
     x_first, logp = carry
     logp = logp + ssm.prior_log_prob(params, x_first)
 
@@ -285,9 +305,12 @@ def make_objective(ssm: SSM, cfg: Config):
     needs_cache = smc_cfg.objective in ("svo", "psvo") and not segmented
     m = smc_cfg.n_smoothing_particles
 
-    def objective(params, key, ys, encoder_inputs=None) -> ObjectiveOutput:
+    def objective(
+        params, key, ys, encoder_inputs=None, controls=None
+    ) -> ObjectiveOutput:
         # q_uses_true_X debug flag (SURVEY.md §5 flag table): the caller passes
         # the true latents as encoder_inputs; here we only assert intent.
+        # controls [B, T, Di] are the exogenous inputs (reference `Di`).
         k_fwd, k_bwd = jax.random.split(key)
         seg_cache = None
         if segmented:
@@ -301,6 +324,7 @@ def make_objective(ssm: SSM, cfg: Config):
                 smc_cfg,
                 smc_cfg.ffbsi_segments,
                 encoder_inputs=encoder_inputs,
+                controls=controls,
             )
         else:
             fwd = forward_filter(
@@ -311,6 +335,7 @@ def make_objective(ssm: SSM, cfg: Config):
                 smc_cfg,
                 cache=needs_cache,
                 encoder_inputs=encoder_inputs,
+                controls=controls,
             )
         metrics = {
             "log_z_fwd": jnp.mean(fwd.log_z),
@@ -329,9 +354,14 @@ def make_objective(ssm: SSM, cfg: Config):
             return ObjectiveOutput(loss, elbo, metrics, filter_result=fwd)
 
         ys_tm = jnp.swapaxes(ys, 0, 1)  # [T, B, Dy]
+        from psvo_tpu.smc import _controls_tm
+
+        ctrl_tm = _controls_tm(controls, ys.shape[0], ys.shape[1], ssm.di)
 
         if smc_cfg.objective == "svo":
-            logw_traj, x_tilde = _svo_backward(ssm, params, k_bwd, ys_tm, fwd, m)
+            logw_traj, x_tilde = _svo_backward(
+                ssm, params, k_bwd, ys_tm, ctrl_tm, fwd, m
+            )
             elbo = jax.scipy.special.logsumexp(logw_traj, axis=-1) - jnp.log(
                 float(m)
             )  # [B]
@@ -347,11 +377,11 @@ def make_objective(ssm: SSM, cfg: Config):
                     else ys_tm
                 )
                 x_tilde, logp_joint = _ffbsi_backward_segmented(
-                    ssm, params, k_bwd, ys_tm, enc_tm, fwd, seg_cache, m, smc_cfg
+                    ssm, params, k_bwd, ys_tm, enc_tm, ctrl_tm, fwd, seg_cache, m, smc_cfg
                 )
             else:
                 x_tilde, logp_joint = _ffbsi_backward(
-                    ssm, params, k_bwd, ys_tm, fwd, m
+                    ssm, params, k_bwd, ys_tm, ctrl_tm, fwd, m
                 )
             elbo = fwd.log_z  # exact value after Rao-Blackwell cancellation
             em_term = jnp.mean(logp_joint)

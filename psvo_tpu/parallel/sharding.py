@@ -107,11 +107,13 @@ def make_sharded_train_step(ssm, cfg: Config, optimizer, mesh: Mesh):
     context.set_mesh(mesh)
     step = make_train_step(ssm, cfg, optimizer)  # jitted inside
 
-    def wrapped(params, opt_state, key, batch, encoder_inputs=None):
+    def wrapped(params, opt_state, key, batch, encoder_inputs=None, controls=None):
         batch = jax.device_put(batch, batch_sharding(mesh))
         if encoder_inputs is not None:
             encoder_inputs = jax.device_put(encoder_inputs, batch_sharding(mesh))
-        return step(params, opt_state, key, batch, encoder_inputs)
+        if controls is not None:
+            controls = jax.device_put(controls, batch_sharding(mesh))
+        return step(params, opt_state, key, batch, encoder_inputs, controls)
 
     return wrapped
 
@@ -126,11 +128,13 @@ def make_sharded_eval_step(ssm, cfg: Config, mesh: Mesh):
     context.set_mesh(mesh)
     step = make_eval_step(ssm, cfg)
 
-    def wrapped(params, key, ys, encoder_inputs=None):
+    def wrapped(params, key, ys, encoder_inputs=None, controls=None):
         ys = jax.device_put(ys, batch_sharding(mesh))
         if encoder_inputs is not None:
             encoder_inputs = jax.device_put(encoder_inputs, batch_sharding(mesh))
-        return step(params, key, ys, encoder_inputs)
+        if controls is not None:
+            controls = jax.device_put(controls, batch_sharding(mesh))
+        return step(params, key, ys, encoder_inputs, controls)
 
     return wrapped
 

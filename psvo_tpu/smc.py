@@ -140,7 +140,8 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
 
     def body(carry, inputs):
         x, logw = carry
-        y_t, enc_t, eps_t, u_t = inputs  # [B, Dy], [B, Dy], [B, Dx, K], [B, K]
+        # [B, Dy], [B, E], [B, Di], [B, Dx, K], [B, K]
+        y_t, enc_t, u_ctrl, eps_t, u_t = inputs
 
         score = jnp.zeros(logw.shape[0])
         if resample_on:
@@ -162,22 +163,41 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
         else:
             ess = effective_sample_size(logw, axis=-1)
 
-        # Propose K new particles. enc_t feeds the encoder head q2. q1 and f
-        # evaluate as one stacked MLP (ssm.step_heads_cm), so α_t below reuses
-        # the transition parameters instead of re-running the f network.
-        mean_q, scale_q, mean_f, scale_f = ssm.step_heads_cm(params, x, enc_t)
-        x_new = constrain(mean_q + scale_q * eps_t)  # [B, Dx, K]
-
-        # Incremental weight α_t = log f + log g − log q (bootstrap: f == q).
-        log_g = ssm.emission_log_prob_cm(params, x_new, y_t)
-        if ssm.use_bootstrap:
-            alpha = log_g
-        else:
+        # Propose K new particles; α_t = log f + log g − log q (bootstrap:
+        # f == q so the transition/proposal densities cancel).
+        if ssm.f_tril and ssm.use_bootstrap:
+            # bootstrap PF with full-covariance transition noise: correlated
+            # reparameterized draw x = mean + L @ eps
+            mean_f, chol_f = ssm.transition_full_cm(params, x, u_ctrl)
+            x_new = constrain(
+                mean_f + jnp.einsum("de,...ek->...dk", chol_f, eps_t)
+            )
+            alpha = ssm.emission_log_prob_cm(params, x_new, y_t)
+        elif ssm.f_tril:
+            mean_q, scale_q = ssm.propose_cm(params, x, enc_t, u_ctrl)
+            x_new = constrain(mean_q + scale_q * eps_t)
             alpha = (
-                mvn_diag_log_prob_cm(x_new, mean_f, scale_f)
-                + log_g
+                ssm.transition_log_prob_cm(params, x, x_new, u_ctrl)
+                + ssm.emission_log_prob_cm(params, x_new, y_t)
                 - mvn_diag_log_prob_cm(x_new, mean_q, scale_q)
             )
+        else:
+            # diagonal fast path: q1 and f evaluate as one stacked MLP
+            # (ssm.step_heads_cm), so α_t reuses the transition parameters
+            # instead of re-running the f network.
+            mean_q, scale_q, mean_f, scale_f = ssm.step_heads_cm(
+                params, x, enc_t, u_ctrl
+            )
+            x_new = constrain(mean_q + scale_q * eps_t)  # [B, Dx, K]
+            log_g = ssm.emission_log_prob_cm(params, x_new, y_t)
+            if ssm.use_bootstrap:
+                alpha = log_g
+            else:
+                alpha = (
+                    mvn_diag_log_prob_cm(x_new, mean_f, scale_f)
+                    + log_g
+                    - mvn_diag_log_prob_cm(x_new, mean_q, scale_q)
+                )
 
         logw_new = constrain(logw + alpha)
         ell = _lse(logw_new) - _lse(logw)  # [B] logZ increment
@@ -201,6 +221,13 @@ def _segment_randomness(ssm: SSM, cfg: SMCConfig, k_prop_seg, k_res_seg, length,
     return eps, u
 
 
+def _controls_tm(controls, batch, t_steps, di):
+    """Time-major [T, B, Di] control inputs (zeros when absent; Di may be 0)."""
+    if controls is not None:
+        return jnp.swapaxes(controls, 0, 1)
+    return jnp.zeros((t_steps, batch, di), jnp.float32)
+
+
 def forward_filter(
     ssm: SSM,
     params,
@@ -210,11 +237,14 @@ def forward_filter(
     *,
     cache: bool = False,
     encoder_inputs: Optional[jax.Array] = None,
+    controls: Optional[jax.Array] = None,
 ) -> FilterResult:
     """Run the forward SMC pass on observations ys [B, T, Dy].
 
     encoder_inputs optionally replaces what the encoder proposal q2 sees per
     step (the reference's `q_uses_true_X` debug flag feeds true latents).
+    controls [B, T, Di] are exogenous inputs (reference `Di`): x_t ~
+    f(· | x_{t-1}, u_t), so step t consumes controls[:, t].
     """
     batch, t_steps, _ = ys.shape
     k = cfg.n_particles
@@ -224,6 +254,7 @@ def forward_filter(
     enc_tm = (
         jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
     )
+    ctrl_tm = _controls_tm(controls, batch, t_steps, ssm.di)
 
     # ---- Bulk RNG: one threefry call per stream for ALL T steps. The scan is
     # latency-bound on TPU, so per-step key splits + sample chains dominate;
@@ -265,7 +296,9 @@ def forward_filter(
         esss,
         scores,
         fmeans,
-    ) = jax.lax.scan(scan_body, carry0, (ys_tm[1:], enc_tm[1:], eps_scan, u_scan))
+    ) = jax.lax.scan(
+        scan_body, carry0, (ys_tm[1:], enc_tm[1:], ctrl_tm[1:], eps_scan, u_scan)
+    )
 
     increments = jnp.concatenate([ell0[None], ells], axis=0)  # [T, B]
     ess_all = jnp.concatenate(
@@ -337,6 +370,7 @@ def forward_filter_segmented(
     n_segments: int,
     *,
     encoder_inputs: Optional[jax.Array] = None,
+    controls: Optional[jax.Array] = None,
 ) -> tuple[FilterResult, SegmentedCache]:
     """Forward pass that stores segment-boundary carries instead of the full
     per-step cache. Requires (T-1) % n_segments == 0."""
@@ -350,6 +384,7 @@ def forward_filter_segmented(
     enc_tm = (
         jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
     )
+    ctrl_tm = _controls_tm(controls, batch, t_steps, ssm.di)
 
     k0, k_prop, k_res = jax.random.split(key, 3)
     eps0 = jax.random.normal(k0, (batch, ssm.dx, k))
@@ -374,18 +409,19 @@ def forward_filter_segmented(
     # [S, L, B, ...] views of the per-step inputs
     ys_seg = ys_tm[1:].reshape(n_segments, seg_len, batch, -1)
     enc_seg = enc_tm[1:].reshape(n_segments, seg_len, batch, -1)
+    ctrl_seg = ctrl_tm[1:].reshape(n_segments, seg_len, batch, ssm.di)
 
     def outer(carry, inputs):
         x, logw = carry
-        ys_s, enc_s, kp, kr = inputs
+        ys_s, enc_s, ctrl_s, kp, kr = inputs
         eps, u = _segment_randomness(ssm, cfg, kp, kr, seg_len, batch, k)
         (x_out, logw_out), (_, _, ells, esss, scores, fmeans) = jax.lax.scan(
-            inner_body, (x, logw), (ys_s, enc_s, eps, u)
+            inner_body, (x, logw), (ys_s, enc_s, ctrl_s, eps, u)
         )
         return (x_out, logw_out), (x, logw, ells, esss, scores, fmeans)
 
     (x_last, logw_last), (seg_x, seg_logw, ells, esss, scores, fmeans) = jax.lax.scan(
-        outer, (x0, alpha0), (ys_seg, enc_seg, k_prop_segs, k_res_segs)
+        outer, (x0, alpha0), (ys_seg, enc_seg, ctrl_seg, k_prop_segs, k_res_segs)
     )
 
     increments = jnp.concatenate([ell0[None], ells.reshape(-1, batch)], axis=0)
@@ -430,6 +466,7 @@ def recompute_segment(
     s: int,
     ys_seg_s: jax.Array,
     enc_seg_s: jax.Array,
+    ctrl_seg_s: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
     """Re-run forward segment `s` (static index) from its stored carry.
 
@@ -450,6 +487,8 @@ def recompute_segment(
             ),
         )
     _, (xs, logws, _, _, _, _) = jax.lax.scan(
-        body, (cache.seg_x[s], cache.seg_logw[s]), (ys_seg_s, enc_seg_s, eps, u)
+        body,
+        (cache.seg_x[s], cache.seg_logw[s]),
+        (ys_seg_s, enc_seg_s, ctrl_seg_s, eps, u),
     )
     return xs, logws

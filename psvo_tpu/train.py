@@ -66,9 +66,9 @@ def make_train_step(ssm: SSM, cfg: Config, optimizer) -> Callable:
     objective = make_objective(ssm, cfg)
 
     @jax.jit
-    def train_step(params, opt_state, key, batch, encoder_inputs=None):
+    def train_step(params, opt_state, key, batch, encoder_inputs=None, controls=None):
         def loss_fn(p):
-            out = objective(p, key, batch, encoder_inputs)
+            out = objective(p, key, batch, encoder_inputs, controls)
             return out.loss, out.metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -100,19 +100,33 @@ def filtered_means(fwd) -> jax.Array:
     return jnp.swapaxes(means, 0, 1)
 
 
-def k_step_predictions(ssm: SSM, params, filt_means: jax.Array, k_max: int):
+def k_step_predictions(
+    ssm: SSM, params, filt_means: jax.Array, k_max: int, controls=None
+):
     """Roll the mean dynamics k steps from each filtered mean and emit.
 
     Returns ŷ [k_max, B, T, Dy]: ŷ[k-1, :, t] predicts y_{t+k} (valid for
     t + k < T; the caller masks). Deterministic mean rollout, matching the
-    reference's evaluation (SURVEY.md §3.4).
+    reference's evaluation (SURVEY.md §3.4). With control inputs, rollout
+    step j from time t consumes the (known) future control u_{t+j}.
     """
+    b, t_steps, _ = filt_means.shape
+    if ssm.di and controls is not None:
+        # ctrl_shift[j-1][:, t] = u_{t+j} (zero past the horizon; masked anyway)
+        ctrl_shift = jnp.stack(
+            [
+                jnp.pad(controls[:, j:], ((0, 0), (0, j), (0, 0)))
+                for j in range(1, k_max + 1)
+            ]
+        )  # [k_max, B, T, Di]
+    else:
+        ctrl_shift = jnp.zeros((k_max, b, t_steps, ssm.di), jnp.float32)
 
-    def roll(x, _):
-        mean, _ = ssm.transition_params(params, x)
+    def roll(x, u_j):
+        mean = ssm.transition_mean(params, x, u_j)
         return mean, ssm.emission_mean(params, mean)
 
-    _, preds = jax.lax.scan(roll, filt_means, None, length=k_max)
+    _, preds = jax.lax.scan(roll, filt_means, ctrl_shift)
     return preds  # [k_max, B, T, Dy]
 
 
@@ -121,14 +135,14 @@ def make_eval_step(ssm: SSM, cfg: Config) -> Callable:
     k_max = cfg.train.mse_k_steps
 
     @jax.jit
-    def eval_step(params, key, ys, encoder_inputs=None):
-        out = objective(params, key, ys, encoder_inputs)
+    def eval_step(params, key, ys, encoder_inputs=None, controls=None):
+        out = objective(params, key, ys, encoder_inputs, controls)
         fwd = out.filter_result
         fm = filtered_means(fwd)  # [B, T, Dx]
         # horizons beyond the trajectory have no targets: k > T-1 would turn
         # the `:T-k` slice negative and silently wrap (shape error / wrong R²)
         k_max_eff = min(k_max, ys.shape[1] - 1)
-        preds = k_step_predictions(ssm, params, fm, k_max_eff)
+        preds = k_step_predictions(ssm, params, fm, k_max_eff, controls)
 
         t_steps = ys.shape[1]
         var_y = jnp.var(ys, axis=(0, 1)).mean()
@@ -227,11 +241,20 @@ class Trainer:
         n_steps: Optional[int] = None,
         hidden_train=None,
         hidden_test=None,
+        controls_train=None,
+        controls_test=None,
     ) -> list[dict]:
         cfg = self.cfg
-        n_steps = n_steps if n_steps is not None else cfg.train.n_steps
         n_train = obs_train.shape[0]
         bsz = min(cfg.train.batch_size, n_train)
+        steps_per_epoch = max(n_train // bsz, 1)
+        if n_steps is None:
+            # reference-style epoch accounting: each epoch is one pass over
+            # shuffled without-replacement minibatches (SURVEY.md §2-A trainer)
+            if cfg.train.epochs > 0:
+                n_steps = cfg.train.epochs * steps_per_epoch
+            else:
+                n_steps = cfg.train.n_steps
         obs_train = jnp.asarray(obs_train)
         obs_test = jnp.asarray(obs_test)
         # q_uses_true_X debug mode: condition the encoder proposal on the true
@@ -241,7 +264,13 @@ class Trainer:
             raise ValueError("q_uses_true_x=True requires hidden_train/test latents")
         hidden_train = jnp.asarray(hidden_train) if use_true_x else None
         hidden_test = jnp.asarray(hidden_test) if use_true_x else None
+        use_controls = self.ssm.di > 0
+        if use_controls and (controls_train is None or controls_test is None):
+            raise ValueError("data.di > 0 requires controls_train/test")
+        controls_train = jnp.asarray(controls_train) if use_controls else None
+        controls_test = jnp.asarray(controls_test) if use_controls else None
         rng = np.random.default_rng(cfg.seed + 2)
+        epoch_perm = None
 
         st = self.state
         t_start = time.perf_counter()
@@ -254,12 +283,19 @@ class Trainer:
         while st.step < n_steps and not stop:
             if profile_window and st.step + 1 == profile_window[0]:
                 jax.profiler.start_trace(self.profile_dir)
-            idx = jnp.asarray(rng.choice(n_train, size=bsz, replace=False))
+            if cfg.train.epochs > 0:
+                pos = st.step % steps_per_epoch
+                if pos == 0 or epoch_perm is None:
+                    epoch_perm = rng.permutation(n_train)
+                idx = jnp.asarray(epoch_perm[pos * bsz : (pos + 1) * bsz])
+            else:
+                idx = jnp.asarray(rng.choice(n_train, size=bsz, replace=False))
             batch = jnp.take(obs_train, idx, axis=0)
             enc = jnp.take(hidden_train, idx, axis=0) if use_true_x else None
+            ctrl = jnp.take(controls_train, idx, axis=0) if use_controls else None
             st.key, k_step = jax.random.split(st.key)
             st.params, st.opt_state, metrics = self.train_step(
-                st.params, st.opt_state, k_step, batch, enc
+                st.params, st.opt_state, k_step, batch, enc, ctrl
             )
             st.step += 1
             if profile_window and st.step == profile_window[1]:
@@ -270,7 +306,9 @@ class Trainer:
 
             if st.step % cfg.train.eval_every == 0 or st.step == n_steps:
                 st.key, k_eval = jax.random.split(st.key)
-                ev = self.eval_step(st.params, k_eval, obs_test, hidden_test)
+                ev = self.eval_step(
+                    st.params, k_eval, obs_test, hidden_test, controls_test
+                )
                 jax.block_until_ready(ev["elbo"])
                 dt = time.perf_counter() - t_start
                 steps_s = (st.step - steps_done_at) / max(dt, 1e-9)

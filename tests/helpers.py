@@ -77,6 +77,72 @@ def simulate_lgssm(rng, a, c, q_scale, r_scale, mu0, s0_scale, t_steps, batch):
     return xs, ys
 
 
+def lgssm_full_setup(
+    *,
+    a: np.ndarray,
+    c: np.ndarray,
+    q_chol: np.ndarray,
+    r_chol: np.ndarray,
+    mu0: np.ndarray,
+    s0_scale: float,
+    objective: str = "fivo",
+    n_particles: int = 2048,
+    n_smoothing: int = 16,
+    t_steps: int = 20,
+):
+    """Full-covariance LGSSM oracle: cov_type='tril' transition/emission set
+    EXACTLY to (A, C, Lq, Lr, mu0, s0I); bootstrap mode so the proposal is the
+    true correlated-noise transition."""
+    dx, dy = a.shape[0], c.shape[0]
+    lin = NetConfig(hidden=(), cov_type="const", sigma_init=1.0, sigma_min=SIGMA_MIN)
+    tril = NetConfig(hidden=(), cov_type="tril", sigma_init=1.0, sigma_min=SIGMA_MIN)
+    cfg = Config(
+        name="lgssm_tril_oracle",
+        data=DataConfig(datatype="lgssm", dx=dx, dy=dy, t_steps=t_steps),
+        smc=SMCConfig(
+            objective=objective,
+            n_particles=n_particles,
+            n_smoothing_particles=n_smoothing,
+            resampling="systematic",
+            use_bootstrap=True,
+        ),
+        use_pallas=False,
+    ).with_nets(q0=lin, q1=lin, q2=lin, f=tril, g=tril, qb=lin)
+
+    ssm = SSM(cfg)
+    params = ssm.init(jax.random.key(0))
+
+    def set_tril(head, mat, chol):
+        head["mean"] = (jnp.asarray(mat.T, jnp.float32), jnp.zeros((mat.shape[0],)))
+        d = chol.shape[0]
+        head["raw_tril"]["diag"] = jnp.asarray(
+            [raw_from_scale(float(chol[i, i]), SIGMA_MIN) for i in range(d)],
+            jnp.float32,
+        )
+        rows, cols = np.tril_indices(d, k=-1)
+        head["raw_tril"]["off"] = jnp.asarray(chol[rows, cols], jnp.float32)
+
+    set_tril(params["f"], a, q_chol)
+    set_tril(params["g"], c, r_chol)
+    params["prior"]["mean"] = jnp.asarray(mu0, jnp.float32)
+    params["prior"]["raw_scale"] = jnp.full((dx,), raw_from_scale(s0_scale, 1e-3))
+    return cfg, ssm, params
+
+
+def simulate_lgssm_full(rng, a, c, q_chol, r_chol, mu0, s0_scale, t_steps, batch):
+    """LGSSM with CORRELATED process/observation noise (Q = Lq Lqᵀ etc.)."""
+    dx, dy = a.shape[0], c.shape[0]
+    xs = np.zeros((batch, t_steps, dx), np.float32)
+    ys = np.zeros((batch, t_steps, dy), np.float32)
+    x = mu0 + s0_scale * rng.standard_normal((batch, dx))
+    for t in range(t_steps):
+        if t > 0:
+            x = x @ a.T + rng.standard_normal((batch, dx)) @ q_chol.T
+        xs[:, t] = x
+        ys[:, t] = x @ c.T + rng.standard_normal((batch, dy)) @ r_chol.T
+    return xs, ys
+
+
 def default_lgssm():
     theta = 0.4
     a = 0.85 * np.array(
