@@ -1,4 +1,4 @@
-"""Fused Pallas resampling kernel: normalize + cumsum + banded inverse-CDF + gather.
+"""Fused Pallas resampling kernel: normalize + cumsum + inverse-CDF + gather.
 
 The north-star op (BASELINE.json): "resampling (multinomial + systematic)
 becomes a branch-free Pallas cumsum+searchsorted gather so the data-dependent
@@ -15,24 +15,22 @@ Algorithm (per batch row-block, everything in VMEM):
 
 1. log-weights normalize (max-shifted exp) + inclusive cumulative sum via
    branch-free log-step doubling (`jnp.cumsum` is not guaranteed in Mosaic);
-2. **banded** inverse-CDF: both sequences are sorted (the CDF by
-   construction; systematic positions are affine, multinomial draws are
-   pre-sorted), so a 128-query tile only intersects the support tiles between
-   the CDF ranks of its first and last query. Two O(K) full-row counts give
-   the band, then a `fori_loop` over just the in-band tiles does the
-   compare-and-count  a_i = Σ_j 1[cumw_j ≤ u_i].  Work is O(K·band) ≈ O(K) —
-   the round-1 quadratic kernel evaluated all (K/128)² tile pairs;
+2. inverse-CDF by compare-and-count  a_i = Σ_j 1[cumw_j ≤ u_i]  over a
+   STATIC (K/128)² tile sweep. A data-dependent banded variant (both
+   sequences are sorted, so only ~2 support tiles per query tile matter) was
+   built and measured: its `fori_loop`s cost 10s of µs of scalar-loop
+   overhead EACH, 5-10× the skipped work at any VMEM-feasible K — static
+   quadratic wins outright below MAX_K (see _fused_kernel);
 3. the gather is an exact one-hot contraction on the MXU:
-   out[d, q] = Σ_s 1[a_q == s] · x[d, s], accumulated over in-band support
-   tiles only. Profiling round 1 showed XLA's dynamic gather at 0.22 ms/step
-   — over half the whole SMC step at K=1024.
+   out[d, q] = Σ_s 1[a_q == s] · x[d, s]. Profiling round 1 showed XLA's
+   dynamic gather at 0.22 ms/step — over half the whole SMC step at K=1024.
 
 The D axis is tiled over the grid (last-fastest), so large-D states (e.g.
 Lorenz-96, D=40) stream through the same kernel; ancestor indices are
 computed once per batch block (first D step) and re-read from the output
 buffer, which Pallas keeps resident across grid steps of the same block.
 
-The custom VJP is a second banded kernel: the transpose one-hot contraction
+The custom VJP is a second kernel: the transpose one-hot contraction
 dx[d, s] = Σ_q 1[a_q == s] · g[d, q] (offspring copy cotangents back to
 their ancestor — the reparameterized path FIVO keeps; d/d logw and d/d u are
 zero: stop-gradient through the discrete choice, SURVEY.md §3.2).
@@ -57,15 +55,12 @@ _INTERPRET = False  # flipped by tests to run on CPU
 ROW_BLOCK = 8  # batch rows per block (Mosaic sublane constraint on 2-D refs)
 D_TILE = 8  # feature sublanes per grid step of the D axis
 Q = 128  # query/support tile width (lane width)
-# Measured ceiling (v5e, 2026-08-16): the banded kernel wins decisively at
-# K=1024 (38 vs 138 ms/train on the primary config) but the per-query-tile
-# `fori_loop`s carry ~10s-of-µs scalar-loop overhead each, and at K=8192
-# (64 tiles × D-tiles) that overhead dominates: 13.5 ms/step vs the jnp
-# histogram path's 1.27 ms. VMEM would allow K=8192 ([8, 8, K] blocks are
-# 2 MB); the loop structure doesn't. Above MAX_K the jnp path (histogram +
-# XLA gather) takes over; a static two-level one-hot formulation is the
-# candidate large-K design if resampling ever dominates there (profiled:
-# at K=8192/D=40 the step is MLP/density-bound, not resample-bound).
+# Measured ceiling (v5e, 2026-08-17): the static quadratic tile sweep costs
+# O((K/Q)²) tile pairs; at K=1024 that is 0.085 ms/step (vs 0.21 banded-fori
+# and 0.65 jnp) but at K=8192 the 4096 pairs (~2-3 ms) lose to the jnp
+# histogram path's ~1 ms — which at that size is itself a minority of the
+# MLP-bound step. Above MAX_K the jnp path (histogram + XLA gather) takes
+# over. VMEM would allow K=8192 ([8, 8, K] blocks are 2 MB).
 MAX_K = 2048
 
 
@@ -107,116 +102,125 @@ def _doubling_cumsum(w: jax.Array) -> jax.Array:
     return out
 
 
-def _count_le(cumw: jax.Array, bound: jax.Array) -> jax.Array:
-    """#{j : C_j <= bound} per row. cumw [R,K], bound [R,1] -> [R,1] i32."""
-    return jnp.sum((cumw <= bound).astype(jnp.int32), axis=-1, keepdims=True)
+def _tri_cumsum(w: jax.Array) -> jax.Array:
+    """Inclusive lane-axis cumsum as MXU work: per-128-lane-tile cumsums via a
+    [Q, Q] triangular-ones contraction, plus a tiny tile-offset prefix sum.
+
+    The log-step doubling formulation costs 10 lane-roll passes (~16 µs/step
+    at K=1024, measured); this is two small matmuls.
+    """
+    r, k = w.shape
+    nq = k // Q
+    wt = w.reshape(r, nq, Q)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
+    tri = (row <= col).astype(jnp.float32)
+    within = jax.lax.dot_general(
+        wt, tri, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, nq, Q]
+    if nq > 1:
+        sums = within[:, :, Q - 1]  # [R, nq] per-tile totals
+        row_n = jax.lax.broadcasted_iota(jnp.int32, (nq, nq), 0)
+        col_n = jax.lax.broadcasted_iota(jnp.int32, (nq, nq), 1)
+        tri_ex = (row_n < col_n).astype(jnp.float32)
+        offs = jax.lax.dot_general(
+            sums, tri_ex, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, nq] exclusive tile offsets
+        within = within + offs[:, :, None]
+    return within.reshape(r, k)
 
 
-def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref, cumw_s):
+def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref):
     """One batch row-block × one D tile.
 
     logw/u [R, K]; x [R, DT, K]; outputs idx [R, K] i32 (written on the first
-    D step, re-read after), x_out [R, DT, K]; cumw_s [R, K] f32 scratch.
+    D step, re-read after — Pallas keeps the block resident across the D
+    grid steps), x_out [R, DT, K].
+
+    STATIC tile loops throughout. An earlier banded variant used
+    `fori_loop`s with data-dependent bounds to touch only in-band tiles —
+    measured at ~10s of µs of scalar-loop overhead PER LOOP, which at
+    K=1024 (16 loops/call) made the resample 0.21 ms/step: 5× the entire
+    rest of the SMC body, and at K=8192 5× slower than the jnp fallback.
+    At K ≤ MAX_K the full quadratic tile sweep is ~8 µs of VPU compares and
+    ~3 µs of MXU one-hot contractions — the static unroll wins outright.
     """
     from jax.experimental import pallas as pl
 
-    r = logw_ref.shape[0]
     nq = k // Q
     d_step = pl.program_id(1)
 
-    # ---- Pass 1 (first D step only): CDF + banded inverse-CDF indices.
+    # ---- Pass 1 (first D step only): CDF + compare-and-count indices.
     @pl.when(d_step == 0)
     def _():
         logw = logw_ref[:]
         m = jnp.max(logw, axis=-1, keepdims=True)
         w = jnp.exp(logw - m)
-        cumw = _doubling_cumsum(w)
-        cumw_s[:] = cumw
+        cumw = _tri_cumsum(w)
         # compare u*total <= cumw instead of dividing the K-vector
         u = u_ref[:] * cumw[:, -1:]
 
+        # count via an MXU contraction with ones: a lane-axis jnp.sum of the
+        # [R, Q, S] comparison needs log2(128) shuffle passes per element on
+        # the VPU and measured 0.16 ms/step at K=1024 — 5× the whole rest of
+        # the SMC body; the dot is ~10× cheaper. Counts ≤ K < 2^24: f32 exact.
+        ones_s = jnp.ones((Q, 1), jnp.float32)
         for t in range(nq):
             u_tile = u[:, t * Q : (t + 1) * Q]  # [R, Q]
-            base = _count_le(cumw, u_tile[:, :1])  # rank of the first query
-            hi = _count_le(cumw, u_tile[:, -1:])  # rank of the last query
-            lo_t = jnp.min(base) // Q  # scalar band bounds over the row block
-            hi_t = jnp.maximum(jnp.max(hi) - 1, 0) // Q
-
-            def body(s, cnt, u_tile=u_tile):
-                c = cumw_s[:, pl.ds(pl.multiple_of(s * Q, Q), Q)]  # [R, S]
-                le = c[:, None, :] <= u_tile[:, :, None]  # [R, Q, S]
-                return cnt + jnp.sum(le.astype(jnp.int32), axis=-1)
-
-            # tiles below the band contribute Q each; in-band tiles counted
-            cnt = jax.lax.fori_loop(
-                lo_t, hi_t + 1, body, jnp.zeros((r, Q), jnp.int32)
+            cnt = jnp.zeros((u.shape[0], Q), jnp.float32)
+            for s in range(nq):
+                c = cumw[:, s * Q : (s + 1) * Q]  # [R, S]
+                le = (c[:, None, :] <= u_tile[:, :, None]).astype(jnp.float32)
+                cnt = cnt + jax.lax.dot_general(
+                    le,
+                    ones_s,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[..., 0]
+            idx_ref[:, t * Q : (t + 1) * Q] = jnp.minimum(
+                cnt.astype(jnp.int32), k - 1
             )
-            idx_ref[:, t * Q : (t + 1) * Q] = jnp.minimum(Q * lo_t + cnt, k - 1)
 
-    # ---- Pass 2 (every D step): banded one-hot gather for this feature tile.
+    # ---- Pass 2 (every D step): one-hot gather for this feature tile.
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Q), 2)
     for t in range(nq):
         idx_t = idx_ref[:, t * Q : (t + 1) * Q]  # [R, Q] (resident block)
-        lo_t = jnp.min(idx_t) // Q
-        hi_t = jnp.max(idx_t) // Q
-
-        def body(s, acc, idx_t=idx_t):
+        acc = jnp.zeros((idx_t.shape[0], x_ref.shape[1], Q), jnp.float32)
+        for s in range(nq):
             onehot = (idx_t[:, :, None] == (col + s * Q)).astype(jnp.float32)
-            x_tile = x_ref[:, :, pl.ds(pl.multiple_of(s * Q, Q), Q)]  # [R, DT, S]
-            return acc + jax.lax.dot_general(
+            x_tile = x_ref[:, :, s * Q : (s + 1) * Q]  # [R, DT, S]
+            acc = acc + jax.lax.dot_general(
                 x_tile,
                 onehot,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-
-        acc = jax.lax.fori_loop(
-            lo_t,
-            hi_t + 1,
-            body,
-            jnp.zeros((r, x_ref.shape[1], Q), jnp.float32),
-        )
         out_ref[:, :, t * Q : (t + 1) * Q] = acc
 
 
 def _scatter_kernel(k: int, idx_ref, g_ref, dx_ref):
     """Transpose of the one-hot gather: dx[d, s] = Σ_q 1[idx_q == s] · g[d, q].
 
-    Ancestor indices are monotone (positions are sorted), so the queries
-    hitting a support tile form a contiguous band — found with two O(K)
-    full-row counts per support tile, then accumulated tile-by-tile.
+    Same static quadratic tile sweep as the forward (see _fused_kernel on
+    why static beats data-dependent banding here).
     """
-    from jax.experimental import pallas as pl
-
-    r = idx_ref.shape[0]
     nq = k // Q
-    idx_all = idx_ref[:]
     srow = jax.lax.broadcasted_iota(jnp.int32, (1, Q, 1), 1)
 
     for st in range(nq):
-        in_lo = jnp.sum((idx_all < st * Q).astype(jnp.int32), axis=-1)  # [R]
-        in_hi = jnp.sum((idx_all < (st + 1) * Q).astype(jnp.int32), axis=-1)
-        lo_t = jnp.min(in_lo) // Q
-        hi_t = (jnp.max(in_hi) - 1) // Q  # < lo_t when the tile has no queries
-
-        def body(qt, acc):
-            q0 = pl.multiple_of(qt * Q, Q)
-            idx_t = idx_ref[:, pl.ds(q0, Q)]  # [R, Q]
-            g_t = g_ref[:, :, pl.ds(q0, Q)]  # [R, DT, Q]
+        acc = jnp.zeros((idx_ref.shape[0], g_ref.shape[1], Q), jnp.float32)
+        for qt in range(nq):
+            idx_t = idx_ref[:, qt * Q : (qt + 1) * Q]  # [R, Q]
+            g_t = g_ref[:, :, qt * Q : (qt + 1) * Q]  # [R, DT, Q]
             onehot = (idx_t[:, None, :] == (srow + st * Q)).astype(jnp.float32)
-            return acc + jax.lax.dot_general(
+            acc = acc + jax.lax.dot_general(
                 g_t,
                 onehot,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-
-        acc = jax.lax.fori_loop(
-            lo_t,
-            hi_t + 1,
-            body,
-            jnp.zeros((r, g_ref.shape[1], Q), jnp.float32),
-        )
         dx_ref[:, :, st * Q : (st + 1) * Q] = acc
 
 
@@ -270,7 +274,6 @@ def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
             jax.ShapeDtypeStruct((batch, k), jnp.int32),
             jax.ShapeDtypeStruct((batch, dp, k), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((r, k), jnp.float32)],
         interpret=_INTERPRET,
     )(logw, u, x_p)
     return idx, out[:, :d, :] if dp != d else out

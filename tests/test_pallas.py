@@ -161,3 +161,12 @@ def test_doubling_cumsum_matches_jnp():
     w = jnp.asarray(rng.uniform(size=(8, 256)).astype(np.float32))
     got = pallas_resample._doubling_cumsum(w)
     np.testing.assert_allclose(np.asarray(got), np.cumsum(w, axis=-1), rtol=2e-5)
+
+
+@pytest.mark.parametrize("k", [128, 1024])
+def test_tri_cumsum_matches_jnp(k):
+    """The MXU triangular-contraction cumsum (the kernel's hot formulation)."""
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.uniform(size=(8, k)).astype(np.float32))
+    got = pallas_resample._tri_cumsum(w)
+    np.testing.assert_allclose(np.asarray(got), np.cumsum(w, axis=-1), rtol=3e-5)
