@@ -290,6 +290,33 @@ PRESETS: dict[str, Config] = {
         mesh=MeshConfig(data=1, particle=8),
         train=TrainConfig(batch_size=8),
     ),
+    # --- reference capability-parity modes (round 2) ---
+    # exogenous control inputs (reference `Di`)
+    "fhn_fivo_controls": Config(
+        name="fhn_fivo_controls",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, di=2, t_steps=100),
+        smc=SMCConfig(objective="fivo", n_particles=128),
+    ),
+    # learn-proposals-only ablation: frozen TRUE dynamics + learned noise
+    "fhn_fivo_known_dynamics": Config(
+        name="fhn_fivo_known_dynamics",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
+        smc=SMCConfig(objective="fivo", n_particles=128, transition="known"),
+    ),
+    # trainable constant full-covariance transition + emission
+    "fhn_fivo_tril": Config(
+        name="fhn_fivo_tril",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
+        smc=SMCConfig(objective="fivo", n_particles=128),
+    ).with_nets(
+        f=NetConfig(cov_type="tril"), g=NetConfig(cov_type="tril", sigma_init=0.5)
+    ),
+    # deterministic observation map (reference dirac_delta)
+    "fhn_fivo_dirac": Config(
+        name="fhn_fivo_dirac",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100, emission="dirac"),
+        smc=SMCConfig(objective="fivo", n_particles=128),
+    ),
     # Primary benchmark metric config: FHN, K=1024 (BASELINE.json "metric").
     "fhn_fivo_k1024_bench": Config(
         name="fhn_fivo_k1024_bench",

@@ -164,7 +164,14 @@ def maybe_resample(
     """
     batch, k = logw.shape
     ess = effective_sample_size(logw, axis=-1)
-    do = ess / k < ess_threshold  # [B] bool
+    if ess_threshold >= 1.0:
+        # the reference resamples unconditionally; a STATIC `do` lets XLA
+        # fold the three per-step selects and the logw reset to constants
+        # (a data-dependent ess/K < 1.0 would also silently SKIP the
+        # resample on exactly-uniform weights)
+        do = jnp.ones((batch,), bool)
+    else:
+        do = ess / k < ess_threshold  # [B] bool
 
     if use_pallas:
         from psvo_tpu.ops import pallas_resample

@@ -127,7 +127,10 @@ def _island(u_loc, logw_loc, x_loc, *, ess_threshold, use_pallas):
     # global ESS = (Σw)² / Σw² (the exp(m) shifts cancel)
     sumsq = jax.lax.psum(jnp.sum(w * w, axis=-1), pp)  # [b]
     ess = (total[:, 0] ** 2) / jnp.maximum(sumsq, 1e-37)
-    do = ess / k_global < ess_threshold  # [b] bool, identical on every shard
+    if ess_threshold >= 1.0:
+        do = jnp.ones((b,), bool)  # unconditional resampling, statically
+    else:
+        do = ess / k_global < ess_threshold  # [b] bool, same on every shard
 
     # ---- locate each output slot's source shard
     big_u = u_loc * total  # [b, Ks] global mass positions
