@@ -230,6 +230,105 @@ def _indices_jnp(u: jax.Array, logw: jax.Array) -> jax.Array:
     return jnp_resampling.inverse_cdf_indices(cumw, u)
 
 
+# ---------------------------------------------------------------------------
+# Large-K indices-only kernel: O(K) two-level static one-hot.
+#
+# Above MAX_K the fused gather's quadratic tile sweep stops paying, but the
+# INDEX computation stays kernel-worthy: the jnp fallback's histogram
+# formulation needs a scatter-add, profiled at 0.57 ms/step at K=8192 — half
+# the whole SMC step. Here the rank decomposes exactly as
+#
+#   a_i = Q * #{s : Bnd_s <= U_i}  +  #{j in tile c_i : C_j <= U_i}
+#
+# (Bnd = per-128-lane-tile CDF boundaries, c_i the first tile whose boundary
+# exceeds U_i): the coarse count is a [Q, S] compare + ones-dot, and the fine
+# count compares against the ONE relevant tile, materialized per query by a
+# one-hot [Q, S] x [S, Q'] MXU contraction. Total work O(K * S) with S = K/128
+# boundaries — no dynamic loops, no scatter, no lane reductions. The gather
+# itself stays on XLA's dynamic-gather (0.43 ms/step — acceptable; an O(K)
+# in-VMEM gather would need per-lane addressing the hardware doesn't have).
+# ---------------------------------------------------------------------------
+
+MAX_K_IDX = 32768  # cumw [8, K] f32 = 1 MB at the cap; S = 256 boundaries
+
+
+def _indices_kernel(k: int, logw_ref, u_ref, idx_ref):
+    s_tiles = k // Q
+    logw = logw_ref[:]
+    m = jnp.max(logw, axis=-1, keepdims=True)
+    w = jnp.exp(logw - m)
+    cumw = _tri_cumsum(w)
+    u = u_ref[:] * cumw[:, -1:]
+    r = logw.shape[0]
+
+    cum3 = cumw.reshape(r, s_tiles, Q)
+    bnd = cum3[:, :, Q - 1]  # [R, S] per-tile CDF boundaries
+    ones_s = jnp.ones((s_tiles, 1), jnp.float32)
+    ones_q = jnp.ones((Q, 1), jnp.float32)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_tiles), 2)
+
+    for t in range(s_tiles):
+        u_t = u[:, t * Q : (t + 1) * Q]  # [R, Q]
+        ge = (u_t[:, :, None] >= bnd[:, None, :]).astype(jnp.float32)  # [R,Q,S]
+        coarse = jax.lax.dot_general(
+            ge, ones_s, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+        coarse_i = jnp.minimum(coarse.astype(jnp.int32), s_tiles - 1)
+        onehot_s = (coarse_i[:, :, None] == scol).astype(jnp.float32)  # [R,Q,S]
+        sel = jax.lax.dot_general(  # each query's own tile of 128 CDF values
+            onehot_s, cum3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [R, Q, Q']
+        le = (sel <= u_t[:, :, None]).astype(jnp.float32)
+        fine = jax.lax.dot_general(
+            le, ones_q, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+        idx = Q * coarse_i + fine.astype(jnp.int32)
+        idx_ref[:, t * Q : (t + 1) * Q] = jnp.minimum(idx, k - 1)
+
+
+@jax.custom_vjp
+def _indices_large(u: jax.Array, logw: jax.Array) -> jax.Array:
+    """Ancestor indices are integers — no gradient path exists through them
+    (FIVO stop-gradient semantics); the custom VJP makes that explicit so
+    jax.checkpoint/linearize never ask the kernel for rules."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, k = logw.shape
+    return pl.pallas_call(
+        functools.partial(_indices_kernel, k),
+        grid=(batch // ROW_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, k), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, k), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_BLOCK, k), lambda b: (b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, k), jnp.int32),
+        interpret=_INTERPRET,
+    )(logw, u)
+
+
+_indices_large.defvjp(
+    lambda u, logw: (_indices_large(u, logw), (u, logw)),
+    lambda res, _g: (jnp.zeros_like(res[0]), jnp.zeros_like(res[1])),
+)
+
+
+def _idx_usable(batch: int, k: int) -> bool:
+    return (
+        ENABLE
+        and (_on_tpu() or _INTERPRET)
+        and k % Q == 0
+        and k <= MAX_K_IDX
+        and batch % ROW_BLOCK == 0
+    )
+
+
 @jax.custom_vjp
 def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
     """Fused inverse-CDF resampling + particle gather (channel-major).
@@ -248,7 +347,14 @@ def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
     batch, k = logw.shape
     d = x.shape[-2]
     if not _usable(batch, k):
-        idx = _indices_jnp(u, logw)
+        # above the fused cap: kernel for the indices (O(K) two-level —
+        # replaces the profiled 0.57 ms/step histogram scatter at K=8192),
+        # XLA's dynamic gather for the particles
+        idx = (
+            _indices_large(u, logw)
+            if _idx_usable(batch, k)
+            else _indices_jnp(u, logw)
+        )
         return idx, jnp_resampling.gather_particles(x, idx)
 
     dp = _round_up(d, D_TILE)

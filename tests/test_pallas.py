@@ -140,20 +140,43 @@ def test_fused_resample_gather_gradient_is_exact_scatter():
     np.testing.assert_array_equal(glw, 0.0)
 
 
-def test_fused_resample_fallback_large_k():
-    """K > MAX_K must silently take the jnp path (still correct)."""
+@pytest.mark.parametrize("method", ["systematic", "multinomial"])
+def test_fused_resample_fallback_large_k(method):
+    """K > MAX_K takes the indices-only kernel + XLA gather (still correct,
+    ±1 float-boundary ties tolerated); K > MAX_K_IDX falls all the way to
+    jnp. Includes the ESS=1 degenerate corner (single-tile mass)."""
     rng = np.random.default_rng(1)
     batch, d, k = 8, 2, 2 * pallas_resample.MAX_K
-    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32))
+    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32) * 3)
     x = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
-    u = resampling.quantile_positions_from_raw(
-        jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32)), k, "systematic"
+    u_raw = jnp.asarray(
+        rng.uniform(size=(batch,) if method == "systematic" else (batch, k)).astype(
+            np.float32
+        )
     )
+    u = resampling.quantile_positions_from_raw(u_raw, k, method)
     idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
-    np.testing.assert_array_equal(np.asarray(idx), _oracle_idx(logw, u))
+    diff = np.abs(np.asarray(idx).astype(np.int64) - _oracle_idx(logw, u).astype(np.int64))
+    # tile-wise vs sequential cumsum reassociation: boundary ties can flip an
+    # index by a couple of positions at K=4096; anything larger is a bug
+    assert diff.max() <= 2 and np.mean(diff == 0) > 0.999, (diff.max(), np.mean(diff == 0))
+    assert np.all(np.diff(np.asarray(idx), axis=-1) >= 0)  # ranks stay monotone
     np.testing.assert_array_equal(
         np.asarray(x_res), np.asarray(resampling.gather_particles(x, idx))
     )
+    # degenerate: all mass on one particle
+    logw_d = jnp.where(jnp.arange(k) == 3131, 0.0, -200.0)[None].repeat(batch, 0)
+    idx_d, _ = pallas_resample.resample_and_gather(u, logw_d, x)
+    np.testing.assert_array_equal(np.asarray(idx_d), 3131)
+    # beyond MAX_K_IDX: pure jnp path
+    k2 = 2 * pallas_resample.MAX_K_IDX
+    logw2 = jnp.asarray(rng.standard_normal((batch, k2)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((batch, d, k2)).astype(np.float32))
+    u2 = resampling.quantile_positions_from_raw(
+        jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32)), k2, "systematic"
+    )
+    idx2, _ = pallas_resample.resample_and_gather(u2, logw2, x2)
+    np.testing.assert_array_equal(np.asarray(idx2), _oracle_idx(logw2, u2))
 
 
 def test_doubling_cumsum_matches_jnp():
