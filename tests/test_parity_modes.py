@@ -199,6 +199,29 @@ def test_controls_dataset_roundtrip(tmp_path):
     assert load_dataset(tmp_path / "d0.npz").controls_train is None
 
 
+def test_epoch_mode_resume(tmp_path):
+    """Resuming an epoch-mode run continues the step count to the epoch total."""
+    from psvo_tpu.utils.checkpoint import Checkpointer
+
+    cfg = Config(
+        name="ep_resume",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=6, n_train=8, n_test=4),
+        smc=SMCConfig(objective="fivo", n_particles=8),
+        train=TrainConfig(batch_size=4, epochs=3, eval_every=2, save_every=2),
+        use_pallas=False,
+    )
+    ds = generate_dataset(cfg.data, 0)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    t1 = Trainer(cfg, ssm, params, checkpointer=Checkpointer(tmp_path, cfg.resume_hash()))
+    t1.run(ds.obs_train, ds.obs_test, n_steps=2)  # stop mid-epoch-schedule
+    assert t1.state.step == 2
+
+    t2 = Trainer(cfg, ssm, params, checkpointer=Checkpointer(tmp_path, cfg.resume_hash()))
+    assert t2.restore() == 2
+    t2.run(ds.obs_train, ds.obs_test)  # completes 3 epochs x 2 steps
+    assert t2.state.step == 6
+
+
 def test_epoch_accounting():
     """epochs>0: exactly epochs * floor(n_train/bsz) steps, each epoch a
     without-replacement sweep."""

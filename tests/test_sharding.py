@@ -119,6 +119,28 @@ def test_cli_sharded_end_to_end(tmp_path, capsys):
     assert runs and (runs[0] / "history.json").exists()
 
 
+def test_sharded_train_with_controls():
+    """Control inputs shard over the data axis alongside the batch."""
+    from psvo_tpu.data import generate_dataset
+    from psvo_tpu.train import make_optimizer
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, di=2)
+    )
+    ds = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    mesh = sharding.make_mesh(cfg)
+    step = sharding.make_sharded_train_step(ssm, cfg, optimizer, mesh)
+    batch = jnp.asarray(ds.obs_train[: cfg.train.batch_size])
+    ctrl = jnp.asarray(ds.controls_train[: cfg.train.batch_size])
+    p2, _, metrics = step(params, opt_state, jax.random.key(2), batch, None, ctrl)
+    context.set_mesh(None)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_eval_step_sharded():
     """Sharded eval: same metrics as the single-device eval step."""
     from psvo_tpu.train import make_eval_step
