@@ -281,8 +281,23 @@ class SSM:
         mean, scale = self.transition_params_cm(params, x_prev, u)
         return dist.mvn_diag_log_prob_cm(x, mean, scale)
 
-    def propose_cm(self, params: Params, x_prev: jax.Array, y_t: jax.Array, u=None):
-        """Diagonal proposal in channel-major layout (bootstrap: diagonal f)."""
+    def q2_mean_scale(self, params: Params, enc: jax.Array):
+        """Encoder proposal q2(x_t | y_t) parameters, feature-last.
+
+        q2 depends only on the observation, so the filter evaluates it for
+        ALL T steps in one batched call OUTSIDE the scan — the per-step MLP
+        chain on [B, E] was pure launch overhead inside a latency-bound scan.
+        """
+        return self._mean_scale(params["q2"], self.nets["q2"], enc)
+
+    def propose_cm(
+        self, params: Params, x_prev: jax.Array, y_t: jax.Array, u=None, q2_ms=None
+    ):
+        """Diagonal proposal in channel-major layout (bootstrap: diagonal f).
+
+        q2_ms optionally supplies precomputed q2 (mean, scale) [B, Dx]
+        (see q2_mean_scale); y_t is consulted only when it is absent.
+        """
         if self.use_bootstrap:
             return self.transition_params_cm(params, x_prev, u)
         m1, s1 = self._mean_scale_cm(
@@ -290,14 +305,17 @@ class SSM:
         )
         if not self.use_2q:
             return m1, s1
-        m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)  # [B, Dx]
+        m2, s2 = q2_ms if q2_ms is not None else self.q2_mean_scale(params, y_t)
         return dist.mvn_product(m1, s1, m2[..., None], s2[..., None])
 
-    def step_heads_cm(self, params: Params, x_prev: jax.Array, y_t: jax.Array, u=None):
+    def step_heads_cm(
+        self, params: Params, x_prev: jax.Array, y_t: jax.Array, u=None, q2_ms=None
+    ):
         """All per-step diagonal conditionals on x_prev in one go:
         x_prev [B, Dx, K], y_t [B, E] -> (mean_q, scale_q, mean_f, scale_f),
         each [B, Dx, K]. Diagonal-f configs only — the smc body routes tril
         transitions through propose_cm/transition_log_prob_cm instead.
+        q2_ms: precomputed q2 (mean, scale) [B, Dx] (see q2_mean_scale).
 
         q1 and f consume the SAME input, so when their architectures match
         (the default) they evaluate as ONE stacked vmapped MLP — XLA emits a
@@ -341,7 +359,7 @@ class SSM:
             mean_f, scale_f = self.transition_params_cm(params, x_prev, u)
 
         if self.use_2q:
-            m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)  # [B, Dx]
+            m2, s2 = q2_ms if q2_ms is not None else self.q2_mean_scale(params, y_t)
             mean_q, scale_q = dist.mvn_product(
                 m1, s1, m2[..., None], s2[..., None]
             )

@@ -138,10 +138,16 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
             use_pallas=ssm.use_pallas_resample,
         )
 
+    # q2 is precomputed for ALL steps outside the scan (ssm.q2_mean_scale);
+    # the body receives its per-step (mean, scale) instead of the raw
+    # encoder input. Zero-width placeholders when q2 is unused.
+    use_q2 = cfg.use_2q and not cfg.use_bootstrap
+
     def body(carry, inputs):
         x, logw = carry
-        # [B, Dy], [B, E], [B, Di], [B, Dx, K], [B, K]
-        y_t, enc_t, u_ctrl, eps_t, u_t = inputs
+        # [B, Dy], 2x [B, Dx], [B, Di], [B, Dx, K], [B, K]
+        y_t, q2m_t, q2s_t, u_ctrl, eps_t, u_t = inputs
+        q2_ms = (q2m_t, q2s_t) if use_q2 else None
 
         score = jnp.zeros(logw.shape[0])
         if resample_on:
@@ -174,7 +180,7 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
             )
             alpha = ssm.emission_log_prob_cm(params, x_new, y_t)
         elif ssm.f_tril:
-            mean_q, scale_q = ssm.propose_cm(params, x, enc_t, u_ctrl)
+            mean_q, scale_q = ssm.propose_cm(params, x, y_t, u_ctrl, q2_ms)
             x_new = constrain(mean_q + scale_q * eps_t)
             alpha = (
                 ssm.transition_log_prob_cm(params, x, x_new, u_ctrl)
@@ -186,7 +192,7 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
             # (ssm.step_heads_cm), so α_t reuses the transition parameters
             # instead of re-running the f network.
             mean_q, scale_q, mean_f, scale_f = ssm.step_heads_cm(
-                params, x, enc_t, u_ctrl
+                params, x, y_t, u_ctrl, q2_ms
             )
             x_new = constrain(mean_q + scale_q * eps_t)  # [B, Dx, K]
             log_g = ssm.emission_log_prob_cm(params, x_new, y_t)
@@ -228,6 +234,20 @@ def _controls_tm(controls, batch, t_steps, di):
     return jnp.zeros((t_steps, batch, di), jnp.float32)
 
 
+def _q2_tm(ssm: SSM, params, cfg: SMCConfig, enc_tm):
+    """Precompute the encoder proposal q2 over all T in ONE batched call.
+
+    Inside the latency-bound scan the per-step q2 MLP on [B, E] was pure
+    kernel-launch overhead. Returns zero-width placeholders when q2 is
+    unused (bootstrap / use_2q=False) so the scan input structure is static.
+    """
+    if cfg.use_2q and not cfg.use_bootstrap:
+        return ssm.q2_mean_scale(params, enc_tm)  # 2 x [T, B, Dx]
+    t_steps, batch = enc_tm.shape[0], enc_tm.shape[1]
+    z = jnp.zeros((t_steps, batch, 0), jnp.float32)
+    return z, z
+
+
 def forward_filter(
     ssm: SSM,
     params,
@@ -255,6 +275,7 @@ def forward_filter(
         jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
     )
     ctrl_tm = _controls_tm(controls, batch, t_steps, ssm.di)
+    q2m_tm, q2s_tm = _q2_tm(ssm, params, cfg, enc_tm)
 
     # ---- Bulk RNG: one threefry call per stream for ALL T steps. The scan is
     # latency-bound on TPU, so per-step key splits + sample chains dominate;
@@ -297,7 +318,9 @@ def forward_filter(
         scores,
         fmeans,
     ) = jax.lax.scan(
-        scan_body, carry0, (ys_tm[1:], enc_tm[1:], ctrl_tm[1:], eps_scan, u_scan)
+        scan_body,
+        carry0,
+        (ys_tm[1:], q2m_tm[1:], q2s_tm[1:], ctrl_tm[1:], eps_scan, u_scan),
     )
 
     increments = jnp.concatenate([ell0[None], ells], axis=0)  # [T, B]
@@ -407,21 +430,25 @@ def forward_filter_segmented(
     )
 
     # [S, L, B, ...] views of the per-step inputs
+    q2m_tm, q2s_tm = _q2_tm(ssm, params, cfg, enc_tm)
     ys_seg = ys_tm[1:].reshape(n_segments, seg_len, batch, -1)
-    enc_seg = enc_tm[1:].reshape(n_segments, seg_len, batch, -1)
+    q2m_seg = q2m_tm[1:].reshape(n_segments, seg_len, batch, -1)
+    q2s_seg = q2s_tm[1:].reshape(n_segments, seg_len, batch, -1)
     ctrl_seg = ctrl_tm[1:].reshape(n_segments, seg_len, batch, ssm.di)
 
     def outer(carry, inputs):
         x, logw = carry
-        ys_s, enc_s, ctrl_s, kp, kr = inputs
+        ys_s, q2m_s, q2s_s, ctrl_s, kp, kr = inputs
         eps, u = _segment_randomness(ssm, cfg, kp, kr, seg_len, batch, k)
         (x_out, logw_out), (_, _, ells, esss, scores, fmeans) = jax.lax.scan(
-            inner_body, (x, logw), (ys_s, enc_s, ctrl_s, eps, u)
+            inner_body, (x, logw), (ys_s, q2m_s, q2s_s, ctrl_s, eps, u)
         )
         return (x_out, logw_out), (x, logw, ells, esss, scores, fmeans)
 
     (x_last, logw_last), (seg_x, seg_logw, ells, esss, scores, fmeans) = jax.lax.scan(
-        outer, (x0, alpha0), (ys_seg, enc_seg, ctrl_seg, k_prop_segs, k_res_segs)
+        outer,
+        (x0, alpha0),
+        (ys_seg, q2m_seg, q2s_seg, ctrl_seg, k_prop_segs, k_res_segs),
     )
 
     increments = jnp.concatenate([ell0[None], ells.reshape(-1, batch)], axis=0)
@@ -478,6 +505,9 @@ def recompute_segment(
     eps, u = _segment_randomness(
         ssm, cfg, cache.k_prop_segs[s], cache.k_res_segs[s], seg_len, batch, k
     )
+    # per-segment q2 recompute is bit-identical to the full-T hoisted call
+    # (row-wise matmul results don't depend on the batching dims)
+    q2m_s, q2s_s = _q2_tm(ssm, params, cfg, enc_seg_s)
     body = _make_step_body(ssm, params, cfg)
     if cfg.remat:
         body = jax.checkpoint(
@@ -489,6 +519,6 @@ def recompute_segment(
     _, (xs, logws, _, _, _, _) = jax.lax.scan(
         body,
         (cache.seg_x[s], cache.seg_logw[s]),
-        (ys_seg_s, enc_seg_s, ctrl_seg_s, eps, u),
+        (ys_seg_s, q2m_s, q2s_s, ctrl_seg_s, eps, u),
     )
     return xs, logws
