@@ -291,10 +291,12 @@ PRESETS: dict[str, Config] = {
         train=TrainConfig(batch_size=8),
     ),
     # --- reference capability-parity modes (round 2) ---
-    # exogenous control inputs (reference `Di`)
+    # exogenous control inputs (reference `Di`). control_scale 0.5: FHN's
+    # cubic term diverges under stronger sustained pushes at T=100 (the
+    # simulator checks and refuses non-finite trajectories).
     "fhn_fivo_controls": Config(
         name="fhn_fivo_controls",
-        data=DataConfig(datatype="fhn", dx=2, dy=2, di=2, t_steps=100),
+        data=DataConfig(datatype="fhn", dx=2, dy=2, di=2, control_scale=0.5, t_steps=100),
         smc=SMCConfig(objective="fivo", n_particles=128),
     ),
     # learn-proposals-only ablation: frozen TRUE dynamics + learned noise
