@@ -13,8 +13,9 @@ any whole-row kernel at K≈2048.
 
 Algorithm (per batch row-block, everything in VMEM):
 
-1. log-weights normalize (max-shifted exp) + inclusive cumulative sum via
-   branch-free log-step doubling (`jnp.cumsum` is not guaranteed in Mosaic);
+1. log-weights normalize (max-shifted exp) + inclusive cumulative sum as
+   MXU work (`jnp.cumsum` is not guaranteed in Mosaic; a log-step-doubling
+   lane-roll variant measured 2× slower — see _tri_cumsum);
 2. inverse-CDF by compare-and-count  a_i = Σ_j 1[cumw_j ≤ u_i]  over a
    STATIC (K/128)² tile sweep. A data-dependent banded variant (both
    sequences are sorted, so only ~2 support tiles per query tile matter) was
@@ -83,23 +84,6 @@ def _usable(batch: int, k: int) -> bool:
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
-
-
-def _doubling_cumsum(w: jax.Array) -> jax.Array:
-    """Inclusive cumsum along the last axis via log2(K) shift-and-adds.
-
-    Branch-free: each step adds the value from `shift` lanes to the left,
-    masked so lanes < shift add zero. Static python loop — K is static.
-    """
-    k = w.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, dimension=w.ndim - 1)
-    out = w
-    shift = 1
-    while shift < k:
-        rolled = jnp.roll(out, shift, axis=-1)
-        out = out + jnp.where(lane >= shift, rolled, 0.0)
-        shift *= 2
-    return out
 
 
 def _tri_cumsum(w: jax.Array) -> jax.Array:

@@ -179,13 +179,6 @@ def test_fused_resample_fallback_large_k(method):
     np.testing.assert_array_equal(np.asarray(idx2), _oracle_idx(logw2, u2))
 
 
-def test_doubling_cumsum_matches_jnp():
-    rng = np.random.default_rng(2)
-    w = jnp.asarray(rng.uniform(size=(8, 256)).astype(np.float32))
-    got = pallas_resample._doubling_cumsum(w)
-    np.testing.assert_allclose(np.asarray(got), np.cumsum(w, axis=-1), rtol=2e-5)
-
-
 @pytest.mark.parametrize("k", [128, 1024])
 def test_tri_cumsum_matches_jnp(k):
     """The MXU triangular-contraction cumsum (the kernel's hot formulation)."""
