@@ -102,8 +102,8 @@ def _init_t0(ssm: SSM, params, eps0, y0, enc0):
 def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
     """One filtering step t: (maybe) resample → propose → weight.
 
-    carry (x [B,Dx,K], logw [B,K]); inputs (y_t, enc_t, eps_t, u_t);
-    emits (x_new, logw_new, ell, ess).
+    carry (x [B,Dx,K], logw [B,K]); inputs
+    (y_t, q2 mean/scale, u_ctrl, eps_t, u_t); emits (x_new, logw_new, ell, ess).
     """
     resample_on = cfg.resampling != "none"
     # Trace-time dispatch: under an active mesh the resample runs as a
