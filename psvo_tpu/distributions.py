@@ -113,7 +113,8 @@ def mvn_full_log_prob(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Arr
     diff_b = jnp.broadcast_to(diff, (*batch_shape, d))
     z = jax.scipy.linalg.solve_triangular(chol_b, diff_b[..., None], lower=True)[..., 0]
     log_det = jnp.sum(jnp.log(jnp.diagonal(chol_b, axis1=-2, axis2=-1)), axis=-1)
-    return -0.5 * jnp.sum(z * z, axis=-1) - log_det - d * _HALF_LOG_2PI
+    logp = -0.5 * jnp.sum(z * z, axis=-1) - log_det - d * _HALF_LOG_2PI
+    return jnp.maximum(logp, _MIN_LOGP)
 
 
 def mvn_full_log_prob_cm(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.Array:

@@ -103,8 +103,14 @@ def _pairwise_transition_logp(
         mean, scale = ssm.transition_params_cm(params, x_support, u)  # [B, Dx, K]
         r = 1.0 / (scale * scale)
         logdet = jnp.sum(jnp.log(scale), axis=-2)[:, None, :]
-    t1 = jnp.einsum("bmd,bdk->bmk", x_query * x_query, r)
-    t2 = jnp.einsum("bmd,bdk->bmk", x_query, mean * r)
+    # HIGHEST precision: t1/t2/t3 are large near-cancelling quantities
+    # (~x²/σ², 1e3-1e4 at Lorenz-63 state scales); the TPU default truncates
+    # f32 operands to bf16 (~0.4% rel), which after the t1−2·t2+t3
+    # cancellation would leave O(1-100 nat) noise in the backward categorical
+    # logits. These contractions are tiny next to the MLP cost.
+    hi = jax.lax.Precision.HIGHEST
+    t1 = jnp.einsum("bmd,bdk->bmk", x_query * x_query, r, precision=hi)
+    t2 = jnp.einsum("bmd,bdk->bmk", x_query, mean * r, precision=hi)
     t3 = jnp.sum(mean * mean * r, axis=-2)[:, None, :]  # [B, 1, K]
     logp = -0.5 * (t1 - 2.0 * t2 + t3) - logdet - d * _HALF_LOG_2PI
     return jnp.maximum(logp, _MIN_LOGP)

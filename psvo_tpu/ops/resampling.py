@@ -176,10 +176,10 @@ def maybe_resample(
     if use_pallas:
         from psvo_tpu.ops import pallas_resample
 
-        # Channel-major fused kernel (banded inverse-CDF + one-hot gather,
-        # D-tiled): VMEM-resident through K=8192 thanks to the [B, D, K]
-        # layout. K beyond MAX_K falls back to the jnp path inside
-        # resample_and_gather.
+        # Channel-major fused kernel (static-tile inverse-CDF + one-hot
+        # gather, D-tiled): VMEM-resident thanks to the [B, D, K] layout.
+        # K beyond the fused cap routes to the O(K) two-level indices
+        # kernel + gather inside resample_and_gather.
         idx, x_res = pallas_resample.resample_and_gather(u, logw, x)
     else:
         logw_norm, _ = log_normalize(logw, axis=-1)

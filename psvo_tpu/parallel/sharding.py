@@ -77,6 +77,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_replicated(mesh: Mesh, tree):
+    """Re-place a pytree (params / optimizer state) replicated over the mesh.
+
+    Orbax restores arrays onto a single device; feeding those into a jitted
+    mesh step raises "incompatible devices". Checkpoint restore under a mesh
+    must therefore re-place explicitly (tests/test_sharding.py sharded
+    checkpoint roundtrip)."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
 def prepare_sharded(ssm, cfg: Config, mesh: Mesh):
     """Return (ssm, cfg) adjusted for multi-device execution.
 
@@ -87,6 +98,20 @@ def prepare_sharded(ssm, cfg: Config, mesh: Mesh):
     """
     from psvo_tpu.models.ssm import SSM
 
+    if cfg.mesh.particle > 1 and cfg.smc.objective in ("svo", "psvo"):
+        # The backward smoothing sweep (take_along_axis ancestor gathers and
+        # the [B, M, K] pairwise logits over the particle axis) has no
+        # shard_map island yet: under GSPMD it would all-gather the full
+        # particle support every reverse step — exactly the pattern the
+        # forward island exists to avoid. Refuse loudly rather than silently
+        # losing the scaling benefit; data-axis sharding is fine (the gathers
+        # are per-trajectory).
+        raise ValueError(
+            "mesh.particle > 1 currently supports objectives 'iwae'/'fivo' "
+            "only: the SVO/PSVO backward sweep would all-gather the sharded "
+            "particle axis every step. Use mesh.data for smoothing "
+            "objectives, or run unsharded."
+        )
     if mesh.devices.size > 1 and cfg.use_pallas_mlp:
         cfg = dataclasses.replace(cfg, use_pallas_mlp=False)
         ssm = SSM(cfg)

@@ -50,8 +50,9 @@ from psvo_tpu.models.ssm import SSM
 from psvo_tpu.ops import resampling
 from psvo_tpu.parallel.context import constrain
 
-# logsumexp over the particle axis. Centralized so the sharded path
-# (psvo_tpu.parallel.sharding) can swap in a psum-based version.
+# logsumexp over the particle axis. Under a mesh GSPMD partitions this
+# directly (the shard_map resampling island has its own psum-based
+# normalizer — ops/sharded_resampling.py).
 def _lse(logw: jax.Array) -> jax.Array:
     return jax.scipy.special.logsumexp(logw, axis=-1)
 

@@ -232,6 +232,21 @@ class Trainer:
             restored = self.checkpointer.restore(self.state)
             if restored is not None:
                 self.state = restored
+                if self.mesh is not None:
+                    # Orbax restores onto one device; the mesh step needs
+                    # replicated placement (see sharding.place_replicated).
+                    from psvo_tpu.parallel import sharding
+
+                    self.state.params = sharding.place_replicated(
+                        self.mesh, self.state.params
+                    )
+                    self.state.opt_state = sharding.place_replicated(
+                        self.mesh, self.state.opt_state
+                    )
+                    if self.state.best_params is not None:
+                        self.state.best_params = sharding.place_replicated(
+                            self.mesh, self.state.best_params
+                        )
         return self.state.step
 
     def run(

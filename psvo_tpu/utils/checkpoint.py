@@ -54,6 +54,25 @@ class Checkpointer:
         self.manager.wait_until_finished()
         self._last_saved = state.step
 
+    def _saved_top_level_keys(self, step: int) -> set[str]:
+        """Top-level pytree keys of a saved checkpoint (legacy-format probe).
+
+        `item_metadata` resolves the tree only on a manager that has already
+        saved/restored with registered args; on a fresh manager it returns
+        None, so fall back to reading the step's `_METADATA` tree file.
+        """
+        meta = self.manager.item_metadata(step)
+        if meta is not None and hasattr(meta, "keys"):
+            return set(meta.keys())
+        import json
+
+        meta_file = self.directory / str(step) / "default" / "_METADATA"
+        tree = json.loads(meta_file.read_text())["tree_metadata"]
+        # keys are stringified key-paths like "('params', 'f', 'mean')"
+        return {
+            entry["key_metadata"][0]["key"] for entry in tree.values()
+        }
+
     def restore_params(self, params_template):
         """Restore ONLY the model params (evaluation/inspection path).
 
@@ -92,13 +111,15 @@ class Checkpointer:
             },
             "config_hash": np.zeros(16, dtype=np.uint8),
         }
-        try:
-            restored = self.manager.restore(
-                step, args=ocp.args.StandardRestore(template)
-            )
-        except Exception:
+        # Probe the saved tree structure instead of catch-all fallback: a
+        # genuinely corrupt checkpoint should surface its real error, not a
+        # confusing structure-mismatch from a second restore attempt.
+        is_legacy = "best_params" not in self._saved_top_level_keys(step)
+        if is_legacy:
             # round-1 checkpoints predate best_params/has_best: restore the
-            # fields that exist and reset the best-ELBO tracking to scratch.
+            # fields that exist and reset the best-ELBO tracking to scratch
+            # (including the patience counter — a stale evals_since_best
+            # against a -inf threshold would skew early stopping).
             legacy = dict(template)
             legacy.pop("best_params")
             legacy["scalars"] = {
@@ -110,6 +131,11 @@ class Checkpointer:
             restored["best_params"] = None
             restored["scalars"]["has_best"] = np.zeros(1, np.int64)
             restored["scalars"]["best_elbo"] = np.array([-np.inf])
+            restored["scalars"]["evals_since_best"] = np.zeros(1, np.int64)
+        else:
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
         saved_hash = bytes(np.asarray(restored["config_hash"])).rstrip().decode()
         if strict and saved_hash != self.config_hash:
             raise ValueError(

@@ -227,11 +227,68 @@ def test_sharded_island_with_pallas_kernel(monkeypatch):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("objective", ["fivo", "psvo"])
-def test_sharded_train_step_runs(objective):
-    from psvo_tpu.train import make_optimizer
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Checkpoint written from a mesh run restores bit-equal into (a) a fresh
+    single-device run and (b) a new mesh run (VERDICT r2 missing #4 — the
+    sharded path's §5 checkpoint parity)."""
+    from psvo_tpu.train import TrainState, make_optimizer
+    from psvo_tpu.utils.checkpoint import Checkpointer
 
     cfg = _cfg()
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    mesh = sharding.make_mesh(cfg)
+    step_fn = sharding.make_sharded_train_step(ssm, cfg, optimizer, mesh)
+    batch = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
+    params, opt_state, _ = step_fn(params, opt_state, jax.random.key(2), batch)
+    context.set_mesh(None)
+
+    st = TrainState(params=params, opt_state=opt_state, key=jax.random.key(3), step=1)
+    Checkpointer(tmp_path / "ck", "h1").save(st, force=True)
+
+    # (a) restore into a single-device template from a *different* init
+    _, params_b = init_ssm(cfg, jax.random.key(9))
+    st_b = TrainState(
+        params=params_b, opt_state=optimizer.init(params_b), key=jax.random.key(4)
+    )
+    restored = Checkpointer(tmp_path / "ck", "h1").restore(st_b)
+    assert restored is not None and restored.step == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (b) the restored state drives a fresh mesh run (after the explicit
+    # re-placement Trainer.restore performs under a mesh)
+    re_params = sharding.place_replicated(mesh, restored.params)
+    re_opt = sharding.place_replicated(mesh, restored.opt_state)
+    step_fn2 = sharding.make_sharded_train_step(ssm, cfg, optimizer, mesh)
+    _, _, metrics = step_fn2(re_params, re_opt, jax.random.key(5), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    context.set_mesh(None)
+
+
+def test_particle_mesh_rejects_smoothing_objectives():
+    """SVO/PSVO have no shard_map island for the backward sweep: under a
+    particle-sharded mesh GSPMD would all-gather the full support every
+    reverse step (ADVICE r2). prepare_sharded refuses loudly; data-only
+    meshes stay supported (covered by the psvo case of
+    test_sharded_train_step_runs)."""
+    cfg = _cfg()  # data=2, particle=4
+    cfg = dataclasses.replace(cfg, smc=dataclasses.replace(cfg.smc, objective="psvo"))
+    ssm, _ = init_ssm(cfg, jax.random.key(0))
+    mesh = sharding.make_mesh(cfg)
+    with pytest.raises(ValueError, match="iwae.*fivo|'fivo'"):
+        sharding.prepare_sharded(ssm, cfg, mesh)
+
+
+@pytest.mark.parametrize("objective,d_data,d_part", [("fivo", 2, 4), ("psvo", 4, 1)])
+def test_sharded_train_step_runs(objective, d_data, d_part):
+    from psvo_tpu.train import make_optimizer
+
+    cfg = _cfg(d_data=d_data, d_part=d_part)
     cfg = dataclasses.replace(
         cfg, smc=dataclasses.replace(cfg.smc, objective=objective)
     )
