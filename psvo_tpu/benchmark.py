@@ -77,21 +77,18 @@ def analytic_cost(cfg) -> tuple[float, float]:
     return flops / 1e9, gbytes
 
 
-def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
-    from psvo_tpu.config import preset
+def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
+    """Measure one config's jitted train-step throughput.
+
+    Returns the machine-readable row: median + per-window steps/s, step
+    time, analytic FLOP/s and GB/s. With adaptive=True the window length is
+    re-chosen from a short probe so every row gets ~2 s windows regardless
+    of its per-step cost (K=8192 vs K=16 differ by ~100×).
+    """
     from psvo_tpu.data import generate_dataset
     from psvo_tpu.models.ssm import init_ssm
     from psvo_tpu.train import make_optimizer, make_train_step
 
-    try:  # the NumPy reference lives in the source checkout's tests/
-        from tests.reference_numpy.numpy_smc import (
-            NumpySSMParams,
-            numpy_forward_filter,
-        )
-    except ModuleNotFoundError:
-        NumpySSMParams = numpy_forward_filter = None
-
-    cfg = preset(preset_name)
     dataset = generate_dataset(cfg.data, cfg.seed)
     ssm, params = init_ssm(cfg, jax.random.key(cfg.seed))
     optimizer = make_optimizer(cfg)
@@ -116,11 +113,19 @@ def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
         state["i"] += 1
         return m["loss"]
 
+    if adaptive:
+        est = _time_loop(one_step, 3)
+        steps = max(5, min(steps, int(2.0 / max(est, 1e-4)) + 1))
+
     window_times = _time_windows(one_step, steps, windows=3)
     step_time = sorted(window_times)[len(window_times) // 2]  # median window
-    steps_per_sec = 1.0 / step_time
     gflop, gbyte = analytic_cost(cfg)
-    perf = {
+    row = {
+        "metric": f"train_steps_per_sec_{cfg.name}",
+        "value": round(1.0 / step_time, 3),
+        "unit": "steps/s",
+        "step_time_ms": round(step_time * 1e3, 3),
+        "window_steps": steps,
         "value_windows": [round(1.0 / w, 3) for w in window_times],
         "gflops_per_step": round(gflop, 3),
         "achieved_gflops_per_sec": round(gflop / step_time, 2),
@@ -133,48 +138,107 @@ def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
         f"config={cfg.name} K={cfg.smc.n_particles} T={cfg.data.t_steps} "
         f"B={cfg.train.batch_size} step_time={step_time*1e3:.2f}ms "
         f"windows={[f'{1e3*w:.1f}ms' for w in window_times]} "
-        f"achieved={perf['achieved_gflops_per_sec']} GFLOP/s "
-        f"{perf['achieved_gbytes_per_sec']} GB/s (analytic)",
+        f"achieved={row['achieved_gflops_per_sec']} GFLOP/s "
+        f"{row['achieved_gbytes_per_sec']} GB/s (analytic)",
         file=sys.stderr,
     )
+    row["_final_params"] = state["p"]  # for the numpy-baseline comparison
+    row["_ssm"] = ssm
+    row["_batch"] = batch
+    return row
 
-    if numpy_forward_filter is None:
-        print(
-            json.dumps(
-                {
-                    "metric": f"train_steps_per_sec_{cfg.name}",
-                    "value": round(steps_per_sec, 3),
-                    "unit": "steps/s",
-                    "vs_baseline": None,
-                    **perf,
-                }
-            )
+
+def _numpy_baseline(row, cfg) -> float | None:
+    """Reference-CPU stand-in: NumPy forward objective, same model/batch."""
+    try:  # the NumPy reference lives in the source checkout's tests/
+        from tests.reference_numpy.numpy_smc import (
+            NumpySSMParams,
+            numpy_forward_filter,
         )
-        return 0
-
-    # Reference-CPU baseline: NumPy forward objective on the same model/batch.
-    model = NumpySSMParams.from_jax(p, ssm)
-    ys_np = np.asarray(batch)
+    except ModuleNotFoundError:
+        return None
+    model = NumpySSMParams.from_jax(row["_final_params"], row["_ssm"])
+    ys_np = np.asarray(row["_batch"])
     t0 = time.perf_counter()
     reps = 2
     for r in range(reps):
         numpy_forward_filter(model, ys_np, cfg.smc.n_particles, seed=r)
     base_time = (time.perf_counter() - t0) / reps
-    base_sps = 1.0 / base_time
     print(
-        f"# numpy-cpu baseline: {base_time*1e3:.1f}ms/forward ({base_sps:.2f} steps/s)",
+        f"# numpy-cpu baseline: {base_time*1e3:.1f}ms/forward "
+        f"({1.0/base_time:.2f} steps/s)",
         file=sys.stderr,
     )
+    return 1.0 / base_time
 
-    print(
-        json.dumps(
-            {
-                "metric": f"train_steps_per_sec_{cfg.name}",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / base_sps, 2),
-                **perf,
-            }
-        )
+
+def _strip(row: dict) -> dict:
+    return {k: v for k, v in row.items() if not k.startswith("_")}
+
+
+def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
+    from psvo_tpu.config import preset
+
+    cfg = preset(preset_name)
+    row = measure(cfg, steps)
+    base_sps = _numpy_baseline(row, cfg)
+    out = _strip(row)
+    out["vs_baseline"] = (
+        round(row["value"] / base_sps, 2) if base_sps else None
     )
+    print(json.dumps(out))
+    return 0
+
+
+# The BASELINE.json benchmark table: the five reference configs + primary.
+ALL_ROWS = (
+    "fhn_iwae_k16",
+    "fhn_fivo_k128",
+    "lorenz63_svo_k256",
+    "lorenz63_psvo_k1024",
+    "lorenz96_fivo_k8192_sharded",
+    "fhn_fivo_k1024_bench",
+)
+
+
+def main_all(steps: int = 30, out_path: str = "BENCH_ALL.json") -> int:
+    """Measure every BASELINE row in one invocation (VERDICT r2 #8): one
+    machine-readable blob per round, so the BASELINE.md table is
+    reproducible and per-round regressions are visible. Runs a throwaway
+    warmup config first (the first config in a fresh process carries a
+    one-off relay warm-up penalty — BASELINE.md methodology note)."""
+    import dataclasses
+
+    from psvo_tpu.config import preset
+
+    warm = dataclasses.replace(
+        preset("fhn_fivo_k128"),
+        data=dataclasses.replace(preset("fhn_fivo_k128").data, n_train=32, n_test=8),
+    )
+    print("# warmup (discarded)", file=sys.stderr)
+    measure(warm, steps=3)
+
+    rows = {}
+    primary_vs = None
+    for name in ALL_ROWS:
+        cfg = preset(name)
+        row = measure(cfg, steps, adaptive=True)
+        if name == "fhn_fivo_k1024_bench":
+            base = _numpy_baseline(row, cfg)
+            primary_vs = round(row["value"] / base, 2) if base else None
+        rows[name] = _strip(row)
+
+    device = jax.devices()[0]
+    blob = {
+        "device": f"{device.platform}:{device.device_kind}",
+        "rows": rows,
+        "primary": "fhn_fivo_k1024_bench",
+        "vs_baseline": primary_vs,
+    }
+    with open(out_path, "w") as f:
+        json.dump(blob, f, indent=1)
+    print(f"# wrote {out_path}", file=sys.stderr)
+    primary = dict(rows["fhn_fivo_k1024_bench"])
+    primary["vs_baseline"] = primary_vs
+    print(json.dumps(primary))
     return 0

@@ -176,6 +176,10 @@ def cmd_eval(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.all:
+        from psvo_tpu.benchmark import main_all
+
+        return main_all(steps=args.bench_steps)
     from psvo_tpu.benchmark import main as bench_main
 
     return bench_main(preset_name=args.preset, steps=args.bench_steps)
@@ -231,6 +235,7 @@ def main(argv=None) -> int:
     p_bench = sub.add_parser("bench")
     p_bench.add_argument("--preset", default="fhn_fivo_k1024_bench")
     p_bench.add_argument("--bench-steps", type=int, default=30)
+    p_bench.add_argument("--all", action="store_true")
     p_bench.set_defaults(fn=cmd_bench)
 
     p_train.add_argument(

@@ -95,6 +95,13 @@ class SMCConfig:
     # store carries at T/(segments) boundaries, recompute segment interiors
     # during the backward sweep instead of caching all T steps in HBM.
     resampling: str = "systematic"  # "systematic" | "multinomial" | "none"
+    # PSVO training bound: "forward" (Rao-Blackwellized — reported ELBO is
+    # the forward logZ, smoothing enters via the EM surrogate) | "direct"
+    # (the reference-form sampled-backward-trajectory bound
+    # logsumexp_m(log p − log q̃) − log M with the discrete-support q̃;
+    # see objectives.py for its support-size-offset caveat). Both always
+    # report the `elbo_psvo_direct` metric.
+    psvo_bound: str = "forward"
     transition: str = "mlp"  # "mlp" | "known": f's mean is the TRUE dynamics
     # stepper (FHN/Lorenz/LGSSM from data.datatype) with a learned noise
     # scale — the learn-proposals-only ablation the reference's bootstrap
@@ -164,6 +171,11 @@ class Config:
     use_pallas: bool = True  # master switch (False = pure jnp everywhere)
     use_pallas_mlp: bool = False
     use_pallas_resample: bool = True
+    # Whole-timestep megakernel (ops/pallas_step.py): resample + stacked
+    # q1/f + draw + g + α + ℓ in ONE kernel per scan step with a recompute
+    # custom VJP. Applies to the diagonal stackable-head config class
+    # (pallas_step.usable); other configs fall back to the unfused body.
+    use_pallas_step: bool = True
 
     def net(self, name: str) -> NetConfig:
         for k, v in self.nets:
@@ -238,6 +250,7 @@ def from_dict(d: dict) -> Config:
         use_pallas=d.get("use_pallas", True),
         use_pallas_mlp=d.get("use_pallas_mlp", False),
         use_pallas_resample=d.get("use_pallas_resample", True),
+        use_pallas_step=d.get("use_pallas_step", True),
     )
 
 

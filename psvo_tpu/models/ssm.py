@@ -58,6 +58,7 @@ class SSM:
         self.nets = {k: v for k, v in cfg.nets}
         self.use_pallas_mlp = cfg.use_pallas and cfg.use_pallas_mlp
         self.use_pallas_resample = cfg.use_pallas and cfg.use_pallas_resample
+        self.use_pallas_step = cfg.use_pallas and cfg.use_pallas_step
         self.bf16_matmuls = cfg.train.bf16_matmuls
 
         self.transition_known = cfg.smc.transition == "known"

@@ -182,10 +182,12 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: i
 
 def _make_ffbsi_body(ssm: SSM, params):
     """One FFBSi reverse step: re-weight the forward support against the
-    current backward state, draw an ancestor per path, accumulate log p."""
+    current backward state, draw an ancestor per path, accumulate log p and
+    the discrete path pmf log q̃ (the reference-form sampled-trajectory
+    proposal mass — see the psvo_direct notes in make_objective)."""
 
     def body(carry, inputs):
-        x_next, logp = carry
+        x_next, logp, logq = carry
         # [B,Dx,K], [B,K], [B,Dy], [B,Di] control at t+1 (into x_next), key
         x_t_support, logw_t, y_t, u_next, k_t = inputs
 
@@ -193,6 +195,8 @@ def _make_ffbsi_body(ssm: SSM, params):
         pair = _pairwise_transition_logp(ssm, params, x_t_support, x_next, u_next)
         logits = pair + logw_norm[:, None, :]  # [B, M, K] backward weights
         idx = jax.random.categorical(k_t, logits, axis=-1)  # [B, M]
+        probs_log, _ = log_normalize(logits, axis=-1)
+        logq = logq + jnp.take_along_axis(probs_log, idx[..., None], axis=-1)[..., 0]
         x_t = jnp.swapaxes(
             jnp.take_along_axis(x_t_support, idx[:, None, :], axis=-1), -1, -2
         )  # [B, M, Dx]
@@ -202,7 +206,7 @@ def _make_ffbsi_body(ssm: SSM, params):
             + ssm.transition_log_prob(params, x_t, x_next, u_next)
             + ssm.emission_log_prob(params, x_t, y_t[:, None, :])
         )
-        return (x_t, logp), x_t
+        return (x_t, logp, logq), x_t
 
     return body
 
@@ -210,25 +214,28 @@ def _make_ffbsi_body(ssm: SSM, params):
 def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: int):
     """FFBSi discrete backward simulation over the forward support.
 
-    Returns (smoothed [T,B,M,Dx], log p(smoothed, y) [B,M]) — the smoothed
-    trajectories and the model log-joint along them (the PSVO EM-surrogate).
+    Returns (smoothed [T,B,M,Dx], log p(smoothed, y) [B,M], log q̃ [B,M]) —
+    the smoothed trajectories, the model log-joint along them (the PSVO
+    EM-surrogate), and the discrete path pmf of the backward draws.
     """
     t_steps = ys_tm.shape[0]
     k_anchor, k_cat = jax.random.split(key)
-    x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)
+    x_tilde_t, idx_t = _sample_final_particles(k_anchor, fwd, m)
     logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
+    logw_norm_t, _ = log_normalize(fwd.logw_last, axis=-1)
+    logq = jnp.take_along_axis(logw_norm_t, idx_t, axis=-1)  # [B, M] anchor pmf
     # pre-split per-step keys so the scan carry has no serial key chain
     cat_keys = jax.random.split(k_cat, t_steps - 1)
 
-    (x_first, logp), xs_rev = jax.lax.scan(
+    (x_first, logp, logq), xs_rev = jax.lax.scan(
         _make_ffbsi_body(ssm, params),
-        (x_tilde_t, logp),
+        (x_tilde_t, logp, logq),
         (fwd.xs[:-1], fwd.logws[:-1], ys_tm[:-1], ctrl_tm[1:], cat_keys),
         reverse=True,
     )
     logp = logp + ssm.prior_log_prob(params, x_first)
     x_tilde = jnp.concatenate([xs_rev, x_tilde_t[None]], axis=0)
-    return x_tilde, logp
+    return x_tilde, logp, logq
 
 
 def _ffbsi_backward_segmented(
@@ -246,8 +253,10 @@ def _ffbsi_backward_segmented(
     seg_len = (t_steps - 1) // n_segments
 
     k_anchor, k_cat = jax.random.split(key)
-    x_tilde_t, _ = _sample_final_particles(k_anchor, fwd, m)
+    x_tilde_t, idx_t = _sample_final_particles(k_anchor, fwd, m)
     logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
+    logw_norm_t, _ = log_normalize(fwd.logw_last, axis=-1)
+    logq = jnp.take_along_axis(logw_norm_t, idx_t, axis=-1)
     cat_keys = jax.random.split(k_cat, t_steps - 1)  # cat_keys[t-1] for step t
 
     body = _make_ffbsi_body(ssm, params)
@@ -255,7 +264,7 @@ def _ffbsi_backward_segmented(
     enc_seg = enc_tm[1:].reshape(n_segments, seg_len, batch, -1)
     ctrl_seg = ctrl_tm[1:].reshape(n_segments, seg_len, batch, ssm.di)
 
-    carry = (x_tilde_t, logp)
+    carry = (x_tilde_t, logp, logq)
     pieces = []  # smoothed segments, collected in reverse time order
     for s in reversed(range(n_segments)):
         xs_seg, logws_seg = recompute_segment(
@@ -281,13 +290,13 @@ def _ffbsi_backward_segmented(
     carry, x0_tilde = body(
         carry, (cache.x0, cache.alpha0, ys_tm[0], ctrl_tm[1], cat_keys[0])
     )
-    x_first, logp = carry
+    x_first, logp, logq = carry
     logp = logp + ssm.prior_log_prob(params, x_first)
 
     x_tilde = jnp.concatenate(
         [x0_tilde[None], *reversed(pieces), x_tilde_t[None]], axis=0
     )
-    return x_tilde, logp
+    return x_tilde, logp, logq
 
 
 def make_objective(ssm: SSM, cfg: Config):
@@ -382,18 +391,42 @@ def make_objective(ssm: SSM, cfg: Config):
                     if encoder_inputs is not None
                     else ys_tm
                 )
-                x_tilde, logp_joint = _ffbsi_backward_segmented(
+                x_tilde, logp_joint, logq_pmf = _ffbsi_backward_segmented(
                     ssm, params, k_bwd, ys_tm, enc_tm, ctrl_tm, fwd, seg_cache, m, smc_cfg
                 )
             else:
-                x_tilde, logp_joint = _ffbsi_backward(
+                x_tilde, logp_joint, logq_pmf = _ffbsi_backward(
                     ssm, params, k_bwd, ys_tm, ctrl_tm, fwd, m
                 )
+            # Reference-form sampled-trajectory bound (SURVEY.md §3.3 "PSVO
+            # objective on smoothed paths"): logsumexp_m(log p − log q̃) −
+            # log M with q̃ the DISCRETE backward path pmf. Dimensional
+            # caveat, documented: log p is a density while log q̃ is a pmf
+            # over the K-particle support, so this quantity carries a
+            # support-size offset (grows ~O(T·log K)) — it tracks smoothing
+            # quality and matches the reference's printed per-trajectory
+            # objective shape, but it is NOT calibrated against log p(y)
+            # the way the forward bound is. The well-posed Rao-Blackwellized
+            # form of the same estimator collapses exactly to fwd.log_z
+            # (module docstring), which is why that is the reported ELBO.
+            direct = jax.scipy.special.logsumexp(
+                logp_joint - logq_pmf, axis=-1
+            ) - jnp.log(float(m))
             elbo = fwd.log_z  # exact value after Rao-Blackwell cancellation
             em_term = jnp.mean(logp_joint)
-            # zero-valued surrogate carrying the smoothed-path model gradient
-            loss = -jnp.mean(elbo) - (em_term - jax.lax.stop_gradient(em_term))
+            if smc_cfg.psvo_bound == "direct":
+                # train on the sampled-trajectory bound (reference form):
+                # reparameterized through the support atoms, stop-gradient
+                # through the categorical draws (the paper's estimator)
+                loss = -jnp.mean(direct)
+            else:
+                # forward bound + zero-valued EM surrogate carrying the
+                # smoothed-path model gradient
+                loss = -jnp.mean(elbo) - (
+                    em_term - jax.lax.stop_gradient(em_term)
+                )
             metrics["log_joint_smoothed"] = em_term
+            metrics["elbo_psvo_direct"] = jnp.mean(direct)
             return ObjectiveOutput(loss, elbo, metrics, x_tilde, fwd)
 
         raise ValueError(f"unknown objective {smc_cfg.objective!r}")

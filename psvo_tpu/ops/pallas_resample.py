@@ -116,6 +116,59 @@ def _tri_cumsum(w: jax.Array) -> jax.Array:
     return within.reshape(r, k)
 
 
+def _two_level_indices(logw: jax.Array, u_raw: jax.Array, k: int):
+    """Inverse-CDF ancestor indices for one [R, K] block, O(K) work.
+
+    The rank decomposes exactly as
+        a_i = Q * #{s : Bnd_s <= U_i} + #{j in tile c_i : C_j <= U_i}
+    (Bnd = per-128-lane-tile CDF boundaries, c_i the first tile whose
+    boundary exceeds U_i): the coarse count is a tiny [Q, S] compare +
+    ones-dot, and the fine count compares against the ONE relevant tile,
+    materialized per query by a one-hot [Q, S] x [S, Q'] MXU contraction.
+    O(K·S) with S = K/128 — vs the original quadratic (K/Q)² tile sweep,
+    which measured 68.6 µs/step of the 109 µs forward timestep at K=1024
+    (round-3 profile). Counts ≤ K < 2^24: f32 exact.
+
+    Returns (idx [R, K] i32, per-tile list of [R, Q] i32 tiles).
+    """
+    s_tiles = k // Q
+    m = jnp.max(logw, axis=-1, keepdims=True)
+    w = jnp.exp(logw - m)
+    cumw = _tri_cumsum(w)
+    # compare u*total <= cumw instead of dividing the K-vector
+    u = u_raw * cumw[:, -1:]
+    r = logw.shape[0]
+
+    cum3 = cumw.reshape(r, s_tiles, Q)
+    bnd = cum3[:, :, Q - 1]  # [R, S] per-tile CDF boundaries
+    ones_s = jnp.ones((s_tiles, 1), jnp.float32)
+    ones_q = jnp.ones((Q, 1), jnp.float32)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_tiles), 2)
+
+    tiles = []
+    for t in range(s_tiles):
+        u_t = u[:, t * Q : (t + 1) * Q]  # [R, Q]
+        ge = (u_t[:, :, None] >= bnd[:, None, :]).astype(jnp.float32)  # [R,Q,S]
+        coarse = jax.lax.dot_general(
+            ge, ones_s, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+        coarse_i = jnp.minimum(coarse.astype(jnp.int32), s_tiles - 1)
+        onehot_s = (coarse_i[:, :, None] == scol).astype(jnp.float32)  # [R,Q,S]
+        sel = jax.lax.dot_general(  # each query's own tile of 128 CDF values
+            onehot_s, cum3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [R, Q, Q']
+        le = (sel <= u_t[:, :, None]).astype(jnp.float32)
+        fine = jax.lax.dot_general(
+            le, ones_q, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+        idx_t = jnp.minimum(Q * coarse_i + fine.astype(jnp.int32), k - 1)
+        tiles.append(idx_t)
+    return jnp.concatenate(tiles, axis=-1), tiles
+
+
 def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref):
     """One batch row-block × one D tile.
 
@@ -128,44 +181,20 @@ def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref):
     measured at ~10s of µs of scalar-loop overhead PER LOOP, which at
     K=1024 (16 loops/call) made the resample 0.21 ms/step: 5× the entire
     rest of the SMC body, and at K=8192 5× slower than the jnp fallback.
-    At K ≤ MAX_K the full quadratic tile sweep is ~8 µs of VPU compares and
-    ~3 µs of MXU one-hot contractions — the static unroll wins outright.
+    The index pass is the O(K) two-level count (see _two_level_indices —
+    round 3 replaced the quadratic compare-and-count sweep); the one-hot
+    gather keeps the static quadratic tile sweep (its dots are real [Q, Q]
+    MXU contractions, ~3 µs total at K=1024).
     """
     from jax.experimental import pallas as pl
 
     nq = k // Q
     d_step = pl.program_id(1)
 
-    # ---- Pass 1 (first D step only): CDF + compare-and-count indices.
+    # ---- Pass 1 (first D step only): CDF + two-level count indices.
     @pl.when(d_step == 0)
     def _():
-        logw = logw_ref[:]
-        m = jnp.max(logw, axis=-1, keepdims=True)
-        w = jnp.exp(logw - m)
-        cumw = _tri_cumsum(w)
-        # compare u*total <= cumw instead of dividing the K-vector
-        u = u_ref[:] * cumw[:, -1:]
-
-        # count via an MXU contraction with ones: a lane-axis jnp.sum of the
-        # [R, Q, S] comparison needs log2(128) shuffle passes per element on
-        # the VPU and measured 0.16 ms/step at K=1024 — 5× the whole rest of
-        # the SMC body; the dot is ~10× cheaper. Counts ≤ K < 2^24: f32 exact.
-        ones_s = jnp.ones((Q, 1), jnp.float32)
-        for t in range(nq):
-            u_tile = u[:, t * Q : (t + 1) * Q]  # [R, Q]
-            cnt = jnp.zeros((u.shape[0], Q), jnp.float32)
-            for s in range(nq):
-                c = cumw[:, s * Q : (s + 1) * Q]  # [R, S]
-                le = (c[:, None, :] <= u_tile[:, :, None]).astype(jnp.float32)
-                cnt = cnt + jax.lax.dot_general(
-                    le,
-                    ones_s,
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )[..., 0]
-            idx_ref[:, t * Q : (t + 1) * Q] = jnp.minimum(
-                cnt.astype(jnp.int32), k - 1
-            )
+        idx_ref[:] = _two_level_indices(logw_ref[:], u_ref[:], k)[0]
 
     # ---- Pass 2 (every D step): one-hot gather for this feature tile.
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Q), 2)
@@ -237,40 +266,7 @@ MAX_K_IDX = 32768  # cumw [8, K] f32 = 1 MB at the cap; S = 256 boundaries
 
 
 def _indices_kernel(k: int, logw_ref, u_ref, idx_ref):
-    s_tiles = k // Q
-    logw = logw_ref[:]
-    m = jnp.max(logw, axis=-1, keepdims=True)
-    w = jnp.exp(logw - m)
-    cumw = _tri_cumsum(w)
-    u = u_ref[:] * cumw[:, -1:]
-    r = logw.shape[0]
-
-    cum3 = cumw.reshape(r, s_tiles, Q)
-    bnd = cum3[:, :, Q - 1]  # [R, S] per-tile CDF boundaries
-    ones_s = jnp.ones((s_tiles, 1), jnp.float32)
-    ones_q = jnp.ones((Q, 1), jnp.float32)
-    scol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_tiles), 2)
-
-    for t in range(s_tiles):
-        u_t = u[:, t * Q : (t + 1) * Q]  # [R, Q]
-        ge = (u_t[:, :, None] >= bnd[:, None, :]).astype(jnp.float32)  # [R,Q,S]
-        coarse = jax.lax.dot_general(
-            ge, ones_s, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[..., 0]
-        coarse_i = jnp.minimum(coarse.astype(jnp.int32), s_tiles - 1)
-        onehot_s = (coarse_i[:, :, None] == scol).astype(jnp.float32)  # [R,Q,S]
-        sel = jax.lax.dot_general(  # each query's own tile of 128 CDF values
-            onehot_s, cum3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [R, Q, Q']
-        le = (sel <= u_t[:, :, None]).astype(jnp.float32)
-        fine = jax.lax.dot_general(
-            le, ones_q, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[..., 0]
-        idx = Q * coarse_i + fine.astype(jnp.int32)
-        idx_ref[:, t * Q : (t + 1) * Q] = jnp.minimum(idx, k - 1)
+    idx_ref[:] = _two_level_indices(logw_ref[:], u_ref[:], k)[0]
 
 
 @jax.custom_vjp

@@ -1,0 +1,806 @@
+"""Fused per-timestep SMC megakernel: resample → q1/f/g MLPs → draw → α → ℓ.
+
+Round-3 profile of the primary config (FHN FIVO K=1024 B=32): the train step
+spends ~204 µs per scan iteration — 68.6 µs in the resample kernel and the
+rest across ~30-40 XLA fusions of 2-8 µs each. The step is LAUNCH-BOUND:
+kernel count ≈ time. This module fuses the entire filtering step body
+(SURVEY.md §3.2) into ONE Pallas kernel per direction.
+
+forward (per batch row-block, everything in VMEM):
+  1. ESS of the incoming log-weights (MXU ones-contractions);
+  2. two-level O(K) inverse-CDF ancestor indices
+     (pallas_resample._two_level_indices);
+  3. one-hot MXU gather of the ancestors — per query tile, ONE full-K
+     one-hot contraction (the per-tile-pair quadratic sweep costs the same
+     FLOPs in 8× the instruction count, and the kernel is op-count-bound);
+  4. q1 and f MLP trunks on the resampled particles, g trunk on the
+     proposed particles — channel-major [R, C, K] activations, each dense
+     layer ONE batched MXU contraction with NO bias op: biases ride a
+     ones-channel (see "ones-channel folding" below);
+  5. proposal fusion mean_q = cq·m1 + aq (the use_2q precision-product
+     collapses to per-(B,Dx) affine coefficients computed outside — q2's
+     scale has no K dependence), reparameterized draw x_new = mean_q + sq·ε;
+  6. α = −½Σ_d z_f² − ½Σ_d z_g² + ab where ab carries every K-independent
+     term (−log q's ε² part, log-scale sums, 2π constants) precomputed
+     outside in bulk;
+  7. ℓ = logsumexpₖ α − log K, softmax weights, filtered mean.
+
+backward: ONE kernel that recomputes the trunks from the saved resampled /
+proposed particles (recompute-style VJP; exactly THREE trunk passes — f and
+g keep their activations through the α recompute, q1 runs after the fusion
+grads so m1 never needs a fourth pass) and emits gradients for the
+particles (one-hot transpose scatter through the ancestor indices — FIVO's
+reparameterized path; d/d logw and d/d u are zero, stop-gradient through
+the discrete choice, SURVEY.md §3.2), the per-step fusion coefficients, and
+the MLP weights (accumulated across the batch grid via resident constant-
+index-map output blocks).
+
+Ones-channel bias folding: row OC = PD−1 of every particle tensor is pinned
+to the constant 1 (the carry starts with it, the gather preserves it, and
+x_new recovers it because aq's OC row is 1 while cq/sq's are 0). Each
+hidden width H is augmented to HA = H+8: unit H is a ones-unit (its
+incoming weight row selects the ones-channel, so relu(1) = 1 propagates),
+and every bias vector becomes column H (or column OC for layer 1) of the
+augmented weight — so a trunk is a PURE chain of batched matmuls and bias
+GRADIENTS fall out of the ordinary weight-grad contractions. All
+augmentation happens differentiably OUTSIDE the custom-VJP boundary
+(prepare()), so grads slice back to the true parameters automatically, and
+cotangents landing on the constant entries are dropped by construction.
+This is why the kernel requires activation="relu" (relu(1)=1 keeps the
+ones-unit exact; tanh has no finite preimage of 1) and max(Dx, Dy) ≤ 7
+(a free row must exist for the ones-channel).
+
+Operand-shape rules (bisected from Mosaic lowering-emitter crashes,
+`Check failed: limits[i] <= dim(i)`, round 3):
+  1. no size-1 dims in pallas_call OPERANDS — small per-step vectors pack
+     as lane-channels of one [B, PD, 128] tensor (`sm`: lane 0 = aq,
+     1 = cq, 2 = sq, 3 = y); statistics ride one packed [B, PD, 128]
+     output (`stats`: lane 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS);
+  2. no 2-D [N>8, 1] or [1, N>8, 1] VALUES (the crash limit scales as N/8
+     sublane tiles) — scale-inverse reads are [1, PD≤8, 1] `_col3` views,
+     their grads [PD, 8] lane-8 MXU contractions stored into disjoint
+     lane-slices of the lane-padded ref;
+  3. dense contractions must run over the lhs LANE axis ([M,K]×[K,N]
+     MXU-natural): contracting the lhs sublane axis makes Mosaic transpose
+     internally and crash for free dims > one sublane tile — hence the
+     weights arrive TRANSPOSED for the forward direction and untransposed
+     for the backward _dense_t, with all weight grads reported on the
+     untransposed inputs (the transposes get zeros; both derive from one
+     param tree outside, so autodiff sums the two paths correctly);
+  4. lane-pad with ZEROS, never broadcast (a broadcast's VJP sums the
+     duplicated lanes: 128× gradients).
+
+Gradient semantics (objective-checked in tests/test_pallas_step.py):
+  - ess / fmean outputs are metrics-only: their cotangents are ignored
+    (the training loss never consumes them; eval runs without grad);
+  - ε is raw RNG output (never a function of params): zero cotangent;
+  - α's cotangent is honored (the SVO/PSVO caches consume logws).
+
+Eligibility (`usable`): systematic/multinomial resampling with
+ess_threshold ≥ 1 (unconditional), stop-gradient FIVO, Gaussian diag
+emission with constant scales on f and g, q1/f/g relu trunks with one
+uniform hidden width (mult. of 8), max(Dx,Dy) ≤ 7, K ≤ 2048, B % 8 == 0,
+no controls, no bootstrap/known-dynamics, no mesh. Everything else falls
+back to the unfused scan body (psvo_tpu.smc).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from psvo_tpu.ops.pallas_resample import (
+    Q,
+    ROW_BLOCK,
+    _on_tpu,
+    _round_up,
+    _two_level_indices,
+)
+
+_INTERPRET = False  # flipped by tests to run on CPU
+
+MAX_K = 2048  # VMEM ceiling for the whole-step kernel
+_LANES = 128  # packed small-tensor lane width
+
+# net order in the stacked weight tensors
+_Q1, _F, _G = 0, 1, 2
+
+SM_AQ, SM_CQ, SM_SQ, SM_Y = 0, 1, 2, 3  # lane channels of the sm input
+SM_SFI, SM_SGI = 0, 8  # sconst lanes (8 apart: [PD, 8] grad stores)
+
+
+def usable(ssm, cfg, batch: int) -> bool:
+    """Static eligibility of the megakernel for this (ssm, smc-config)."""
+    from psvo_tpu.parallel.context import get_mesh
+
+    if not (ssm.use_pallas_resample and (_on_tpu() or _INTERPRET)):
+        return False
+    if get_mesh() is not None:
+        return False
+    if cfg.resampling not in ("systematic", "multinomial"):
+        return False
+    if cfg.ess_threshold < 1.0 or not cfg.use_stop_gradient:
+        return False
+    if cfg.use_bootstrap or ssm.transition_known:
+        return False
+    if ssm.di:
+        return False
+    if ssm.emission in ("poisson", "dirac"):
+        return False
+    if ssm.f_tril or ssm.g_tril:
+        return False
+    k = cfg.n_particles
+    if k % Q or k > MAX_K or batch % ROW_BLOCK:
+        return False
+    if max(ssm.dx, ssm.dy) > 7:
+        # the ones-channel needs a free row in the 8-sublane-padded state
+        # (and pd > 8 shapes hit the Mosaic [*, PD>8, 1] crash class)
+        return False
+    nets = [ssm.nets[n] for n in ("q1", "f", "g")]
+    hidden = nets[0].hidden
+    if len(hidden) < 1 or any(h != hidden[0] for h in hidden):
+        return False
+    if hidden[0] % 8:
+        return False
+    for nc in nets:
+        if nc.hidden != hidden or nc.cov_type != "const":
+            return False
+        if nc.activation != "relu":
+            # the ones-unit requires act(1) == 1 exactly
+            return False
+    return True
+
+
+def _col3(v, c: int = 0):
+    """[N, 128] value -> [1, N, 1] holding lane c (N ≤ 8 only — module
+    docstring rule 2). Leading-axis reshape + 3-D lane slice; `[None]`
+    newaxis indexing lowers to a gather Mosaic rejects."""
+    v3 = v.reshape(1, *v.shape)
+    return v3[:, :, c : c + 1]
+
+
+def _bcast_w(w, r):
+    return jnp.broadcast_to(w[None], (r, *w.shape))
+
+
+def _dense(h, wt):
+    """[R, Cin, K] × wT [Cout, Cin] -> [R, Cout, K], lhs-lane contraction
+    (module docstring rule 3). No bias: biases ride the ones-channel."""
+    r = h.shape[0]
+    return jax.lax.dot_general(
+        _bcast_w(wt, r), h,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dense_t(d, w):
+    """Transpose dense: d [R, Cout, K] × w [Cin, Cout] -> [R, Cin, K]."""
+    r = d.shape[0]
+    return jax.lax.dot_general(
+        _bcast_w(w, r), d,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dw(h_in, d_out):
+    """Weight gradient Σ_{r,k} h_in[r,ci,k]·d_out[r,co,k] -> [Cin, Cout]."""
+    per_r = jax.lax.dot_general(
+        h_in, d_out,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [R, Cin, Cout]
+    return jnp.sum(per_r, axis=0)
+
+
+def _lane_sum(x):
+    """Σ over the lane axis via an MXU ones-contraction: [..., K] -> [..., 1]."""
+    ones = jnp.ones((x.shape[-1], 1), jnp.float32)
+    return jax.lax.dot_general(
+        x, ones,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bias_grad8(d):
+    """Σ_{r,k} d[r, c, k] as a lane-8 [C, 8] tensor (all 8 lanes duplicate
+    the sum) — the cheapest Mosaic-safe reduction shape; stores into lanes
+    c:c+8 of a lane-padded ref whose zero-pad VJP keeps lane c only."""
+    ones8 = jnp.ones((d.shape[-1], 8), jnp.float32)
+    per_r = jax.lax.dot_general(
+        d, ones8,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, C, 8]
+    return jnp.sum(per_r, axis=0)  # [C, 8]
+
+
+def _trunk(x, wt1, wtms, wt3):
+    """Pure-matmul relu MLP on augmented weights: returns (mean, hs)."""
+    hs = [jax.nn.relu(_dense(x, wt1))]
+    for wtm in wtms:
+        hs.append(jax.nn.relu(_dense(hs[-1], wtm)))
+    return _dense(hs[-1], wt3), hs
+
+
+def _trunk_bwd(x_in, hs, d_mean, w1, wms, w3):
+    """Backprop one augmented trunk; bias grads are rows/cols of the
+    augmented weight grads (ones-channel folding)."""
+    d_h = _dense_t(d_mean, w3)
+    dw3 = _dw(hs[-1], d_mean)
+    dwms = []
+    for i in range(len(wms) - 1, -1, -1):
+        d_pre = d_h * (hs[i + 1] > 0).astype(d_h.dtype)
+        dwms.append(_dw(hs[i], d_pre))
+        d_h = _dense_t(d_pre, wms[i])
+    d_pre1 = d_h * (hs[0] > 0).astype(d_h.dtype)
+    dw1 = _dw(x_in, d_pre1)
+    d_x = _dense_t(d_pre1, w1)
+    return d_x, dw1, dwms[::-1], dw3
+
+
+def _onehot_gather(x, idx_tiles, k):
+    """out[d, q] = x[d, idx_q]: per query tile ONE full-K one-hot MXU
+    contraction (8 compare+dot pairs at K=1024 vs 128 ops for the
+    per-tile-pair sweep — same FLOPs, and the kernel is op-count-bound)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
+    outs = []
+    for idx_t in idx_tiles:
+        onehot = (idx_t[:, :, None] == col).astype(jnp.float32)  # [R, Q, K]
+        outs.append(
+            jax.lax.dot_general(
+                x, onehot,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [R, D, Q]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _onehot_scatter(g, idx, k):
+    """dx[d, s] = Σ_q 1[idx_q == s]·g[d, q] (transpose of the gather), as
+    per-query-tile full-K contractions accumulated in VMEM."""
+    nq = k // Q
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
+    acc = jnp.zeros((g.shape[0], g.shape[1], k), jnp.float32)
+    for t in range(nq):
+        idx_t = idx[:, t * Q : (t + 1) * Q]
+        onehot = (idx_t[:, :, None] == col).astype(jnp.float32)  # [R, Q, K]
+        acc = acc + jax.lax.dot_general(
+            g[:, :, t * Q : (t + 1) * Q], onehot,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    k, n_mid, activation,
+    # inputs (weights augmented + TRANSPOSED — see module docstring)
+    logw_ref, u_ref, x_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
+    wt1s_ref, wtms_ref, wt3s_ref,
+    # outputs
+    xnew_ref, alpha_ref, stats_ref, idx_ref, xres_ref,
+):
+    del activation  # always relu (eligibility)
+    n_wm = max(n_mid, 1)
+
+    def net(i):
+        return (
+            wt1s_ref[i],
+            [wtms_ref[i * n_wm + j] for j in range(n_mid)],
+            wt3s_ref[i],
+        )
+
+    sm = sm_ref[:]
+    aq = sm[:, :, SM_AQ : SM_AQ + 1]
+    cq = sm[:, :, SM_CQ : SM_CQ + 1]
+    sq = sm[:, :, SM_SQ : SM_SQ + 1]
+    y = sm[:, :, SM_Y : SM_Y + 1]
+    sfi = _col3(sconst_ref[:], SM_SFI)  # [1, PD, 1]
+    sgi = _col3(sconst_ref[:], SM_SGI)
+
+    logw = logw_ref[:]
+    # ESS of the incoming weights: (Σw)²/Σw² with max-shifted w
+    m = jnp.max(logw, axis=-1, keepdims=True)
+    w_in = jnp.exp(logw - m)
+    s1 = _lane_sum(w_in)
+    s2 = _lane_sum(w_in * w_in)
+    ess = s1 * s1 / jnp.maximum(s2, 1e-30)  # [R, 1]
+
+    # resample: two-level O(K) indices + one-hot gather (preserves the
+    # pinned ones-channel row)
+    idx, idx_tiles = _two_level_indices(logw, u_ref[:], k)
+    idx_ref[:] = idx
+    x_res = _onehot_gather(x_ref[:], idx_tiles, k)
+    xres_ref[:] = x_res
+
+    # q1 / f trunks on the resampled particles
+    m1, _ = _trunk(x_res, *net(_Q1))
+    m_f, _ = _trunk(x_res, *net(_F))
+
+    # fused proposal + reparameterized draw; row OC: aq=1, cq=sq=0 keeps
+    # the ones-channel alive in x_new
+    x_new = cq * m1 + aq + sq * eps_ref[:]
+    xnew_ref[:] = x_new
+
+    # emission trunk + α
+    m_g, _ = _trunk(x_new, *net(_G))
+    z_f = (x_new - m_f) * sfi
+    z_g = (y - m_g) * sgi
+    alpha = (
+        -0.5 * (jnp.sum(z_f * z_f, axis=-2) + jnp.sum(z_g * z_g, axis=-2))
+        + ab_ref[:]
+    )
+    # finiteness floor (distributions._MIN_LOGP rationale): a diverged mean
+    # must yield an astronomically-negative finite α, not -inf
+    alpha = jnp.maximum(alpha, -3e30)
+    alpha_ref[:] = alpha
+
+    # ℓ = lse(α) − log K; filtered mean under the new weights
+    amax = jnp.max(alpha, axis=-1, keepdims=True)
+    w_new = jnp.exp(alpha - amax)
+    sw = _lane_sum(w_new)
+    ell = jnp.log(sw) + amax - math.log(k)  # [R, 1]
+    fm = jax.lax.dot_general(
+        x_new, w_new[:, :, None],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / sw[:, :, None]  # [R, PD, 1]
+
+    stats_ref[:] = jnp.zeros_like(stats_ref)
+    stats_ref[:, :, 0:1] = fm
+    stats_ref[:, 0:1, 1:2] = ell[:, :, None]
+    stats_ref[:, 0:1, 2:3] = ess[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    k, n_mid, activation,
+    # residual inputs (wt* = transposed for recompute, w* for _dense_t)
+    xres_ref, xnew_ref, idx_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
+    wt1s_ref, wtms_ref, wt3s_ref, w1s_ref, wms_ref, w3s_ref,
+    # cotangent inputs
+    dxnew_ref, dalpha_ref, dstats_ref,
+    # outputs: per-batch grads
+    dx_ref, dab_ref, dsm_ref,
+    # outputs: accumulated param grads (constant index map, resident)
+    dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref,
+):
+    from jax.experimental import pallas as pl
+
+    del activation
+    n_wm = max(n_mid, 1)
+
+    def net(i):
+        return (
+            wt1s_ref[i],
+            [wtms_ref[i * n_wm + j] for j in range(n_mid)],
+            wt3s_ref[i],
+        )
+
+    def netw(i):
+        return (
+            w1s_ref[i],
+            [wms_ref[i * n_wm + j] for j in range(n_mid)],
+            w3s_ref[i],
+        )
+
+    x_res = xres_ref[:]
+    x_new = xnew_ref[:]  # saved by the forward — no q1 recompute for it
+    eps = eps_ref[:]
+    sm = sm_ref[:]
+    cq = sm[:, :, SM_CQ : SM_CQ + 1]
+    y = sm[:, :, SM_Y : SM_Y + 1]
+    sfi = _col3(sconst_ref[:], SM_SFI)
+    sgi = _col3(sconst_ref[:], SM_SGI)
+
+    # ---- recompute: f and g trunks keep their activations through the α
+    # rebuild; q1 runs later so its hidden stack never overlaps g's
+    m_f, hs_f = _trunk(x_res, *net(_F))
+    m_g, hs_g = _trunk(x_new, *net(_G))
+    z_f = (x_new - m_f) * sfi
+    z_g = (y - m_g) * sgi
+    alpha = (
+        -0.5 * (jnp.sum(z_f * z_f, axis=-2) + jnp.sum(z_g * z_g, axis=-2))
+        + ab_ref[:]
+    )
+    floored = alpha < -3e30  # grad cut where the forward floor clamped
+    alpha = jnp.maximum(alpha, -3e30)
+
+    # ---- α cotangent: direct + through ℓ = lse(α) − log K
+    amax = jnp.max(alpha, axis=-1, keepdims=True)
+    w_new = jnp.exp(alpha - amax)
+    soft = w_new / _lane_sum(w_new)
+    # ℓ rides stats[:, 0, 1]; its cotangent is zero on rows > 0, so the
+    # sublane sum is exact and avoids a [R, 1, 1] ref load
+    d_ell = jnp.sum(dstats_ref[:][:, :, 1:2], axis=1)  # [R, 1]
+    d_alpha = dalpha_ref[:] + d_ell * soft
+    d_alpha = jnp.where(floored, 0.0, d_alpha)
+    dab_ref[:] = d_alpha
+
+    # ---- z-paths
+    da_col = d_alpha[:, None, :]  # broadcast over channels
+    d_zf = -da_col * z_f
+    d_zg = -da_col * z_g
+    d_mf = -d_zf * sfi
+    d_mg = -d_zg * sgi
+    d_xnew = dxnew_ref[:] + d_zf * sfi
+
+    # scale-inverse grads in the [PD, 8] safe shape
+    dsfi = _bias_grad8(d_zf * (x_new - m_f))
+    dsgi = _bias_grad8(d_zg * (y - m_g))
+
+    # ---- g trunk backprop (activations live from the recompute)
+    d_xg, dw1_g, dwm_g, dw3_g = _trunk_bwd(x_new, hs_g, d_mg, *netw(_G))
+    d_xnew = d_xnew + d_xg
+
+    # ---- draw + fusion grads (m1-independent parts first)
+    d_meanq = d_xnew
+    d_m1 = cq * d_meanq
+
+    # ---- q1 trunk backprop (third trunk pass; also yields m1 for dcq)
+    m1, hs_q = _trunk(x_res, *net(_Q1))
+    d_xr_q, dw1_q, dwm_q, dw3_q = _trunk_bwd(x_res, hs_q, d_m1, *netw(_Q1))
+
+    dsm_ref[:] = jnp.zeros_like(dsm_ref)
+    dsm_ref[:, :, SM_AQ : SM_AQ + 1] = _lane_sum(d_meanq)
+    dsm_ref[:, :, SM_CQ : SM_CQ + 1] = _lane_sum(d_meanq * m1)
+    dsm_ref[:, :, SM_SQ : SM_SQ + 1] = _lane_sum(d_xnew * eps)
+
+    # ---- f trunk backprop (activations kept from the top)
+    d_xr_f, dw1_f, dwm_f, dw3_f = _trunk_bwd(x_res, hs_f, d_mf, *netw(_F))
+
+    # ---- scatter particle grads back through the ancestor choice
+    dx_ref[:] = _onehot_scatter(d_xr_q + d_xr_f, idx_ref[:], k)
+
+    # ---- accumulate param grads across the batch grid
+    b_step = pl.program_id(0)
+
+    @pl.when(b_step == 0)
+    def _():
+        dsconst_ref[:] = jnp.zeros_like(dsconst_ref)
+        dw1s_ref[:] = jnp.zeros_like(dw1s_ref)
+        dwms_ref[:] = jnp.zeros_like(dwms_ref)  # incl. the n_mid=0 dummy
+        dw3s_ref[:] = jnp.zeros_like(dw3s_ref)
+
+    dsconst_ref[:, SM_SFI : SM_SFI + 8] += dsfi
+    dsconst_ref[:, SM_SGI : SM_SGI + 8] += dsgi
+    for i, (dw1, dw3) in enumerate(
+        [(dw1_q, dw3_q), (dw1_f, dw3_f), (dw1_g, dw3_g)]
+    ):
+        dw1s_ref[i] += dw1
+        dw3s_ref[i] += dw3
+    for i, dwm in enumerate([dwm_q, dwm_f, dwm_g]):
+        for j in range(n_mid):
+            dwms_ref[i * n_wm + j] += dwm[j]
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper (padded, augmented domain)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _step_call(static, logw, u, x, eps, ab, sm, sconst,
+               wt1s, wtms, wt3s, w1s, wms, w3s):
+    """static = (k, pd, n_mid, activation). All tensors padded/packed/
+    bias-augmented; weights in BOTH orientations (wt* transposed for the
+    forward dots, w* for the backward transpose dots — weight grads are
+    reported on w*, wt* get zeros, the caller derives both from one param
+    tree so autodiff sums them).
+
+    Returns (x_new [B,PD,K], alpha [B,K], stats [B,PD,128]) where stats
+    lane 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS (metrics lanes carry no
+    gradient; ℓ's cotangent is honored)."""
+    out, _ = _step_fwd(static, logw, u, x, eps, ab, sm, sconst,
+                       wt1s, wtms, wt3s, w1s, wms, w3s)
+    return out
+
+
+def _mk_specs(shapes):
+    """BlockSpecs: batch-leading tensors block over rows, params replicate."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    specs = []
+    for shape, batched in shapes:
+        if batched:
+            specs.append(
+                pl.BlockSpec(
+                    (ROW_BLOCK, *shape[1:]),
+                    lambda b, _n=len(shape): (b,) + (0,) * (_n - 1),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        else:
+            specs.append(
+                pl.BlockSpec(
+                    shape,
+                    lambda b, _n=len(shape): (0,) * _n,
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    return specs
+
+
+def _step_fwd(static, logw, u, x, eps, ab, sm, sconst,
+              wt1s, wtms, wt3s, w1s, wms, w3s):
+    from jax.experimental import pallas as pl
+
+    k, pd, n_mid, activation = static
+    batch = logw.shape[0]
+    ha = wt1s.shape[1]  # augmented hidden width
+    n_wm = wms.shape[0] // 3
+
+    in_shapes = [
+        ((batch, k), True),           # logw
+        ((batch, k), True),           # u
+        ((batch, pd, k), True),       # x
+        ((batch, pd, k), True),       # eps
+        ((batch, k), True),           # ab
+        ((batch, pd, _LANES), True),  # sm
+        ((pd, _LANES), False),        # sconst
+        ((3, ha, pd), False),         # wt1s
+        ((3 * n_wm, ha, ha), False),  # wtms
+        ((3, pd, ha), False),         # wt3s
+    ]
+    out_shapes = [
+        ((batch, pd, k), True),       # x_new
+        ((batch, k), True),           # alpha
+        ((batch, pd, _LANES), True),  # stats
+        ((batch, k), True),           # idx
+        ((batch, pd, k), True),       # x_res
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
+        jax.ShapeDtypeStruct((batch, k), jnp.float32),
+        jax.ShapeDtypeStruct((batch, pd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((batch, k), jnp.int32),
+        jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
+    ]
+    x_new, alpha, stats, idx, x_res = pl.pallas_call(
+        functools.partial(_fwd_kernel, k, n_mid, activation),
+        grid=(batch // ROW_BLOCK,),
+        in_specs=_mk_specs(in_shapes),
+        out_specs=_mk_specs(out_shapes),
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(logw, u, x, eps, ab, sm, sconst, wt1s, wtms, wt3s)
+    res = (x_res, x_new, idx, eps, ab, sm, sconst,
+           wt1s, wtms, wt3s, w1s, wms, w3s)
+    return (x_new, alpha, stats), res
+
+
+def _step_bwd(static, res, cots):
+    from jax.experimental import pallas as pl
+
+    k, pd, n_mid, activation = static
+    (x_res, x_new, idx, eps, ab, sm, sconst,
+     wt1s, wtms, wt3s, w1s, wms, w3s) = res
+    d_xnew, d_alpha, d_stats = cots
+    batch = idx.shape[0]
+    ha = wt1s.shape[1]
+    n_wm = wms.shape[0] // 3
+
+    in_shapes = [
+        ((batch, pd, k), True),       # x_res
+        ((batch, pd, k), True),       # x_new
+        ((batch, k), True),           # idx
+        ((batch, pd, k), True),       # eps
+        ((batch, k), True),           # ab
+        ((batch, pd, _LANES), True),  # sm
+        ((pd, _LANES), False),        # sconst
+        ((3, ha, pd), False),         # wt1s
+        ((3 * n_wm, ha, ha), False),  # wtms
+        ((3, pd, ha), False),         # wt3s
+        ((3, pd, ha), False),         # w1s
+        ((3 * n_wm, ha, ha), False),  # wms
+        ((3, ha, pd), False),         # w3s
+        ((batch, pd, k), True),       # d_xnew
+        ((batch, k), True),           # d_alpha
+        ((batch, pd, _LANES), True),  # d_stats
+    ]
+    out_shapes = [
+        ((batch, pd, k), True),       # d_x
+        ((batch, k), True),           # d_ab
+        ((batch, pd, _LANES), True),  # d_sm
+        ((pd, _LANES), False),        # d_sconst
+        ((3, pd, ha), False),         # d_w1s
+        ((3 * n_wm, ha, ha), False),  # d_wms
+        ((3, ha, pd), False),         # d_w3s
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
+        jax.ShapeDtypeStruct((batch, k), jnp.float32),
+        jax.ShapeDtypeStruct((batch, pd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((pd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((3, pd, ha), jnp.float32),
+        jax.ShapeDtypeStruct((3 * n_wm, ha, ha), jnp.float32),
+        jax.ShapeDtypeStruct((3, ha, pd), jnp.float32),
+    ]
+    (d_x, d_ab, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
+        functools.partial(_bwd_kernel, k, n_mid, activation),
+        grid=(batch // ROW_BLOCK,),
+        in_specs=_mk_specs(in_shapes),
+        out_specs=_mk_specs(out_shapes),
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(x_res, x_new, idx, eps, ab, sm, sconst,
+      wt1s, wtms, wt3s, w1s, wms, w3s, d_xnew, d_alpha, d_stats)
+
+    zeros = jnp.zeros_like
+    return (
+        zeros(d_alpha),  # d logw: stop-gradient through resampling
+        zeros(d_alpha),  # d u
+        d_x,
+        zeros(eps),      # ε is raw RNG — no param dependence
+        d_ab,
+        d_sm,
+        d_sconst,
+        # weight grads ride the w* inputs; the wt* transposes get zeros
+        zeros(wt1s), zeros(wtms), zeros(wt3s),
+        d_w1s, d_wms, d_w3s,
+    )
+
+
+_step_call.defvjp(_step_fwd, _step_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry: augment/pad params once per call (outside the scan)
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(x, rows, axis):
+    pad = rows - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+def prepare(ssm, params, cfg):
+    """Build the augmented stacked weight tensors + per-call constants.
+
+    Ones-channel augmentation (module docstring): every weight matrix grows
+    one ones-unit row/column carrying the biases, so kernels run pure
+    matmul chains. Differentiable: every piece is a jnp op on `params`, so
+    grads flow back through the pads/concats (cotangents on the constant
+    entries vanish automatically).
+    """
+    from psvo_tpu import networks
+
+    dx, dy = ssm.dx, ssm.dy
+    pd = _round_up(max(dx, dy) + 1, 8)  # +1: the ones-channel row
+    oc = pd - 1  # ones-channel row index
+    hidden = ssm.nets["q1"].hidden
+    hid = hidden[0]
+    ha = hid + 8  # augmented hidden: unit `hid` is the ones-unit
+    n_mid = len(hidden) - 1
+
+    def aug_w1t(name):
+        """[HA, PD]: rows 0:H = W1ᵀ (cols padded, col OC = b1); row H = e_OC."""
+        w1, b1 = params[name]["layers"][0]
+        top = jnp.concatenate(
+            [
+                _pad_to(w1.T, oc, 1),  # input cols padded up to OC
+                b1[:, None],           # col OC: the bias via the ones-channel
+            ],
+            axis=1,
+        )  # [H, PD]
+        ones_row = jnp.zeros((1, pd), jnp.float32).at[0, oc].set(1.0)
+        return jnp.concatenate(
+            [top, ones_row, jnp.zeros((7, pd), jnp.float32)], axis=0
+        )
+
+    def aug_wmt(name, j):
+        """[HA, HA]: [0:H,0:H] = Wmᵀ, col H = bm; row H = e_H (carries 1)."""
+        wm, bm = params[name]["layers"][j + 1]
+        top = jnp.concatenate(
+            [wm.T, bm[:, None], jnp.zeros((hid, 7), jnp.float32)], axis=1
+        )  # [H, HA]
+        ones_row = jnp.zeros((1, ha), jnp.float32).at[0, hid].set(1.0)
+        return jnp.concatenate(
+            [top, ones_row, jnp.zeros((7, ha), jnp.float32)], axis=0
+        )
+
+    def aug_w3t(name):
+        """[PD, HA]: rows 0:dout = [W3ᵀ | b3 | 0]; output row OC stays 0."""
+        w3, b3 = params[name]["mean"]
+        dout = w3.shape[1]
+        top = jnp.concatenate(
+            [w3.T, b3[:, None], jnp.zeros((dout, 7), jnp.float32)], axis=1
+        )  # [dout, HA]
+        return _pad_to(top, pd, 0)
+
+    wt1s = jnp.stack([aug_w1t(n) for n in ("q1", "f", "g")])
+    wt3s = jnp.stack([aug_w3t(n) for n in ("q1", "f", "g")])
+    if n_mid:
+        wtms = jnp.stack(
+            [aug_wmt(n, j) for n in ("q1", "f", "g") for j in range(n_mid)]
+        )
+    else:
+        wtms = jnp.zeros((3, ha, ha), jnp.float32)
+    w1s = jnp.swapaxes(wt1s, -1, -2)
+    wms = jnp.swapaxes(wtms, -1, -2)
+    w3s = jnp.swapaxes(wt3s, -1, -2)
+
+    s_f = networks.scale_from_raw(params["f"]["raw_scale"], ssm.nets["f"].sigma_min)
+    s_g = networks.scale_from_raw(params["g"]["raw_scale"], ssm.nets["g"].sigma_min)
+    sfi = _pad_to((1.0 / s_f)[:, None], pd, 0)  # pad rows 0 -> inert
+    sgi = _pad_to((1.0 / s_g)[:, None], pd, 0)
+    # 1/s_f at lane 0, 1/s_g at lane 8 (their in-kernel [PD, 8] grad
+    # stores must not overlap); zero lanes elsewhere
+    sconst = _pad_to(
+        jnp.concatenate([_pad_to(sfi, 8, 1), sgi], axis=1), _LANES, 1
+    )  # [PD, 128]
+    s_q1 = networks.scale_from_raw(
+        params["q1"]["raw_scale"], ssm.nets["q1"].sigma_min
+    )
+    return {
+        "pd": pd,
+        "n_mid": n_mid,
+        "activation": ssm.nets["q1"].activation,
+        "w": (wt1s, wtms, wt3s, w1s, wms, w3s),
+        "sconst": sconst,
+        "s_q1": s_q1,  # [Dx]
+        "log_sf_sum": jnp.sum(jnp.log(s_f)),
+        "log_sg_sum": jnp.sum(jnp.log(s_g)),
+    }
+
+
+def pack_sm(aq, cq, sq, y, pd: int):
+    """Pack the per-step [T, B, Dx]/[T, B, Dy] vectors as lane-channels of
+    one [T, B, PD, 128] tensor (bulk, outside the scan). Row PD−1 of the aq
+    channel is pinned to 1 — it regenerates the ones-channel in x_new
+    (cq/sq/y rows stay 0 there)."""
+    def rows(a):
+        return _pad_to(a, pd, a.ndim - 1)
+
+    aq_p = rows(aq).at[..., pd - 1].set(1.0)
+    sm = jnp.stack([aq_p, rows(cq), rows(sq), rows(y)], axis=-1)
+    return _pad_to(sm, _LANES, sm.ndim - 1)
+
+
+def fusion_coeffs(ssm, params, cfg, consts, enc_tm):
+    """Per-step proposal-fusion coefficients, all K-independent.
+
+    mean_q = cq·m1 + aq, scale_q = sq; with use_2q these come from the
+    precision-weighted product of q1's constant scale with the q2 encoder
+    head evaluated for ALL T outside the scan (SURVEY.md §3.2 fusion).
+    Returns (aq, cq, sq) each [T, B, Dx] and logsq_sum [T, B].
+    """
+    t_steps, batch = enc_tm.shape[0], enc_tm.shape[1]
+    dx = ssm.dx
+    s1 = consts["s_q1"]  # [Dx]
+    if cfg.use_2q:
+        m2, s2 = ssm.q2_mean_scale(params, enc_tm)  # [T, B, Dx]
+        prec1 = 1.0 / (s1 * s1)
+        prec2 = 1.0 / (s2 * s2)
+        var = 1.0 / (prec1 + prec2)
+        aq = var * m2 * prec2
+        cq = jnp.broadcast_to(var * prec1, (t_steps, batch, dx))
+        sq = jnp.sqrt(var)
+        sq = jnp.broadcast_to(sq, (t_steps, batch, dx))
+        aq = jnp.broadcast_to(aq, (t_steps, batch, dx))
+    else:
+        aq = jnp.zeros((t_steps, batch, dx), jnp.float32)
+        cq = jnp.ones((t_steps, batch, dx), jnp.float32)
+        sq = jnp.broadcast_to(s1, (t_steps, batch, dx))
+    return aq, cq, sq, jnp.sum(jnp.log(sq), axis=-1)

@@ -249,6 +249,110 @@ def _q2_tm(ssm: SSM, params, cfg: SMCConfig, enc_tm):
     return z, z
 
 
+def _forward_filter_fused(
+    ssm: SSM,
+    params,
+    key: jax.Array,
+    ys: jax.Array,
+    cfg: SMCConfig,
+    *,
+    cache: bool,
+    encoder_inputs: Optional[jax.Array],
+) -> FilterResult:
+    """Megakernel path: ONE Pallas kernel per scan step (resample + stacked
+    q1/f + draw + g + α + ℓ — ops/pallas_step.py) with a recompute custom
+    VJP, so no jax.checkpoint wrapping is needed: the kernel's own residuals
+    (resampled particles + ancestor indices) ARE the remat policy.
+    """
+    from psvo_tpu.ops import pallas_step
+    from psvo_tpu.ops.pallas_resample import _round_up
+
+    batch, t_steps, _ = ys.shape
+    k = cfg.n_particles
+    dx, dy = ssm.dx, ssm.dy
+
+    ys_tm = jnp.swapaxes(ys, 0, 1)  # [T, B, Dy]
+    enc_tm = (
+        jnp.swapaxes(encoder_inputs, 0, 1) if encoder_inputs is not None else ys_tm
+    )
+
+    consts = pallas_step.prepare(ssm, params, cfg)
+    pd = consts["pd"]
+    aq, cq, sq, logsq_sum = pallas_step.fusion_coeffs(
+        ssm, params, cfg, consts, enc_tm
+    )  # [T, B, Dx], [T, B]
+
+    k0, k_prop, k_res = jax.random.split(key, 3)
+    eps0 = jax.random.normal(k0, (batch, dx, k))
+    eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, dx, k))
+    u_scan = resampling.bulk_positions(k_res, t_steps - 1, batch, k, cfg.resampling)
+
+    x0, alpha0 = _init_t0(ssm, params, eps0, ys_tm[0], enc_tm[0])
+    ell0 = _lse(alpha0) - jnp.log(float(k))
+
+    # α bias: every K-independent term of log f + log g − log q, plus the
+    # ε² part of −log q, precomputed in bulk (Dx·½log2π cancels between
+    # −log q and log f; see pallas_step module docstring).
+    ab = 0.5 * jnp.sum(eps_scan * eps_scan, axis=2) + (
+        logsq_sum[1:]
+        - consts["log_sf_sum"]
+        - consts["log_sg_sum"]
+        - dy * 0.5 * jnp.log(2.0 * jnp.pi)
+    )[..., None]  # [T-1, B, K]
+
+    # pack every small per-step vector as lane-channels of ONE tensor, in
+    # bulk outside the scan (kernel operand-shape rule: no dim-1 operands)
+    sm_scan = pallas_step.pack_sm(aq[1:], cq[1:], sq[1:], ys_tm[1:], pd)
+    # row pd-1 pinned to 1: the ones-channel carrying the folded biases
+    # (pallas_step module docstring) — the gather preserves it, and the
+    # kernel's draw regenerates it via aq's pinned row
+    x0_p = jnp.pad(x0, ((0, 0), (0, pd - dx), (0, 0)))
+    x0_p = x0_p.at[:, pd - 1, :].set(1.0)
+    eps_p = jnp.pad(eps_scan, ((0, 0), (0, 0), (0, pd - dx), (0, 0)))
+
+    static = (k, pd, consts["n_mid"], consts["activation"])
+    weights = consts["w"]
+    sconst = consts["sconst"]
+
+    def body(carry, inputs):
+        x, logw = carry
+        sm_t, ab_t, eps_t, u_t = inputs
+        x_new, alpha, stats = pallas_step._step_call(
+            static, logw, u_t, x, eps_t, ab_t, sm_t, sconst, *weights
+        )
+        # stats lanes: 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS
+        return (x_new, alpha), (
+            x_new, alpha, stats[:, 0, 1], stats[:, 0, 2], stats[:, :, 0]
+        )
+
+    (x_last, logw_last), (xs_scan, alphas, ells, esss, fmeans) = jax.lax.scan(
+        body,
+        (x0_p, alpha0),
+        (sm_scan, ab, eps_p, u_scan),
+    )
+
+    increments = jnp.concatenate([ell0[None], ells], axis=0)
+    ess_all = jnp.concatenate(
+        [effective_sample_size(alpha0, axis=-1)[None], esss], axis=0
+    )
+    xs = logws = None
+    if cache:
+        xs = jnp.concatenate([x0[None], xs_scan[:, :, :dx, :]], axis=0)
+        logws = jnp.concatenate([alpha0[None], alphas], axis=0)
+    fmean0 = jnp.einsum("bk,bdk->bd", jax.nn.softmax(alpha0, axis=-1), x0)
+    return FilterResult(
+        log_z=jnp.sum(increments, axis=0),
+        increments=increments,
+        ess=ess_all,
+        x_last=x_last[:, :dx, :],
+        logw_last=logw_last,
+        xs=xs,
+        logws=logws,
+        filtered_means=jnp.concatenate([fmean0[None], fmeans[:, :, :dx]], axis=0),
+        score_surrogate=None,  # eligibility requires use_stop_gradient=True
+    )
+
+
 def forward_filter(
     ssm: SSM,
     params,
@@ -268,6 +372,14 @@ def forward_filter(
     f(· | x_{t-1}, u_t), so step t consumes controls[:, t].
     """
     batch, t_steps, _ = ys.shape
+    if controls is None and t_steps >= 2 and ssm.use_pallas_step:
+        from psvo_tpu.ops import pallas_step
+
+        if pallas_step.usable(ssm, cfg, batch):
+            return _forward_filter_fused(
+                ssm, params, key, ys, cfg, cache=cache,
+                encoder_inputs=encoder_inputs,
+            )
     k = cfg.n_particles
     resample_on = cfg.resampling != "none"
 

@@ -1,0 +1,192 @@
+"""Whole-timestep megakernel equivalence (interpret mode on CPU).
+
+The fused path must reproduce the unfused scan body — same RNG keys, same
+Pallas resample indices — on values AND gradients, for both the FIVO hot
+path and the cached (SVO/PSVO) forward filter.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psvo_tpu.config import Config, DataConfig, NetConfig, SMCConfig
+from psvo_tpu.models.ssm import init_ssm
+from psvo_tpu.ops import pallas_resample, pallas_step
+from psvo_tpu.smc import forward_filter
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(pallas_step, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_resample, "_INTERPRET", True)
+
+
+def _cfg(objective="fivo", k=128, hidden=(16, 16), dx=2, dy=2, t=6, **smc_kw):
+    net = NetConfig(hidden=hidden)
+    cfg = Config(
+        name="megakernel_test",
+        data=DataConfig(datatype="fhn", dx=dx, dy=dy, t_steps=t),
+        smc=SMCConfig(
+            objective=objective,
+            n_particles=k,
+            resampling="systematic",
+            n_smoothing_particles=4,
+            **smc_kw,
+        ),
+    ).with_nets(
+        q0=net, q1=net, q2=net, f=net, g=dataclasses.replace(net, sigma_init=0.5),
+        qb=net,
+    )
+    return cfg
+
+
+def _run(cfg, fused: bool, cache=False, key=7):
+    cfg = dataclasses.replace(cfg, use_pallas_step=fused)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    assert pallas_step.usable(ssm, cfg.smc, 8) == True  # config class sanity
+    ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
+    fwd = forward_filter(ssm, params, jax.random.key(key), ys, cfg.smc, cache=cache)
+    return ssm, params, ys, fwd
+
+
+def test_fused_forward_matches_unfused():
+    cfg = _cfg()
+    _, _, _, want = _run(cfg, fused=False, cache=True)
+    _, _, _, got = _run(cfg, fused=True, cache=True)
+
+    np.testing.assert_allclose(
+        np.asarray(got.log_z), np.asarray(want.log_z), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.increments), np.asarray(want.increments), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.ess), np.asarray(want.ess), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.xs), np.asarray(want.xs), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.logws), np.asarray(want.logws), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.filtered_means),
+        np.asarray(want.filtered_means),
+        rtol=2e-4,
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x_last), np.asarray(want.x_last), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("use_2q", [True, False])
+@pytest.mark.parametrize("hidden", [(16,), (16, 16)])
+def test_fused_gradients_match_unfused(use_2q, hidden):
+    """grad of mean(log_z) w.r.t. every param must match the unfused scan
+    body (which itself carries the jax.checkpoint remat policy)."""
+    cfg = _cfg(hidden=hidden, use_2q=use_2q, t=5)
+
+    def make_loss(fused):
+        run_cfg = dataclasses.replace(cfg, use_pallas_step=fused)
+        ssm, params = init_ssm(run_cfg, jax.random.key(0))
+        ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
+
+        def loss(p):
+            fwd = forward_filter(ssm, p, jax.random.key(3), ys, run_cfg.smc)
+            return jnp.mean(fwd.log_z)
+
+        return params, loss
+
+    params, loss_f = make_loss(True)
+    _, loss_u = make_loss(False)
+    np.testing.assert_allclose(float(loss_f(params)), float(loss_u(params)), rtol=2e-4)
+
+    g_f = jax.grad(loss_f)(params)
+    g_u = jax.grad(loss_u)(params)
+    flat_f, tree_f = jax.tree_util.tree_flatten_with_path(g_f)
+    flat_u = jax.tree_util.tree_leaves(g_u)
+    assert len(flat_f) == len(flat_u)
+    for (path, a), b in zip(flat_f, flat_u):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(b),
+            rtol=5e-3,
+            atol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_fused_cache_gradients_flow_through_logws_and_xs():
+    """SVO/PSVO consume the cached xs/logws: their cotangents must flow
+    through the kernel (α honored; xs via the chained scatter)."""
+    cfg = _cfg(t=4)
+
+    def make_loss(fused):
+        run_cfg = dataclasses.replace(cfg, use_pallas_step=fused)
+        ssm, params = init_ssm(run_cfg, jax.random.key(0))
+        ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
+
+        def loss(p):
+            fwd = forward_filter(
+                ssm, p, jax.random.key(3), ys, run_cfg.smc, cache=True
+            )
+            return (
+                jnp.mean(jnp.sin(fwd.logws) * 0.3)
+                + jnp.mean(jnp.cos(fwd.xs))
+                + jnp.mean(fwd.log_z)
+            )
+
+        return params, loss
+
+    params, loss_f = make_loss(True)
+    _, loss_u = make_loss(False)
+    np.testing.assert_allclose(float(loss_f(params)), float(loss_u(params)), rtol=2e-4)
+    g_f = jax.tree_util.tree_leaves(jax.grad(loss_f)(params))
+    g_u = jax.tree_util.tree_leaves(jax.grad(loss_u)(params))
+    for a, b in zip(g_f, g_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
+def test_fused_objective_trains_end_to_end():
+    """One megakernel train step moves params and produces finite loss."""
+    from psvo_tpu.train import make_optimizer, make_train_step
+
+    cfg = _cfg(t=5)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    opt = make_optimizer(cfg)
+    step = make_train_step(ssm, cfg, opt)
+    ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
+    p2, _, metrics = step(params, opt.init(params), jax.random.key(2), ys)
+    assert np.isfinite(float(metrics["loss"]))
+    delta = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2))
+    )
+    assert delta > 0
+
+
+def test_usable_gates():
+    """Configs outside the megakernel class must fall back (and still run)."""
+    cfg = _cfg()
+    ssm, _ = init_ssm(cfg, jax.random.key(0))
+    assert pallas_step.usable(ssm, cfg.smc, 8)
+    assert not pallas_step.usable(ssm, cfg.smc, 9)  # batch not row-aligned
+    assert not pallas_step.usable(
+        ssm, dataclasses.replace(cfg.smc, resampling="none"), 8
+    )
+    assert not pallas_step.usable(
+        ssm, dataclasses.replace(cfg.smc, ess_threshold=0.5), 8
+    )
+    assert not pallas_step.usable(
+        ssm, dataclasses.replace(cfg.smc, use_stop_gradient=False), 8
+    )
+    cfg_tril = cfg.with_nets(f=NetConfig(hidden=(16, 16), cov_type="tril"))
+    ssm_tril, _ = init_ssm(cfg_tril, jax.random.key(0))
+    assert not pallas_step.usable(ssm_tril, cfg_tril.smc, 8)
+    cfg_mixed = cfg.with_nets(g=NetConfig(hidden=(24, 24)))
+    ssm_mixed, _ = init_ssm(cfg_mixed, jax.random.key(0))
+    assert not pallas_step.usable(ssm_mixed, cfg_mixed.smc, 8)
