@@ -75,8 +75,6 @@ class SSM:
                 )
         if self.transition_known and self.nets["f"].cov_type == "tril":
             raise ValueError("transition='known' uses a diagonal learned noise scale")
-        if self.transition_known and self.di:
-            raise ValueError("transition='known' does not take control inputs (di>0)")
         if self.emission == "poisson" and self.g_tril:
             raise ValueError("poisson emissions have no covariance head")
 
@@ -102,12 +100,17 @@ class SSM:
             )
 
         if self.transition_known:
-            # true-dynamics mean + learned per-dim noise scale only
+            # true-dynamics mean + learned per-dim noise scale only; with
+            # controls (di > 0) an additive learned drift map B_u·u_t on the
+            # stepper output, zero-initialized so training starts from the
+            # pure known dynamics (SURVEY.md §5 Di flag × transition="known")
             f_cfg = self.nets["f"]
             raw = jnp.log(
                 jnp.expm1(jnp.maximum(f_cfg.sigma_init - f_cfg.sigma_min, 1e-6))
             )
             f_params: Params = {"raw_scale": jnp.full((dx,), raw, jnp.float32)}
+            if di:
+                f_params["ctrl_w"] = jnp.zeros((di, dx), jnp.float32)
         else:
             f_params = head(keys[3], self.nets["f"], dx + di, dx)
 
@@ -248,10 +251,25 @@ class SSM:
         mean, scale = self.prior_params(params)
         return dist.mvn_diag_log_prob_cm(x, mean[:, None], scale[:, None])
 
+    def _known_drift(self, params: Params, mean: jax.Array, u) -> jax.Array:
+        """Additive control drift B_u·u_t on a known-dynamics mean [..., Dx];
+        u is [B, Di] (broadcast over middle axes) or position-matched
+        [..., Di] (k-step rollouts) — mirror of _with_control's shapes."""
+        if not self.di or u is None:
+            return mean
+        drift = u @ params["f"]["ctrl_w"]  # [..., Dx]
+        if not (drift.ndim == mean.ndim and drift.shape[:-1] == mean.shape[:-1]):
+            drift = drift.reshape(
+                drift.shape[0], *([1] * (mean.ndim - 2)), self.dx
+            )
+        return mean + drift
+
     def transition_params_cm(self, params: Params, x_prev: jax.Array, u=None):
         """Diagonal transition: x_prev [..., Dx, K] -> (mean, scale) [..., Dx, K]."""
         if self.transition_known:
             mean = self.stepper.step(x_prev, axis=-2)
+            if self.di and u is not None:
+                mean = mean + (u @ params["f"]["ctrl_w"])[..., :, None]
             scale = networks.scale_from_raw(
                 params["f"]["raw_scale"], self.nets["f"].sigma_min
             )
@@ -396,7 +414,7 @@ class SSM:
     def transition_params(self, params: Params, x_prev: jax.Array, u=None):
         """Diagonal transition -> (mean, scale), feature-last."""
         if self.transition_known:
-            mean = self.stepper.step(x_prev)
+            mean = self._known_drift(params, self.stepper.step(x_prev), u)
             scale = networks.scale_from_raw(
                 params["f"]["raw_scale"], self.nets["f"].sigma_min
             )
@@ -408,7 +426,7 @@ class SSM:
     def transition_mean(self, params: Params, x_prev: jax.Array, u=None) -> jax.Array:
         """Mean next state — k-step prediction rollouts (SURVEY.md §3.4)."""
         if self.transition_known:
-            return self.stepper.step(x_prev)
+            return self._known_drift(params, self.stepper.step(x_prev), u)
         if self.f_tril:
             return networks.mlp_mean(
                 params["f"],

@@ -116,57 +116,69 @@ def _tri_cumsum(w: jax.Array) -> jax.Array:
     return within.reshape(r, k)
 
 
-def _two_level_indices(logw: jax.Array, u_raw: jax.Array, k: int):
-    """Inverse-CDF ancestor indices for one [R, K] block, O(K) work.
+def _two_level_count(vals: jax.Array, queries: jax.Array, k: int) -> jax.Array:
+    """cnt[r, i] = #{j : vals[r, j] <= queries[r, i]} for SORTED vals, O(K·S).
 
-    The rank decomposes exactly as
-        a_i = Q * #{s : Bnd_s <= U_i} + #{j in tile c_i : C_j <= U_i}
-    (Bnd = per-128-lane-tile CDF boundaries, c_i the first tile whose
-    boundary exceeds U_i): the coarse count is a tiny [Q, S] compare +
-    ones-dot, and the fine count compares against the ONE relevant tile,
-    materialized per query by a one-hot [Q, S] x [S, Q'] MXU contraction.
-    O(K·S) with S = K/128 — vs the original quadratic (K/Q)² tile sweep,
-    which measured 68.6 µs/step of the 109 µs forward timestep at K=1024
-    (round-3 profile). Counts ≤ K < 2^24: f32 exact.
+    The count decomposes exactly as
+        cnt_i = Q * #{s : Bnd_s <= q_i} + #{j in tile c_i : vals_j <= q_i}
+    (Bnd = per-128-lane-tile last value = tile max under sortedness, c_i the
+    first tile whose boundary exceeds q_i, clamped to the last tile): the
+    coarse count is a tiny [Q, S] compare + ones-dot, and the fine count
+    compares against the ONE relevant tile, materialized per query by a
+    one-hot [Q, S] x [S, Q'] MXU contraction. When every tile boundary is
+    <= q_i the clamped last tile contributes a full Q, so cnt reaches K
+    without a special case. Counts <= K < 2^24: f32 exact.
 
-    Returns (idx [R, K] i32, per-tile list of [R, Q] i32 tiles).
+    vals/queries [R, K]; returns i32 [R, K] counts in [0, K].
     """
     s_tiles = k // Q
-    m = jnp.max(logw, axis=-1, keepdims=True)
-    w = jnp.exp(logw - m)
-    cumw = _tri_cumsum(w)
-    # compare u*total <= cumw instead of dividing the K-vector
-    u = u_raw * cumw[:, -1:]
-    r = logw.shape[0]
-
-    cum3 = cumw.reshape(r, s_tiles, Q)
-    bnd = cum3[:, :, Q - 1]  # [R, S] per-tile CDF boundaries
+    r = vals.shape[0]
+    v3 = vals.reshape(r, s_tiles, Q)
+    bnd = v3[:, :, Q - 1]  # [R, S] per-tile maxima (sorted input)
     ones_s = jnp.ones((s_tiles, 1), jnp.float32)
     ones_q = jnp.ones((Q, 1), jnp.float32)
     scol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_tiles), 2)
 
     tiles = []
     for t in range(s_tiles):
-        u_t = u[:, t * Q : (t + 1) * Q]  # [R, Q]
-        ge = (u_t[:, :, None] >= bnd[:, None, :]).astype(jnp.float32)  # [R,Q,S]
+        q_t = queries[:, t * Q : (t + 1) * Q]  # [R, Q]
+        ge = (q_t[:, :, None] >= bnd[:, None, :]).astype(jnp.float32)  # [R,Q,S]
         coarse = jax.lax.dot_general(
             ge, ones_s, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[..., 0]
         coarse_i = jnp.minimum(coarse.astype(jnp.int32), s_tiles - 1)
         onehot_s = (coarse_i[:, :, None] == scol).astype(jnp.float32)  # [R,Q,S]
-        sel = jax.lax.dot_general(  # each query's own tile of 128 CDF values
-            onehot_s, cum3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        sel = jax.lax.dot_general(  # each query's own tile of 128 values
+            onehot_s, v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [R, Q, Q']
-        le = (sel <= u_t[:, :, None]).astype(jnp.float32)
+        le = (sel <= q_t[:, :, None]).astype(jnp.float32)
         fine = jax.lax.dot_general(
             le, ones_q, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[..., 0]
-        idx_t = jnp.minimum(Q * coarse_i + fine.astype(jnp.int32), k - 1)
-        tiles.append(idx_t)
-    return jnp.concatenate(tiles, axis=-1), tiles
+        tiles.append(Q * coarse_i + fine.astype(jnp.int32))
+    return jnp.concatenate(tiles, axis=-1)
+
+
+def _two_level_indices(logw: jax.Array, u_raw: jax.Array, k: int) -> jax.Array:
+    """Inverse-CDF ancestor indices for one [R, K] block, O(K) work.
+
+    a_i = #{j : C_j <= U_i} via the two-level count (_two_level_count) on the
+    inclusive CDF — vs the original quadratic (K/Q)² tile sweep, which
+    measured 68.6 µs/step of the 109 µs forward timestep at K=1024 (round-3
+    profile). Sorted u (both resampling schemes sort their positions —
+    resampling.quantile_positions_from_raw) makes the output monotone.
+
+    Returns idx [R, K] i32, clipped to [0, K-1].
+    """
+    m = jnp.max(logw, axis=-1, keepdims=True)
+    w = jnp.exp(logw - m)
+    cumw = _tri_cumsum(w)
+    # compare u*total <= cumw instead of dividing the K-vector
+    u = u_raw * cumw[:, -1:]
+    return jnp.minimum(_two_level_count(cumw, u, k), k - 1)
 
 
 def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref):
@@ -194,7 +206,7 @@ def _fused_kernel(k: int, logw_ref, u_ref, x_ref, idx_ref, out_ref):
     # ---- Pass 1 (first D step only): CDF + two-level count indices.
     @pl.when(d_step == 0)
     def _():
-        idx_ref[:] = _two_level_indices(logw_ref[:], u_ref[:], k)[0]
+        idx_ref[:] = _two_level_indices(logw_ref[:], u_ref[:], k)
 
     # ---- Pass 2 (every D step): one-hot gather for this feature tile.
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Q), 2)
@@ -266,7 +278,7 @@ MAX_K_IDX = 32768  # cumw [8, K] f32 = 1 MB at the cap; S = 256 boundaries
 
 
 def _indices_kernel(k: int, logw_ref, u_ref, idx_ref):
-    idx_ref[:] = _two_level_indices(logw_ref[:], u_ref[:], k)[0]
+    idx_ref[:] = _two_level_indices(logw_ref[:], u_ref[:], k)
 
 
 @jax.custom_vjp

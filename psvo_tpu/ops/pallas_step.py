@@ -10,9 +10,10 @@ forward (per batch row-block, everything in VMEM):
   1. ESS of the incoming log-weights (MXU ones-contractions);
   2. two-level O(K) inverse-CDF ancestor indices
      (pallas_resample._two_level_indices);
-  3. one-hot MXU gather of the ancestors — per query tile, ONE full-K
-     one-hot contraction (the per-tile-pair quadratic sweep costs the same
-     FLOPs in 8× the instruction count, and the kernel is op-count-bound);
+  3. hardware lane gather of the ancestors (`tpu.dynamic_gather` per
+     (query-tile, source-tile) pair — see _lane_gather; the earlier one-hot
+     MXU formulation spent ~60% of the forward kernel CONSTRUCTING the
+     [R, Q, K] one-hot operands on the VPU, round-3 profile);
   4. q1 and f MLP trunks on the resampled particles, g trunk on the
      proposed particles — channel-major [R, C, K] activations, each dense
      layer ONE batched MXU contraction with NO bias op: biases ride a
@@ -31,9 +32,12 @@ g keep their activations through the α recompute, q1 runs after the fusion
 grads so m1 never needs a fourth pass) and emits gradients for the
 particles (one-hot transpose scatter through the ancestor indices — FIVO's
 reparameterized path; d/d logw and d/d u are zero, stop-gradient through
-the discrete choice, SURVEY.md §3.2), the per-step fusion coefficients, and
-the MLP weights (accumulated across the batch grid via resident constant-
-index-map output blocks).
+the discrete choice, SURVEY.md §3.2; a sorted-index segment-sum scatter
+built from lane cumsum + lane gather measured 116 µs vs the one-hot's 88 µs,
+round-3 bisect — the scatter's one-hot rides the MXU where the forward
+gather's could not), the per-step fusion coefficients, and the MLP weights
+(accumulated across the batch grid via resident constant-index-map output
+blocks).
 
 Ones-channel bias folding: row OC = PD−1 of every particle tensor is pinned
 to the constant 1 (the carry starts with it, the gather preserves it, and
@@ -244,27 +248,55 @@ def _trunk_bwd(x_in, hs, d_mean, w1, wms, w3):
     return d_x, dw1, dwms[::-1], dw3
 
 
-def _onehot_gather(x, idx_tiles, k):
-    """out[d, q] = x[d, idx_q]: per query tile ONE full-K one-hot MXU
-    contraction (8 compare+dot pairs at K=1024 vs 128 ops for the
-    per-tile-pair sweep — same FLOPs, and the kernel is op-count-bound)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
-    outs = []
-    for idx_t in idx_tiles:
-        onehot = (idx_t[:, :, None] == col).astype(jnp.float32)  # [R, Q, K]
-        outs.append(
-            jax.lax.dot_general(
-                x, onehot,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+def _lane_gather(x, idx):
+    """out[m, q] = x[m, idx[m, q]] for [M, K] VMEM blocks (K % 128 == 0).
+
+    The TPU's in-vreg lane gather (`tpu.dynamic_gather`, exposed as 2-D
+    take_along_axis) only indexes WITHIN one 128-lane vreg, so the cross-tile
+    gather runs per (query-tile, source-tile) pair: an in-tile hardware
+    gather by the low 7 index bits + a select on the tile id. At K=1024 that
+    is 64 pairs of one vreg-gather + one [M, 128] select ≈ 1M element ops —
+    vs the one-hot formulation's 16.8M VPU compare/convert ops per row-block
+    to MATERIALIZE the [R, Q, K] one-hot operands (round-3 profile: that
+    construction, not the MXU dots, was ~60% of the 88 µs forward kernel).
+    """
+    m, k = x.shape
+    nt = k // Q
+    coarse = jax.lax.shift_right_logical(idx, 7)
+    fine = jnp.bitwise_and(idx, Q - 1)
+    out = []
+    for t in range(nt):
+        c_t = coarse[:, t * Q : (t + 1) * Q]
+        f_t = fine[:, t * Q : (t + 1) * Q]
+        acc = jnp.zeros((m, Q), x.dtype)
+        for s in range(nt):
+            g = jnp.take_along_axis(
+                x[:, s * Q : (s + 1) * Q], f_t, axis=1, mode="promise_in_bounds"
             )
-        )  # [R, D, Q]
-    return jnp.concatenate(outs, axis=-1)
+            acc = jnp.where(c_t == s, g, acc)
+        out.append(acc)
+    return jnp.concatenate(out, axis=-1)
+
+
+def _gather_particles(x, idx, k):
+    """x [R, PD, K], idx [R, K] -> x[r, d, idx[r, q]]: the ancestor gather as
+    a hardware lane gather with the row index broadcast over the PD sublanes
+    (PD = 8 = one sublane tile, so the [R, PD, K] -> [R·PD, K] collapse is a
+    free relayout)."""
+    r, pd = x.shape[0], x.shape[1]
+    i3 = jnp.broadcast_to(idx[:, None, :], (r, pd, k))
+    return _lane_gather(x.reshape(r * pd, k), i3.reshape(r * pd, k)).reshape(
+        r, pd, k
+    )
 
 
 def _onehot_scatter(g, idx, k):
-    """dx[d, s] = Σ_q 1[idx_q == s]·g[d, q] (transpose of the gather), as
-    per-query-tile full-K contractions accumulated in VMEM."""
+    """dx[r, d, s] = Σ_q 1[idx_q == s]·g[r, d, q] (transpose of the ancestor
+    gather), as per-query-tile full-K one-hot contractions accumulated in
+    VMEM. Unlike the forward gather, the one-hot's [R, Q, K] construction is
+    amortized over a real MXU contraction here (D output rows per tile), and
+    a sorted-index segment-sum alternative (lane cumsum + lane gather +
+    two-level count) measured 116 µs vs this form's 88 µs (round-3 bisect)."""
     nq = k // Q
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
     acc = jnp.zeros((g.shape[0], g.shape[1], k), jnp.float32)
@@ -318,11 +350,11 @@ def _fwd_kernel(
     s2 = _lane_sum(w_in * w_in)
     ess = s1 * s1 / jnp.maximum(s2, 1e-30)  # [R, 1]
 
-    # resample: two-level O(K) indices + one-hot gather (preserves the
+    # resample: two-level O(K) indices + hardware lane gather (preserves the
     # pinned ones-channel row)
-    idx, idx_tiles = _two_level_indices(logw, u_ref[:], k)
+    idx = _two_level_indices(logw, u_ref[:], k)
     idx_ref[:] = idx
-    x_res = _onehot_gather(x_ref[:], idx_tiles, k)
+    x_res = _gather_particles(x_ref[:], idx, k)
     xres_ref[:] = x_res
 
     # q1 / f trunks on the resampled particles

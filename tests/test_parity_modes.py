@@ -114,6 +114,68 @@ def test_known_dynamics_transition():
     assert trainer.state.best_elbo >= hist[0]["test_elbo"] - 1e-6
 
 
+def test_known_dynamics_with_controls():
+    """transition='known' + di>0: the mean is the true stepper plus a learned
+    additive drift B_u·u_t, zero-initialized (so t=0 matches the pure known
+    dynamics exactly), and training recovers a control effect — the trained
+    model fits better under the TRUE controls than permuted ones."""
+    cfg = Config(
+        name="known_ctrl",
+        data=DataConfig(
+            datatype="fhn", dx=2, dy=2, di=2, control_scale=1.0,
+            t_steps=12, n_train=48, n_test=12, proc_scale=0.15,
+        ),
+        smc=SMCConfig(objective="fivo", n_particles=16, transition="known"),
+        train=TrainConfig(batch_size=16, n_steps=150, eval_every=75, lr=3e-3),
+        use_pallas=False,
+    )
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    assert set(params["f"].keys()) == {"raw_scale", "ctrl_w"}
+
+    # exact drift math, feature-last and channel-major
+    stepper = make_stepper(cfg.data)
+    w = jnp.asarray([[0.3, -0.2], [0.1, 0.4]])
+    p2 = {**params, "f": {**params["f"], "ctrl_w": w}}
+    x = jax.random.normal(jax.random.key(1), (4, 2))
+    u = jax.random.normal(jax.random.key(2), (4, 2))
+    mean, _ = ssm.transition_params(p2, x, u)
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(stepper.step(x) + u @ w), rtol=1e-6
+    )
+    x_cm = jax.random.normal(jax.random.key(3), (4, 2, 8))
+    mean_cm = ssm.transition_params_cm(p2, x_cm, u)[0]
+    want = jnp.moveaxis(
+        stepper.step(jnp.moveaxis(x_cm, -2, -1)) + (u @ w)[:, None, :], -1, -2
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean_cm), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+    # zero-init: with no training the drift is exactly zero
+    mean0, _ = ssm.transition_params(params, x, u)
+    np.testing.assert_allclose(
+        np.asarray(mean0), np.asarray(stepper.step(x)), rtol=1e-6
+    )
+
+    ds = generate_dataset(cfg.data, 0)
+    trainer = Trainer(cfg, ssm, params)
+    trainer.run(
+        ds.obs_train, ds.obs_test,
+        controls_train=ds.controls_train, controls_test=ds.controls_test,
+    )
+    ev = make_eval_step(ssm, cfg)
+    key = jax.random.key(9)
+    true_elbo = float(
+        ev(trainer.state.params, key, jnp.asarray(ds.obs_test), None,
+           jnp.asarray(ds.controls_test))["elbo"]
+    )
+    permuted = jnp.asarray(np.asarray(ds.controls_test)[:, ::-1])
+    perm_elbo = float(
+        ev(trainer.state.params, key, jnp.asarray(ds.obs_test), None, permuted)["elbo"]
+    )
+    assert np.isfinite(true_elbo)
+    assert true_elbo > perm_elbo + 0.5, (true_elbo, perm_elbo)
+
+
 def test_dirac_emission_pipeline():
     """emission='dirac': noiseless observation map, zero density contribution."""
     cfg = Config(
@@ -273,11 +335,10 @@ def test_invalid_mode_combinations_rejected():
 
     with pytest.raises(ValueError):  # tril proposals unsupported
         SSM(base.with_nets(q1=NetConfig(cov_type="tril")))
-    with pytest.raises(ValueError):  # known dynamics has no control input
+    with pytest.raises(ValueError):  # known dynamics: diagonal noise only
         SSM(
             dataclasses.replace(
-                base,
-                data=dataclasses.replace(base.data, di=1),
+                base.with_nets(f=NetConfig(cov_type="tril")),
                 smc=dataclasses.replace(base.smc, transition="known"),
             )
         )
