@@ -123,43 +123,63 @@ def _two_level_count(vals: jax.Array, queries: jax.Array, k: int) -> jax.Array:
         cnt_i = Q * #{s : Bnd_s <= q_i} + #{j in tile c_i : vals_j <= q_i}
     (Bnd = per-128-lane-tile last value = tile max under sortedness, c_i the
     first tile whose boundary exceeds q_i, clamped to the last tile): the
-    coarse count is a tiny [Q, S] compare + ones-dot, and the fine count
-    compares against the ONE relevant tile, materialized per query by a
-    one-hot [Q, S] x [S, Q'] MXU contraction. When every tile boundary is
-    <= q_i the clamped last tile contributes a full Q, so cnt reaches K
-    without a special case. Counts <= K < 2^24: f32 exact.
+    The count decomposes exactly as
+        cnt_i = Q * #{s : Bnd_s <= q_i} + #{p in tile c_i : vals_p <= q_i}
+    (Bnd = per-128-lane-tile maxima under sortedness, c_i clamped to the
+    last tile; when every boundary is <= q_i the clamped last tile
+    contributes a full Q, so cnt reaches K without a special case).
+    Counts <= K < 2^24: f32 exact.
+
+    Layout (round-3 ablation-tuned; three orientations were measured):
+    the S-indexed boundary tensors keep S on the SUBLANE axis ([R, S, C],
+    queries C on lanes) — the original [R, C, S] form lane-padded S=8 to
+    128 and those padded compares measured ~28 us of the 75 us forward
+    megakernel at K=1024 for ~2 us of useful work. The fine stage stays
+    LANE-oriented ([R, C, Q'] via the one-hot MXU contraction): an
+    all-sublane variant (sel/le as [R, Q', C] with rank-1 sublane-dim
+    dots) forced operand relayouts and measured 1.5x WORSE overall.
 
     vals/queries [R, K]; returns i32 [R, K] counts in [0, K].
     """
-    s_tiles = k // Q
     r = vals.shape[0]
+    s_tiles = k // Q
     v3 = vals.reshape(r, s_tiles, Q)
-    bnd = v3[:, :, Q - 1]  # [R, S] per-tile maxima (sorted input)
-    ones_s = jnp.ones((s_tiles, 1), jnp.float32)
+    bnd = v3[:, :, Q - 1 :]  # [R, S, 1] per-tile maxima (sorted input)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, s_tiles, 1), 1)
     ones_q = jnp.ones((Q, 1), jnp.float32)
-    scol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_tiles), 2)
 
-    tiles = []
-    for t in range(s_tiles):
-        q_t = queries[:, t * Q : (t + 1) * Q]  # [R, Q]
-        ge = (q_t[:, :, None] >= bnd[:, None, :]).astype(jnp.float32)  # [R,Q,S]
-        coarse = jax.lax.dot_general(
-            ge, ones_s, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[..., 0]
+    # chunk C so the [R, C, Q'] fine intermediate stays <= ~2 MB (measured
+    # sweet spot: 4 MB single-chunk form ran 4 us/call slower at K=1024)
+    c = min(k, max(Q, (2 * 1024 * 1024 // 4) // (r * Q) // Q * Q))
+    chunks = []
+    for t in range(0, k, c):
+        # slice-then-expand: the fused queries[:, None, t:t+c] form lowers
+        # to a lax.gather Mosaic rejects
+        q_t = jax.lax.slice_in_dim(queries, t, t + c, axis=1)  # [R, C]
+        q_sub = jnp.expand_dims(q_t, 1)  # [R, 1, C]
+        ge = (q_sub >= bnd).astype(jnp.float32)  # [R, S, C] — S on sublanes
+        coarse = jnp.sum(ge, axis=1)  # [R, C] sublane reduction, S <= 256
         coarse_i = jnp.minimum(coarse.astype(jnp.int32), s_tiles - 1)
-        onehot_s = (coarse_i[:, :, None] == scol).astype(jnp.float32)  # [R,Q,S]
-        sel = jax.lax.dot_general(  # each query's own tile of 128 values
-            onehot_s, v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        onehot_s = (coarse_i[:, None, :] == srow).astype(jnp.float32)  # [R,S,C]
+        # fold -q into the contraction as an extra sublane slot (paired with
+        # a ones row in v3) so the fine compare is against SCALAR zero — the
+        # explicit sel <= q[:, :, None] broadcast relayouts q from lanes to
+        # sublanes and measured ~20 us/call at K=1024 (round-3 ablation)
+        oh_aug = jnp.concatenate([onehot_s, -q_sub], axis=1)  # [R, S+1, C]
+        v3_aug = jnp.concatenate(
+            [v3, jnp.ones((r, 1, Q), jnp.float32)], axis=1
+        )
+        sel_mq = jax.lax.dot_general(  # (query's own tile of values) - q
+            oh_aug, v3_aug, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [R, Q, Q']
-        le = (sel <= q_t[:, :, None]).astype(jnp.float32)
+        )  # [R, C, Q']
+        le = (sel_mq <= 0.0).astype(jnp.float32)
         fine = jax.lax.dot_general(
             le, ones_q, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[..., 0]
-        tiles.append(Q * coarse_i + fine.astype(jnp.int32))
-    return jnp.concatenate(tiles, axis=-1)
+        chunks.append(Q * coarse_i + fine.astype(jnp.int32))
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=-1)
 
 
 def _two_level_indices(logw: jax.Array, u_raw: jax.Array, k: int) -> jax.Array:
