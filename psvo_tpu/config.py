@@ -52,6 +52,10 @@ class NetConfig:
     #          softplus-floored diagonal) — the reference mvn's "full" option;
     #          supported for the transition f and emission g (proposals stay
     #          diagonal: the use_2q precision fusion is diagonal math)
+    # "tril_head": STATE-DEPENDENT full covariance — packed Cholesky factor
+    #          from two linear heads on the trunk (floored-softplus diagonal,
+    #          free strict-lower). f and g; f excluded from svo/psvo (the
+    #          pairwise FFBSi density whitens with a constant factor)
     # "none":  mean-only network (Dirac / Poisson log-rate heads)
     cov_type: str = "const"
     sigma_init: float = 1.0

@@ -133,6 +133,52 @@ def mvn_full_log_prob_cm(x: jax.Array, mean: jax.Array, chol: jax.Array) -> jax.
     return jnp.maximum(logp, _MIN_LOGP)
 
 
+def mvn_tril_log_prob_cm(
+    x: jax.Array, mean: jax.Array, diag: jax.Array, off: jax.Array
+) -> jax.Array:
+    """Full-covariance Gaussian log density with a PER-PARTICLE packed
+    Cholesky factor, channel-major (cov_type="tril_head").
+
+    x/mean/diag [..., D, K]; off [..., D(D-1)/2, K] row-major strict-lower
+    entries (jnp.tril_indices(k=-1) order). The forward substitution
+    L z = (x - mean) unrolls over the tiny latent dim (D(D-1)/2 fused
+    multiply-adds on [..., K] lanes) — a [..., D, D, K] chol tensor or a
+    per-particle solve_triangular would materialize/batch K tiny systems.
+    """
+    d = x.shape[-2]
+    diff = x - mean
+    zs = []
+    p = 0
+    for i in range(d):
+        acc = diff[..., i, :]
+        for j in range(i):
+            acc = acc - off[..., p, :] * zs[j]
+            p += 1
+        zs.append(acc / diag[..., i, :])
+    maha = sum(z * z for z in zs)
+    log_det = jnp.sum(jnp.log(diag), axis=-2)
+    logp = -0.5 * maha - log_det - d * _HALF_LOG_2PI
+    return jnp.maximum(logp, _MIN_LOGP)
+
+
+def mvn_tril_sample_cm(
+    eps: jax.Array, mean: jax.Array, diag: jax.Array, off: jax.Array
+) -> jax.Array:
+    """Reparameterized draw x = mean + L eps with the packed per-particle
+    Cholesky factor (channel-major): unrolled x_i = mean_i + diag_i eps_i +
+    Σ_{j<i} off_ij eps_j."""
+    d = mean.shape[-2]
+    rows = []
+    p = 0
+    for i in range(d):
+        acc = diag[..., i, :] * eps[..., i, :]
+        for j in range(i):
+            acc = acc + off[..., p, :] * eps[..., j, :]
+            p += 1
+        rows.append(mean[..., i, :] + acc)
+    return jnp.stack(rows, axis=-2)
+
+
 # ---------------------------------------------------------------------------
 # Poisson (count emissions — reference `distribution/poisson.py`)
 # ---------------------------------------------------------------------------

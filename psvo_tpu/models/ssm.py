@@ -10,8 +10,10 @@ SURVEY.md §3.2). Reference capability coverage beyond the MLP+diag default:
 - exogenous control inputs (`Di`, SURVEY.md §5 flag table): when
   cfg.data.di > 0, the q1/f heads condition on [x_prev, u_t];
 - full-covariance heads (`distribution/mvn.py` "diagonal or full"):
-  cov_type="tril" on f and/or g — a trainable constant Cholesky factor
-  (proposals stay diagonal: the use_2q precision fusion is diagonal math);
+  cov_type="tril" on f and/or g — a trainable constant Cholesky factor — or
+  cov_type="tril_head" — a STATE-DEPENDENT packed Cholesky from two heads on
+  the trunk (proposals stay diagonal: the use_2q precision fusion is
+  diagonal math; f tril_head excluded from svo/psvo, see __init__);
 - Dirac-delta emissions (`distribution/dirac_delta.py`): emission="dirac"
   observes a deterministic function of state and contributes 0 to weights;
 - known-dynamics transitions (SMCConfig.transition="known"): f's mean is the
@@ -63,20 +65,38 @@ class SSM:
 
         self.transition_known = cfg.smc.transition == "known"
         self.stepper = dyn.make_stepper(cfg.data) if self.transition_known else None
-        self.f_tril = (not self.transition_known) and self.nets["f"].cov_type == "tril"
-        self.g_tril = self.nets["g"].cov_type == "tril"
+        _full = ("tril", "tril_head")
+        # f_tril / g_tril: the head has FULL covariance — either the constant
+        # learned Cholesky ("tril") or the state-dependent Cholesky head
+        # ("tril_head"); *_tril_head narrows to the latter.
+        self.f_tril = (not self.transition_known) and self.nets["f"].cov_type in _full
+        self.g_tril = self.nets["g"].cov_type in _full
+        self.f_tril_head = (
+            not self.transition_known
+        ) and self.nets["f"].cov_type == "tril_head"
+        self.g_tril_head = self.nets["g"].cov_type == "tril_head"
 
         for q in ("q0", "q1", "q2", "qb"):
-            if self.nets[q].cov_type == "tril":
+            if self.nets[q].cov_type in _full:
                 raise ValueError(
-                    f"cov_type='tril' is not supported on proposal head {q!r}: "
-                    "the use_2q precision fusion and reparameterized draws are "
-                    "diagonal; use it on 'f' or 'g'"
+                    f"cov_type={self.nets[q].cov_type!r} is not supported on "
+                    f"proposal head {q!r}: the use_2q precision fusion and "
+                    "reparameterized draws are diagonal; use it on 'f' or 'g'"
                 )
-        if self.transition_known and self.nets["f"].cov_type == "tril":
+        if self.transition_known and self.nets["f"].cov_type in _full:
             raise ValueError("transition='known' uses a diagonal learned noise scale")
         if self.emission == "poisson" and self.g_tril:
             raise ValueError("poisson emissions have no covariance head")
+        if self.f_tril_head and cfg.smc.objective in ("svo", "psvo"):
+            # the FFBSi/SVO pairwise transition density expands the
+            # Mahalanobis term through a CONSTANT whitening (objectives.py);
+            # a per-state Cholesky needs the D² precision contraction —
+            # not implemented. tril_head on g works with every objective.
+            raise ValueError(
+                "cov_type='tril_head' on f is not supported with the "
+                "backward-smoothing objectives (svo/psvo); use the constant "
+                "'tril' on f, or 'tril_head' on g"
+            )
 
     # -- init ---------------------------------------------------------------
 
@@ -279,7 +299,7 @@ class SSM:
         )
 
     def transition_full_cm(self, params: Params, x_prev: jax.Array, u=None):
-        """Full-covariance transition (cov_type='tril' on f):
+        """Constant full-covariance transition (cov_type='tril' on f):
         -> (mean [..., Dx, K], chol [Dx, Dx])."""
         mean = networks.mlp_mean_cm(
             params["f"],
@@ -290,10 +310,24 @@ class SSM:
         chol = networks.tril_from_raw(params["f"]["raw_tril"], self.nets["f"].sigma_min)
         return mean, chol
 
+    def transition_tril_cm(self, params: Params, x_prev: jax.Array, u=None):
+        """State-dependent full-covariance transition (cov_type='tril_head'
+        on f): -> (mean, diag [..., Dx, K], off [..., Dx(Dx-1)/2, K])."""
+        return networks.mlp_mean_tril_cm(
+            params["f"],
+            self._with_control_cm(x_prev, u),
+            activation=self.nets["f"].activation,
+            sigma_min=self.nets["f"].sigma_min,
+            bf16=self.bf16_matmuls,
+        )
+
     def transition_log_prob_cm(
         self, params: Params, x_prev: jax.Array, x: jax.Array, u=None
     ) -> jax.Array:
         """log f(x | x_prev[, u]) in channel-major layout -> [..., K]."""
+        if self.f_tril_head:
+            mean, diag, off = self.transition_tril_cm(params, x_prev, u)
+            return dist.mvn_tril_log_prob_cm(x, mean, diag, off)
         if self.f_tril:
             mean, chol = self.transition_full_cm(params, x_prev, u)
             return dist.mvn_full_log_prob_cm(x, mean, chol)
@@ -400,6 +434,12 @@ class SSM:
                 params["g"], x, activation=g_cfg.activation, bf16=self.bf16_matmuls
             )
             return dist.poisson_log_prob_cm(y[..., :, None], log_rate)
+        if self.g_tril_head:
+            mean, diag, off = networks.mlp_mean_tril_cm(
+                params["g"], x, activation=g_cfg.activation,
+                sigma_min=g_cfg.sigma_min, bf16=self.bf16_matmuls,
+            )
+            return dist.mvn_tril_log_prob_cm(y[..., :, None], mean, diag, off)
         if self.g_tril:
             mean = networks.mlp_mean_cm(
                 params["g"], x, activation=g_cfg.activation, bf16=self.bf16_matmuls
@@ -439,6 +479,15 @@ class SSM:
     def transition_log_prob(
         self, params: Params, x_prev: jax.Array, x: jax.Array, u=None
     ) -> jax.Array:
+        if self.f_tril_head:
+            mean, chol = networks.mlp_mean_tril(
+                params["f"],
+                self._with_control(x_prev, u),
+                activation=self.nets["f"].activation,
+                sigma_min=self.nets["f"].sigma_min,
+                bf16=self.bf16_matmuls,
+            )
+            return dist.mvn_full_log_prob(x, mean, chol)
         if self.f_tril:
             mean = networks.mlp_mean(
                 params["f"],
@@ -459,6 +508,12 @@ class SSM:
         if self.emission == "poisson":
             log_rate = self._mean(params["g"], self.nets["g"], x)
             return dist.poisson_log_prob(y, log_rate)
+        if self.g_tril_head:
+            mean, chol = networks.mlp_mean_tril(
+                params["g"], x, activation=self.nets["g"].activation,
+                sigma_min=self.nets["g"].sigma_min, bf16=self.bf16_matmuls,
+            )
+            return dist.mvn_full_log_prob(y, mean, chol)
         if self.g_tril:
             mean = self._mean(params["g"], self.nets["g"], x)
             chol = networks.tril_from_raw(

@@ -83,6 +83,19 @@ def init_mlp_head(
             "diag": jnp.full((dout,), raw, jnp.float32),
             "off": jnp.zeros((dout * (dout - 1) // 2,), jnp.float32),
         }
+    elif cov_type == "tril_head":
+        # STATE-DEPENDENT full covariance: two linear heads on the trunk
+        # emit the packed Cholesky factor per input — floored-softplus
+        # diagonal [dout], free strict-lower entries [dout(dout-1)/2].
+        # Near-zero weights + sigma_init bias: starts ≈ the constant
+        # diagonal, like every other cov head.
+        raw = jnp.log(jnp.expm1(jnp.maximum(sigma_init - sigma_min, 1e-6)))
+        kd, ko = jax.random.split(keys[-1])
+        wd, bd = _init_dense(kd, sizes[-1], dout)
+        params["tril_diag_head"] = (wd * 0.01, bd + raw)
+        n_off = dout * (dout - 1) // 2
+        wo, bo = _init_dense(ko, sizes[-1], max(n_off, 1))
+        params["tril_off_head"] = (wo[:, :n_off] * 0.01, bo[:n_off])
     elif cov_type == "head":
         raw = jnp.log(jnp.expm1(jnp.maximum(sigma_init - sigma_min, 1e-6)))
         w, b = _init_dense(keys[-1], sizes[-1], dout)
@@ -170,6 +183,34 @@ def mlp_mean_scale(
     return mean, scale
 
 
+def mlp_mean_tril(
+    params: Params,
+    x: jax.Array,
+    activation: str = "relu",
+    sigma_min: float = 1e-3,
+    bf16: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """State-dependent full covariance (cov_type="tril_head"), feature-last:
+    -> (mean [..., D], chol [..., D, D]) with floored-softplus diagonal and
+    free strict-lower entries (row-major packing, matching
+    jnp.tril_indices(k=-1))."""
+    h = mlp_features(params, x, activation, bf16)
+    w, b = params["mean"]
+    mean = _dense(h, w, b, bf16)
+    d = mean.shape[-1]
+    wd, bd = params["tril_diag_head"]
+    diag = scale_from_raw(_dense(h, wd, bd, bf16), sigma_min)  # [..., D]
+    chol = jnp.zeros((*mean.shape, d), mean.dtype)
+    ii = jnp.arange(d)
+    chol = chol.at[..., ii, ii].set(diag)
+    if d > 1:
+        wo, bo = params["tril_off_head"]
+        off = _dense(h, wo, bo, bf16)  # [..., D(D-1)/2]
+        rows, cols = jnp.tril_indices(d, k=-1)
+        chol = chol.at[..., rows, cols].set(off)
+    return mean, chol
+
+
 # ---------------------------------------------------------------------------
 # Channel-major apply: features on axis -2, particles on the last (lane) axis.
 #
@@ -234,6 +275,31 @@ def mlp_mean_scale_cm(
     else:
         raise ValueError("network has no scale parameterization (cov_type='none')")
     return mean, scale
+
+
+def mlp_mean_tril_cm(
+    params: Params,
+    x: jax.Array,
+    activation: str = "relu",
+    sigma_min: float = 1e-3,
+    bf16: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Channel-major tril_head: [..., Din, K] -> (mean [..., D, K],
+    diag [..., D, K], off [..., D(D-1)/2, K]) — the Cholesky factor stays
+    PACKED as channel tensors (never a [..., D, D, K] blowup); consumers
+    unroll the tiny-D substitution (distributions.mvn_tril_log_prob_cm)."""
+    h = mlp_features_cm(params, x, activation, bf16)
+    w, b = params["mean"]
+    mean = _dense_cm(h, w, b, bf16)
+    wd, bd = params["tril_diag_head"]
+    diag = scale_from_raw(_dense_cm(h, wd, bd, bf16), sigma_min)
+    d = mean.shape[-2]
+    if d > 1:
+        wo, bo = params["tril_off_head"]
+        off = _dense_cm(h, wo, bo, bf16)
+    else:
+        off = jnp.zeros((*mean.shape[:-2], 0, mean.shape[-1]), mean.dtype)
+    return mean, diag, off
 
 
 def count_params(params) -> int:

@@ -45,6 +45,7 @@ from psvo_tpu.distributions import (
     effective_sample_size,
     log_normalize,
     mvn_diag_log_prob_cm,
+    mvn_tril_sample_cm,
 )
 from psvo_tpu.models.ssm import SSM
 from psvo_tpu.ops import resampling
@@ -174,11 +175,17 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
         # f == q so the transition/proposal densities cancel).
         if ssm.f_tril and ssm.use_bootstrap:
             # bootstrap PF with full-covariance transition noise: correlated
-            # reparameterized draw x = mean + L @ eps
-            mean_f, chol_f = ssm.transition_full_cm(params, x, u_ctrl)
-            x_new = constrain(
-                mean_f + jnp.einsum("de,...ek->...dk", chol_f, eps_t)
-            )
+            # reparameterized draw x = mean + L @ eps (constant or per-state L)
+            if ssm.f_tril_head:
+                mean_f, diag_f, off_f = ssm.transition_tril_cm(params, x, u_ctrl)
+                x_new = constrain(
+                    mvn_tril_sample_cm(eps_t, mean_f, diag_f, off_f)
+                )
+            else:
+                mean_f, chol_f = ssm.transition_full_cm(params, x, u_ctrl)
+                x_new = constrain(
+                    mean_f + jnp.einsum("de,...ek->...dk", chol_f, eps_t)
+                )
             alpha = ssm.emission_log_prob_cm(params, x_new, y_t)
         elif ssm.f_tril:
             mean_q, scale_q = ssm.propose_cm(params, x, y_t, u_ctrl, q2_ms)

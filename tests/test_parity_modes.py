@@ -325,6 +325,142 @@ def test_tril_pairwise_matches_direct_density():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def _zeroed_trilhead(head, mat, chol, sigma_min=1e-3):
+    """Set a hidden=() tril_head to an exact CONSTANT (mat, chol): zero head
+    weights, biases carrying the Cholesky entries."""
+    from tests.helpers import raw_from_scale
+
+    d = chol.shape[0]
+    head["mean"] = (jnp.asarray(mat.T, jnp.float32), jnp.zeros((mat.shape[0],)))
+    wd, _ = head["tril_diag_head"]
+    head["tril_diag_head"] = (
+        jnp.zeros_like(wd),
+        jnp.asarray(
+            [raw_from_scale(float(chol[i, i]), sigma_min) for i in range(d)],
+            jnp.float32,
+        ),
+    )
+    rows, cols = np.tril_indices(d, k=-1)
+    wo, _ = head["tril_off_head"]
+    head["tril_off_head"] = (
+        jnp.zeros_like(wo), jnp.asarray(chol[rows, cols], jnp.float32)
+    )
+
+
+def test_trilhead_matches_kalman_oracle():
+    """cov_type='tril_head' with zeroed head weights degenerates to the exact
+    constant correlated-noise LGSSM — the bootstrap PF through the packed
+    per-particle Cholesky path (mvn_tril_sample_cm + mvn_tril_log_prob_cm)
+    must reproduce the Kalman log-likelihood, like the constant-tril test."""
+    from tests.helpers import SIGMA_MIN, raw_from_scale
+
+    a, c, q_chol, r_chol, mu0 = _full_cov_case()
+    rng = np.random.default_rng(11)
+    t = 20
+    xs, ys = helpers.simulate_lgssm_full(rng, a, c, q_chol, r_chol, mu0, 1.0, t, 3)
+    q = q_chol @ q_chol.T
+    r = r_chol @ r_chol.T
+    kf = np.array(
+        [kalman_filter(ys[b], a, c, q, r, mu0, np.eye(2))[0] for b in range(3)]
+    )
+
+    lin = NetConfig(hidden=(), cov_type="const", sigma_init=1.0, sigma_min=SIGMA_MIN)
+    th = NetConfig(hidden=(), cov_type="tril_head", sigma_init=1.0, sigma_min=SIGMA_MIN)
+    cfg = Config(
+        name="lgssm_trilhead_oracle",
+        data=DataConfig(datatype="lgssm", dx=2, dy=2, t_steps=t),
+        smc=SMCConfig(
+            objective="fivo", n_particles=2048,
+            resampling="systematic", use_bootstrap=True,
+        ),
+        use_pallas=False,
+    ).with_nets(q0=lin, q1=lin, q2=lin, f=th, g=th, qb=lin)
+    from psvo_tpu.models.ssm import SSM
+
+    ssm = SSM(cfg)
+    params = ssm.init(jax.random.key(0))
+    _zeroed_trilhead(params["f"], a, q_chol, SIGMA_MIN)
+    _zeroed_trilhead(params["g"], c, r_chol, SIGMA_MIN)
+    params["prior"]["mean"] = jnp.asarray(mu0, jnp.float32)
+    params["prior"]["raw_scale"] = jnp.full((2,), raw_from_scale(1.0, 1e-3))
+
+    obj = make_objective(ssm, cfg)
+    outs = [
+        np.asarray(jax.jit(obj)(params, jax.random.key(s), jnp.asarray(ys)).elbo)
+        for s in range(4)
+    ]
+    err = np.mean(outs, axis=0) - kf
+    assert np.all(np.abs(err) < 0.5), err
+
+
+def test_trilhead_density_sample_match_numpy():
+    """State-dependent packed-Cholesky density/sampler against per-sample
+    NumPy linear algebra, and the channel-major vs feature-last agreement."""
+    from scipy.stats import multivariate_normal
+
+    from psvo_tpu import networks
+    from psvo_tpu.distributions import mvn_tril_log_prob_cm, mvn_tril_sample_cm
+
+    d, k, b = 3, 8, 2
+    key = jax.random.key(3)
+    params = networks.init_mlp_head(
+        key, d, d, (16,), cov_type="tril_head", sigma_init=0.8
+    )
+    # make the heads STRONGLY state-dependent
+    params["tril_diag_head"] = (params["tril_diag_head"][0] * 50, params["tril_diag_head"][1])
+    params["tril_off_head"] = (params["tril_off_head"][0] * 50, params["tril_off_head"][1])
+
+    x_cm = jax.random.normal(jax.random.key(4), (b, d, k))
+    y_cm = jax.random.normal(jax.random.key(5), (b, d, k))
+    mean, diag, off = networks.mlp_mean_tril_cm(params, x_cm, sigma_min=1e-3)
+    got = np.asarray(mvn_tril_log_prob_cm(y_cm, mean, diag, off))
+
+    # feature-last assembly on the same points
+    x_fl = np.moveaxis(np.asarray(x_cm), -1, -2)  # [B, K, D]
+    mean_fl, chol_fl = networks.mlp_mean_tril(params, jnp.asarray(x_fl), sigma_min=1e-3)
+    mean_fl, chol_fl = np.asarray(mean_fl), np.asarray(chol_fl)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(mean), -1, -2), mean_fl, rtol=1e-5, atol=1e-5
+    )
+    # chol varies with the state (the point of the head)
+    assert np.abs(np.diff(chol_fl, axis=1)).max() > 1e-3
+
+    y_fl = np.moveaxis(np.asarray(y_cm), -1, -2)
+    want = np.empty((b, k))
+    for i in range(b):
+        for j in range(k):
+            cov = chol_fl[i, j] @ chol_fl[i, j].T
+            want[i, j] = multivariate_normal(mean_fl[i, j], cov).logpdf(y_fl[i, j])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # reparameterized draw: x = mean + L eps, per particle
+    eps_cm = jax.random.normal(jax.random.key(6), (b, d, k))
+    draw = np.asarray(mvn_tril_sample_cm(eps_cm, mean, diag, off))
+    eps_fl = np.moveaxis(np.asarray(eps_cm), -1, -2)
+    want_draw = mean_fl + np.einsum("bkde,bke->bkd", chol_fl, eps_fl)
+    np.testing.assert_allclose(
+        np.moveaxis(draw, -1, -2), want_draw, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_trilhead_trains():
+    """FHN with a state-dependent emission Cholesky head: the pipeline trains
+    (finite, improving ELBO) through the cm tril_head density path."""
+    cfg = Config(
+        name="th_train",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=12, n_train=32, n_test=8),
+        smc=SMCConfig(objective="fivo", n_particles=16),
+        train=TrainConfig(batch_size=16, n_steps=60, eval_every=30, lr=3e-3),
+        use_pallas=False,
+    ).with_nets(g=NetConfig(cov_type="tril_head", sigma_init=0.7))
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ds = generate_dataset(cfg.data, 0)
+    trainer = Trainer(cfg, ssm, params)
+    hist = trainer.run(ds.obs_train, ds.obs_test)
+    assert np.isfinite(hist[-1]["test_elbo"])
+    assert hist[-1]["train_elbo"] > hist[0]["train_elbo"] - 1e-6
+
+
 def test_invalid_mode_combinations_rejected():
     base = Config(
         name="bad",
@@ -335,6 +471,15 @@ def test_invalid_mode_combinations_rejected():
 
     with pytest.raises(ValueError):  # tril proposals unsupported
         SSM(base.with_nets(q1=NetConfig(cov_type="tril")))
+    with pytest.raises(ValueError):  # tril_head proposals unsupported
+        SSM(base.with_nets(q2=NetConfig(cov_type="tril_head")))
+    with pytest.raises(ValueError):  # f tril_head + backward smoothing
+        SSM(
+            dataclasses.replace(
+                base.with_nets(f=NetConfig(cov_type="tril_head")),
+                smc=dataclasses.replace(base.smc, objective="psvo"),
+            )
+        )
     with pytest.raises(ValueError):  # known dynamics: diagonal noise only
         SSM(
             dataclasses.replace(
