@@ -54,8 +54,7 @@ class NetConfig:
     #          diagonal: the use_2q precision fusion is diagonal math)
     # "tril_head": STATE-DEPENDENT full covariance — packed Cholesky factor
     #          from two linear heads on the trunk (floored-softplus diagonal,
-    #          free strict-lower). f and g; f excluded from svo/psvo (the
-    #          pairwise FFBSi density whitens with a constant factor)
+    #          free strict-lower); supported on f and g for every objective
     # "none":  mean-only network (Dirac / Poisson log-rate heads)
     cov_type: str = "const"
     sigma_init: float = 1.0

@@ -13,7 +13,7 @@ SURVEY.md §3.2). Reference capability coverage beyond the MLP+diag default:
   cov_type="tril" on f and/or g — a trainable constant Cholesky factor — or
   cov_type="tril_head" — a STATE-DEPENDENT packed Cholesky from two heads on
   the trunk (proposals stay diagonal: the use_2q precision fusion is
-  diagonal math; f tril_head excluded from svo/psvo, see __init__);
+  diagonal math);
 - Dirac-delta emissions (`distribution/dirac_delta.py`): emission="dirac"
   observes a deterministic function of state and contributes 0 to weights;
 - known-dynamics transitions (SMCConfig.transition="known"): f's mean is the
@@ -87,16 +87,6 @@ class SSM:
             raise ValueError("transition='known' uses a diagonal learned noise scale")
         if self.emission == "poisson" and self.g_tril:
             raise ValueError("poisson emissions have no covariance head")
-        if self.f_tril_head and cfg.smc.objective in ("svo", "psvo"):
-            # the FFBSi/SVO pairwise transition density expands the
-            # Mahalanobis term through a CONSTANT whitening (objectives.py);
-            # a per-state Cholesky needs the D² precision contraction —
-            # not implemented. tril_head on g works with every objective.
-            raise ValueError(
-                "cov_type='tril_head' on f is not supported with the "
-                "backward-smoothing objectives (svo/psvo); use the constant "
-                "'tril' on f, or 'tril_head' on g"
-            )
 
     # -- init ---------------------------------------------------------------
 

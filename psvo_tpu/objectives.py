@@ -88,6 +88,53 @@ def _pairwise_transition_logp(
     dot_generals riding the MXU; no Pallas needed.
     """
     d = x_query.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    if ssm.f_tril_head:
+        # STATE-DEPENDENT full covariance (cov_type='tril_head'): per support
+        # point j the Mahalanobis term expands through the precision matrix
+        # P_j = L_j⁻ᵀ L_j⁻¹ as
+        #   qᵀP_j q − 2 qᵀ(P_j m_j) + m_jᵀP_j m_j
+        # with qᵀP_j q = ⟨q⊗q, vec(P_j)⟩ — ONE D²-channel MXU contraction —
+        # so the [B, M, K, D] broadcast never materializes even though every
+        # support point carries its own factor. The packed L inverts by
+        # unrolled forward substitution on [.., K] channel tensors (D tiny).
+        mean, diag, off = ssm.transition_tril_cm(params, x_support, u)
+
+        def L(i, j):  # packed lower-tri entry, i >= j
+            return diag[..., i, :] if i == j else off[..., i * (i - 1) // 2 + j, :]
+
+        linv = [[None] * d for _ in range(d)]
+        for i in range(d):
+            linv[i][i] = 1.0 / diag[..., i, :]
+            for j in range(i - 1, -1, -1):
+                acc = sum(L(i, kk) * linv[kk][j] for kk in range(j, i))
+                linv[i][j] = -acc * linv[i][i]
+        # whitened mean rows m̃ = L⁻¹ m, then w = L⁻ᵀ m̃ = P m
+        m_w = [
+            sum(linv[i][j] * mean[..., j, :] for j in range(i + 1))
+            for i in range(d)
+        ]
+        t3 = sum(v * v for v in m_w)[:, None, :]  # [B, 1, K]
+        w = jnp.stack(
+            [sum(linv[i][j] * m_w[i] for i in range(j, d)) for j in range(d)],
+            axis=-2,
+        )  # [B, D, K] = P m
+        pflat = jnp.stack(
+            [
+                sum(linv[i][a] * linv[i][b] for i in range(max(a, b), d))
+                for a in range(d)
+                for b in range(d)
+            ],
+            axis=-2,
+        )  # [B, D², K] row-major vec(P)
+        qq = (x_query[..., :, None] * x_query[..., None, :]).reshape(
+            *x_query.shape[:-1], d * d
+        )
+        t1 = jnp.einsum("bmp,bpk->bmk", qq, pflat, precision=hi)
+        t2 = jnp.einsum("bmd,bdk->bmk", x_query, w, precision=hi)
+        logdet = jnp.sum(jnp.log(diag), axis=-2)[:, None, :]
+        logp = -0.5 * (t1 - 2.0 * t2 + t3) - logdet - d * _HALF_LOG_2PI
+        return jnp.maximum(logp, _MIN_LOGP)
     if ssm.f_tril:
         # constant full covariance: whiten both sides with L⁻¹, then the same
         # expansion applies with unit scales
@@ -108,7 +155,6 @@ def _pairwise_transition_logp(
     # f32 operands to bf16 (~0.4% rel), which after the t1−2·t2+t3
     # cancellation would leave O(1-100 nat) noise in the backward categorical
     # logits. These contractions are tiny next to the MLP cost.
-    hi = jax.lax.Precision.HIGHEST
     t1 = jnp.einsum("bmd,bdk->bmk", x_query * x_query, r, precision=hi)
     t2 = jnp.einsum("bmd,bdk->bmk", x_query, mean * r, precision=hi)
     t3 = jnp.sum(mean * mean * r, axis=-2)[:, None, :]  # [B, 1, K]

@@ -461,6 +461,56 @@ def test_trilhead_trains():
     assert hist[-1]["train_elbo"] > hist[0]["train_elbo"] - 1e-6
 
 
+def test_trilhead_pairwise_matches_direct_density():
+    """The D²-precision-contraction pairwise form (state-dependent Cholesky)
+    equals the direct full-cov density evaluated pairwise per support point."""
+    from psvo_tpu import networks
+    from psvo_tpu.distributions import mvn_full_log_prob
+    from psvo_tpu.objectives import _pairwise_transition_logp
+
+    cfg = Config(
+        name="pwh",
+        data=DataConfig(datatype="fhn", dx=3, dy=3, t_steps=4),
+        smc=SMCConfig(objective="psvo", n_particles=16),
+        use_pallas=False,
+    ).with_nets(f=NetConfig(cov_type="tril_head", hidden=(8,), sigma_init=0.7))
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    # strongly state-dependent factors
+    params["f"]["tril_diag_head"] = (
+        params["f"]["tril_diag_head"][0] * 30, params["f"]["tril_diag_head"][1]
+    )
+    params["f"]["tril_off_head"] = (
+        params["f"]["tril_off_head"][0] * 30, params["f"]["tril_off_head"][1]
+    )
+    xs = jax.random.normal(jax.random.key(1), (2, 3, 16))  # [B, D, K]
+    xq = jax.random.normal(jax.random.key(2), (2, 5, 3))  # [B, M, D]
+    got = np.asarray(_pairwise_transition_logp(ssm, params, xs, xq))
+    mean_fl, chol_fl = networks.mlp_mean_tril(
+        params["f"], jnp.swapaxes(xs, -1, -2), sigma_min=ssm.nets["f"].sigma_min
+    )  # [B, K, D], [B, K, D, D]
+    want = np.asarray(
+        mvn_full_log_prob(xq[:, :, None, :], mean_fl[:, None, :, :], chol_fl[:, None])
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_trilhead_psvo_trains():
+    """PSVO with a state-dependent transition Cholesky: the FFBSi backward
+    runs through the precision-contraction pairwise path and trains."""
+    cfg = Config(
+        name="th_psvo",
+        data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=10, n_train=16, n_test=8),
+        smc=SMCConfig(objective="psvo", n_particles=16, n_smoothing_particles=4),
+        train=TrainConfig(batch_size=8, n_steps=30, eval_every=15, lr=3e-3),
+        use_pallas=False,
+    ).with_nets(f=NetConfig(cov_type="tril_head", sigma_init=0.7))
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    ds = generate_dataset(cfg.data, 0)
+    trainer = Trainer(cfg, ssm, params)
+    hist = trainer.run(ds.obs_train, ds.obs_test)
+    assert np.isfinite(hist[-1]["test_elbo"])
+
+
 def test_invalid_mode_combinations_rejected():
     base = Config(
         name="bad",
@@ -473,13 +523,6 @@ def test_invalid_mode_combinations_rejected():
         SSM(base.with_nets(q1=NetConfig(cov_type="tril")))
     with pytest.raises(ValueError):  # tril_head proposals unsupported
         SSM(base.with_nets(q2=NetConfig(cov_type="tril_head")))
-    with pytest.raises(ValueError):  # f tril_head + backward smoothing
-        SSM(
-            dataclasses.replace(
-                base.with_nets(f=NetConfig(cov_type="tril_head")),
-                smc=dataclasses.replace(base.smc, objective="psvo"),
-            )
-        )
     with pytest.raises(ValueError):  # known dynamics: diagonal noise only
         SSM(
             dataclasses.replace(
