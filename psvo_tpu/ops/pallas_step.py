@@ -234,18 +234,49 @@ def _trunk(x, wt1, wtms, wt3):
 
 def _trunk_bwd(x_in, hs, d_mean, w1, wms, w3):
     """Backprop one augmented trunk; bias grads are rows/cols of the
-    augmented weight grads (ones-channel folding)."""
+    augmented weight grads (ones-channel folding).
+
+    All of the trunk's weight grads ride ONE fused _dw: the per-layer
+    (activation, pre-act-grad) pairs concatenate along the sublane channel
+    axis and a single [Cin_tot, K] x [Cout_tot, K] contraction yields every
+    layer's grad as a diagonal block (off-diagonal blocks are discarded —
+    ~3.6x FLOP waste at ha=72, trivial next to the 3x per-layer dot+sum
+    call overhead it replaces: the 9 separate _dw calls measured 23.7 us of
+    the 88.5 us backward megakernel, round-3 ablation)."""
+    n_mid = len(wms)
     d_h = _dense_t(d_mean, w3)
-    dw3 = _dw(hs[-1], d_mean)
-    dwms = []
-    for i in range(len(wms) - 1, -1, -1):
+    d_pres = []
+    for i in range(n_mid - 1, -1, -1):
         d_pre = d_h * (hs[i + 1] > 0).astype(d_h.dtype)
-        dwms.append(_dw(hs[i], d_pre))
+        d_pres.append(d_pre)
         d_h = _dense_t(d_pre, wms[i])
     d_pre1 = d_h * (hs[0] > 0).astype(d_h.dtype)
-    dw1 = _dw(x_in, d_pre1)
     d_x = _dense_t(d_pre1, w1)
-    return d_x, dw1, dwms[::-1], dw3
+
+    # lhs blocks: hs[n_mid], hs[n_mid-1], ..., hs[0], x_in
+    # rhs blocks: d_mean,  d_pre(n_mid-1), ..., d_pre(0), d_pre1 — the
+    # diagonal block pairing reproduces (dw3, dwms[i], dw1) exactly
+    lhs_blocks = [hs[-1]] + [hs[i] for i in range(n_mid - 1, -1, -1)] + [x_in]
+    rhs_blocks = [d_mean] + d_pres + [d_pre1]
+    dwall = _dw(
+        jnp.concatenate(lhs_blocks, axis=-2),
+        jnp.concatenate(rhs_blocks, axis=-2),
+    )
+    ro = co = 0
+    dw3 = dw1 = None
+    dwms_rev = []
+    for m, (lb, rb) in enumerate(zip(lhs_blocks, rhs_blocks)):
+        ci, cj = lb.shape[-2], rb.shape[-2]
+        blk = dwall[ro : ro + ci, co : co + cj]
+        if m == 0:
+            dw3 = blk
+        elif m <= n_mid:
+            dwms_rev.append(blk)
+        else:
+            dw1 = blk
+        ro += ci
+        co += cj
+    return d_x, dw1, dwms_rev[::-1], dw3
 
 
 def _lane_gather(x, idx):
@@ -473,9 +504,13 @@ def _bwd_kernel(
     d_mg = -d_zg * sgi
     d_xnew = dxnew_ref[:] + d_zf * sfi
 
-    # scale-inverse grads in the [PD, 8] safe shape
-    dsfi = _bias_grad8(d_zf * (x_new - m_f))
-    dsgi = _bias_grad8(d_zg * (y - m_g))
+    # scale-inverse grads in the [PD, 8] safe shape; one fused reduction
+    # for both (the kernel is op-count-bound — round-3 ablation)
+    pd = x_new.shape[-2]
+    dsfg = _bias_grad8(
+        jnp.concatenate([d_zf * (x_new - m_f), d_zg * (y - m_g)], axis=-2)
+    )  # [2·PD, 8]
+    dsfi, dsgi = dsfg[:pd], dsfg[pd:]
 
     # ---- g trunk backprop (activations live from the recompute)
     d_xg, dw1_g, dwm_g, dw3_g = _trunk_bwd(x_new, hs_g, d_mg, *netw(_G))
@@ -489,10 +524,14 @@ def _bwd_kernel(
     m1, hs_q = _trunk(x_res, *net(_Q1))
     d_xr_q, dw1_q, dwm_q, dw3_q = _trunk_bwd(x_res, hs_q, d_m1, *netw(_Q1))
 
+    # one fused lane-sum for the three per-step fusion-coefficient grads
+    sm_sums = _lane_sum(
+        jnp.concatenate([d_meanq, d_meanq * m1, d_xnew * eps], axis=-2)
+    )  # [R, 3·PD, 1]
     dsm_ref[:] = jnp.zeros_like(dsm_ref)
-    dsm_ref[:, :, SM_AQ : SM_AQ + 1] = _lane_sum(d_meanq)
-    dsm_ref[:, :, SM_CQ : SM_CQ + 1] = _lane_sum(d_meanq * m1)
-    dsm_ref[:, :, SM_SQ : SM_SQ + 1] = _lane_sum(d_xnew * eps)
+    dsm_ref[:, :, SM_AQ : SM_AQ + 1] = sm_sums[:, :pd]
+    dsm_ref[:, :, SM_CQ : SM_CQ + 1] = sm_sums[:, pd : 2 * pd]
+    dsm_ref[:, :, SM_SQ : SM_SQ + 1] = sm_sums[:, 2 * pd :]
 
     # ---- f trunk backprop (activations kept from the top)
     d_xr_f, dw1_f, dwm_f, dw3_f = _trunk_bwd(x_res, hs_f, d_mf, *netw(_F))
