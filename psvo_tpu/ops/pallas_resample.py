@@ -341,6 +341,214 @@ def _idx_usable(batch: int, k: int) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# Large-K windowed gather/scatter: O(K·W) data movement for SORTED indices.
+#
+# Above the fused cap the particle movement fell to XLA's dynamic gather and
+# its backward scatter-add — profiled at 0.43 + ~0.45 ms/step at K=8192/D=40
+# (BASELINE.md row 5): random lane-axis addressing runs at ~50 GB/s, 6% of
+# HBM bandwidth. But inverse-CDF ancestor indices are MONOTONE (sorted query
+# positions — resampling.quantile_positions_from_raw), so query tile t only
+# reads source lanes in [idx[t·Q], idx[t·Q+Q−1]] — a narrow window in the
+# common case (idx ≈ identity at healthy ESS). Each query tile gathers from
+# a W_TILES-wide window anchored at a per-tile scalar (SMEM input, read as
+# pl.ds offsets — the anchor is 128-aligned so the dynamic lane slice stays
+# on vreg boundaries); in-window movement is the hardware lane gather + tile
+# select of _lane_gather. The transpose (scatter) mirrors it: source tile s
+# is written only by the contiguous query range [r_lo(s), r_hi(s)) (monotone
+# again), a W-window of cotangent lanes contracted against a per-tile
+# one-hot on the MXU.
+#
+# Exactness is NOT probabilistic: a cheap validity reduction (do all tiles'
+# spans fit their windows?) gates a lax.cond — degenerate weight vectors
+# (a >896-lane run of zero-offspring particles inside one query tile's span)
+# take the XLA fallback branch at runtime. Out-of-range loads cannot happen
+# in the kernels themselves: fine indices are masked to [0, Q) and anchors
+# are pre-clamped to [0, nq−W], so an invalid input could only produce wrong
+# values (never touched memory) — and validity gating means it never runs.
+# ---------------------------------------------------------------------------
+
+W_TILES = 8  # window width in 128-lane tiles
+MAX_K_WIN = 8192  # [8, 8, K] f32 in/out blocks = 2 MB each at the cap
+
+
+def _win_usable(batch: int, k: int) -> bool:
+    return (
+        ENABLE
+        and (_on_tpu() or _INTERPRET)
+        and k % Q == 0
+        and W_TILES * Q <= k <= MAX_K_WIN
+        and batch % ROW_BLOCK == 0
+    )
+
+
+def _win_gather_kernel(k, w, idx_ref, anch_ref, x_ref, out_ref):
+    """out[r, d, q] = x[r, d, idx[r, q]] given every idx in query tile t lies
+    in window [anch_t·Q, (anch_t+w)·Q). idx [R, K] VMEM, anch [1, nq] SMEM,
+    x/out [R, DT, K] VMEM."""
+    from jax.experimental import pallas as pl
+
+    nq = k // Q
+    r, dt = x_ref.shape[0], x_ref.shape[1]
+    for t in range(nq):
+        a = anch_ref[0, t]
+        win = x_ref[:, :, pl.ds(a * Q, w * Q)].reshape(r * dt, w * Q)
+        loc = idx_ref[:, t * Q : (t + 1) * Q] - a * Q  # [R, Q] in [0, w·Q)
+        coarse = jax.lax.shift_right_logical(loc, 7)
+        fine = jnp.bitwise_and(loc, Q - 1)
+        c2 = jnp.broadcast_to(coarse[:, None, :], (r, dt, Q)).reshape(r * dt, Q)
+        f2 = jnp.broadcast_to(fine[:, None, :], (r, dt, Q)).reshape(r * dt, Q)
+        acc = jnp.zeros((r * dt, Q), x_ref.dtype)
+        for s in range(w):
+            g = jnp.take_along_axis(
+                win[:, s * Q : (s + 1) * Q], f2, axis=1, mode="promise_in_bounds"
+            )
+            acc = jnp.where(c2 == s, g, acc)
+        out_ref[:, :, t * Q : (t + 1) * Q] = acc.reshape(r, dt, Q)
+
+
+def _win_scatter_kernel(k, w, idx_ref, anch_ref, g_ref, dx_ref):
+    """dx[r, d, s·Q+j] = Σ_q 1[idx_q == s·Q+j]·g[r, d, q], where all writers
+    of source tile s sit in query window [anch_s·Q, (anch_s+w)·Q). The
+    window one-hot is exact even when the window is a superset of the
+    writers: indices outside tile s never match its lane iota."""
+    from jax.experimental import pallas as pl
+
+    nq = k // Q
+    r, dt = g_ref.shape[0], g_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Q), 2)
+    for s in range(nq):
+        qa = anch_ref[0, s]
+        gwin = g_ref[:, :, pl.ds(qa * Q, w * Q)]
+        iwin = idx_ref[:, pl.ds(qa * Q, w * Q)]
+        acc = jnp.zeros((r, dt, Q), jnp.float32)
+        for sw in range(w):  # chunked: a [R, w·Q, Q] one-hot would be 4 MB
+            i_c = iwin[:, sw * Q : (sw + 1) * Q]
+            onehot = (i_c[:, :, None] == s * Q + col).astype(jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                gwin[:, :, sw * Q : (sw + 1) * Q], onehot,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        dx_ref[:, :, s * Q : (s + 1) * Q] = acc
+
+
+def _win_pallas_call(kernel, k, w, idx, anch, val):
+    """Shared pallas_call plumbing: grid (row-blocks, D tiles); idx + anchors
+    replicate over the D grid axis; val is x (gather) or g (scatter)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, dp = val.shape[0], val.shape[1]
+    nq = k // Q
+    return pl.pallas_call(
+        functools.partial(kernel, k, w),
+        grid=(batch // ROW_BLOCK, dp // D_TILE),
+        in_specs=[
+            pl.BlockSpec(
+                (ROW_BLOCK, k), lambda b, dd: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, nq), lambda b, dd: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (ROW_BLOCK, D_TILE, k),
+                lambda b, dd: (b, dd, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_BLOCK, D_TILE, k), lambda b, dd: (b, dd, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(val.shape, val.dtype),
+        interpret=_INTERPRET,
+    )(idx, anch, val)
+
+
+def _rb_reduce(a: jax.Array, op) -> jax.Array:
+    """[B, nq] -> [B/ROW_BLOCK, nq] row-block reduction (min/max)."""
+    b, nq = a.shape
+    return op(a.reshape(b // ROW_BLOCK, ROW_BLOCK, nq), axis=1)
+
+
+def _gather_meta(idx: jax.Array, k: int, w: int):
+    """Per-(row-block, query-tile) window anchors (tile units, clamped) and
+    the all-tiles-fit validity scalar."""
+    nq = k // Q
+    first = idx[:, :: Q]  # [B, nq]
+    last = idx[:, Q - 1 :: Q]
+    anch = jnp.minimum(_rb_reduce(first, jnp.min) // Q, nq - w)  # [RB, nq]
+    hi = _rb_reduce(last, jnp.max) // Q
+    return anch.astype(jnp.int32), jnp.all(hi < anch + w)
+
+
+def _scatter_meta(idx: jax.Array, k: int, w: int):
+    """Anchors over QUERY tiles for each source tile: writers of source tile
+    s are the contiguous range [r_lo, r_hi) (monotone idx)."""
+    nq = k // Q
+    bounds = jnp.arange(0, k + Q, Q, dtype=jnp.int32)  # [nq+1]
+    # compare_all: one fused [K, nq+1] compare+reduce per row — the default
+    # sort-merge method materializes an XLA sort of K+nq elements per row
+    pos = jax.vmap(
+        lambda row: jnp.searchsorted(
+            row, bounds, side="left", method="compare_all"
+        )
+    )(idx)
+    r_lo, r_hi = pos[:, :-1], pos[:, 1:]  # [B, nq]
+    anch = jnp.minimum(_rb_reduce(r_lo, jnp.min) // Q, nq - w).astype(jnp.int32)
+    # vacuous tiles (r_hi == r_lo) impose no constraint: the one-hot matches
+    # nothing wherever the window lands
+    fits = (r_hi == r_lo) | ((r_hi - 1) // Q < _pad_rb(anch) + w)
+    return anch, jnp.all(fits)
+
+
+def _pad_rb(a_rb: jax.Array) -> jax.Array:
+    """[RB, nq] row-block values broadcast back to [B, nq] rows."""
+    rb, nq = a_rb.shape
+    return jnp.broadcast_to(a_rb[:, None, :], (rb, ROW_BLOCK, nq)).reshape(
+        rb * ROW_BLOCK, nq
+    )
+
+
+def _win_gather(idx: jax.Array, x: jax.Array, k: int) -> jax.Array:
+    """Windowed gather with runtime XLA fallback when a window overflows."""
+    w = W_TILES
+    d = x.shape[-2]
+    dp = _round_up(d, D_TILE)
+    x_p = jnp.pad(x, ((0, 0), (0, dp - d), (0, 0))) if dp != d else x
+    anch, ok = _gather_meta(idx, k, w)
+    out = jax.lax.cond(
+        ok,
+        lambda i, a, v: _win_pallas_call(_win_gather_kernel, k, w, i, a, v),
+        lambda i, a, v: jnp_resampling.gather_particles(v, i),
+        idx, anch, x_p,
+    )
+    return out[:, :d, :] if dp != d else out
+
+
+def _win_scatter(idx: jax.Array, g: jax.Array, k: int) -> jax.Array:
+    w = W_TILES
+    d = g.shape[-2]
+    dp = _round_up(d, D_TILE)
+    g_p = jnp.pad(g, ((0, 0), (0, dp - d), (0, 0))) if dp != d else g
+    anch, ok = _scatter_meta(idx, k, w)
+
+    def fallback(i, a, v):
+        batch = i.shape[0]
+        return (
+            jnp.zeros_like(v)
+            .at[jnp.arange(batch)[:, None], :, i]
+            .add(jnp.swapaxes(v, -1, -2))
+        )
+
+    dx = jax.lax.cond(
+        ok,
+        lambda i, a, v: _win_pallas_call(_win_scatter_kernel, k, w, i, a, v),
+        fallback,
+        idx, anch, g_p,
+    )
+    return dx[:, :d, :] if dp != d else dx
+
+
 @jax.custom_vjp
 def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
     """Fused inverse-CDF resampling + particle gather (channel-major).
@@ -361,12 +569,15 @@ def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
     if not _usable(batch, k):
         # above the fused cap: kernel for the indices (O(K) two-level —
         # replaces the profiled 0.57 ms/step histogram scatter at K=8192),
-        # XLA's dynamic gather for the particles
+        # windowed sorted-index gather for the particles (XLA's dynamic
+        # gather only on overflow / ineligible shapes)
         idx = (
             _indices_large(u, logw)
             if _idx_usable(batch, k)
             else _indices_jnp(u, logw)
         )
+        if _win_usable(batch, k):
+            return idx, _win_gather(idx, x, k)
         return idx, jnp_resampling.gather_particles(x, idx)
 
     dp = _round_up(d, D_TILE)
@@ -416,12 +627,15 @@ def _rg_bwd(res, cots):
     batch, k = idx.shape
     d = g_x.shape[-2]
     if not _usable(batch, k):
-        # cm scatter-add: dx[b, :, idx[b, q]] += g[b, :, q]
-        dx = (
-            jnp.zeros_like(g_x)
-            .at[jnp.arange(batch)[:, None], :, idx]
-            .add(jnp.swapaxes(g_x, -1, -2))
-        )
+        if _win_usable(batch, k):
+            dx = _win_scatter(idx, g_x, k)
+        else:
+            # cm scatter-add: dx[b, :, idx[b, q]] += g[b, :, q]
+            dx = (
+                jnp.zeros_like(g_x)
+                .at[jnp.arange(batch)[:, None], :, idx]
+                .add(jnp.swapaxes(g_x, -1, -2))
+            )
     else:
         dp = _round_up(d, D_TILE)
         g_p = (

@@ -179,6 +179,79 @@ def test_fused_resample_fallback_large_k(method):
     np.testing.assert_array_equal(np.asarray(idx2), _oracle_idx(logw2, u2))
 
 
+def test_windowed_gather_scatter_large_k():
+    """The windowed sorted-index kernels (large-K path) are exact on healthy
+    weights AND on window-overflowing inputs (runtime lax.cond fallback)."""
+    rng = np.random.default_rng(9)
+    batch, d, k = 8, 5, 2 * pallas_resample.MAX_K  # d=5 pads to D_TILE=8
+    x = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
+
+    def check(idx_np):
+        idx = jnp.asarray(idx_np, jnp.int32)
+        got = pallas_resample._win_gather(idx, x, k)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(resampling.gather_particles(x, idx))
+        )
+        g = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
+        got_dx = np.asarray(pallas_resample._win_scatter(idx, g, k))
+        want = np.zeros_like(got_dx)
+        for b in range(batch):
+            for q in range(k):
+                want[b, :, idx_np[b, q]] += np.asarray(g)[b, :, q]
+        np.testing.assert_allclose(got_dx, want, rtol=1e-6, atol=1e-5)
+
+    # healthy: near-identity sorted indices (windows trivially fit)
+    base = np.clip(
+        np.sort(np.arange(k) + rng.integers(-60, 60, size=(batch, k)), axis=-1),
+        0, k - 1,
+    )
+    _, ok = pallas_resample._gather_meta(jnp.asarray(base, jnp.int32), k,
+                                         pallas_resample.W_TILES)
+    assert bool(ok)
+    check(base)
+
+    # overflow: one query tile spans the whole support — gather meta must
+    # flag it and the cond must take the exact XLA branch
+    bad = base.copy()
+    bad[:, : k // 2 + 64] = 0  # +64: the jump lands mid-tile
+    bad[:, k // 2 + 64 :] = k - 1
+    _, ok = pallas_resample._gather_meta(jnp.asarray(bad, jnp.int32), k,
+                                         pallas_resample.W_TILES)
+    assert not bool(ok)
+    check(bad)
+
+    # scatter overflow: > W_TILES·128 offspring of one source tile
+    many = np.sort(rng.integers(0, 128, size=(batch, k)), axis=-1)
+    _, ok = pallas_resample._scatter_meta(jnp.asarray(many, jnp.int32), k,
+                                          pallas_resample.W_TILES)
+    assert not bool(ok)
+    check(many)
+
+
+def test_large_k_gradient_is_exact_scatter():
+    """resample_and_gather's VJP above MAX_K (windowed scatter kernel)."""
+    rng = np.random.default_rng(10)
+    batch, d, k = 8, 3, 2 * pallas_resample.MAX_K
+    logw = jnp.asarray(rng.standard_normal((batch, k)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
+    u = resampling.quantile_positions_from_raw(
+        jnp.asarray(rng.uniform(size=(batch,)).astype(np.float32)), k, "systematic"
+    )
+    cot = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
+
+    def f(x):
+        _, x_res = pallas_resample.resample_and_gather(u, logw, x)
+        return jnp.sum(x_res * cot)
+
+    gx = np.asarray(jax.grad(f)(x))
+    idx = np.asarray(pallas_resample.resample_and_gather(u, logw, x)[0])
+    want = np.zeros_like(gx)
+    for b in range(batch):
+        for q in range(k):
+            want[b, :, idx[b, q]] += np.asarray(cot)[b, :, q]
+    np.testing.assert_allclose(gx, want, rtol=1e-6, atol=1e-5)
+
+
 @pytest.mark.parametrize("k", [128, 1024])
 def test_tri_cumsum_matches_jnp(k):
     """The MXU triangular-contraction cumsum (the kernel's hot formulation)."""
