@@ -327,16 +327,25 @@ def _forward_filter_fused(
         x_new, alpha, stats = pallas_step._step_call(
             static, logw, u_t, x, eps_t, ab_t, sm_t, sconst, *weights
         )
-        # stats lanes: 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS
-        return (x_new, alpha), (
-            x_new, alpha, stats[:, 0, 1], stats[:, 0, 2], stats[:, :, 0]
+        # stats lanes: 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS. The [B,PD,K]
+        # particle / [B,K] weight stacks ride the ys outputs only when the
+        # smoothing pass will read them — otherwise they are two extra
+        # dynamic-update-slices per step next to the VJP's own residual saves
+        big = (x_new, alpha) if cache else ()
+        return (x_new, alpha), big + (
+            stats[:, 0, 1], stats[:, 0, 2], stats[:, :, 0]
         )
 
-    (x_last, logw_last), (xs_scan, alphas, ells, esss, fmeans) = jax.lax.scan(
+    (x_last, logw_last), outs = jax.lax.scan(
         body,
         (x0_p, alpha0),
         (sm_scan, ab, eps_p, u_scan),
     )
+    if cache:
+        xs_scan, alphas, ells, esss, fmeans = outs
+    else:
+        xs_scan = alphas = None
+        ells, esss, fmeans = outs
 
     increments = jnp.concatenate([ell0[None], ells], axis=0)
     ess_all = jnp.concatenate(
