@@ -347,33 +347,17 @@ def _onehot_scatter(g, idx, k):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(
-    k, n_mid, activation,
-    # inputs (weights augmented + TRANSPOSED — see module docstring)
-    logw_ref, u_ref, x_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
-    wt1s_ref, wtms_ref, wt3s_ref,
-    # outputs
-    xnew_ref, alpha_ref, stats_ref, idx_ref, xres_ref,
-):
-    del activation  # always relu (eligibility)
-    n_wm = max(n_mid, 1)
-
-    def net(i):
-        return (
-            wt1s_ref[i],
-            [wtms_ref[i * n_wm + j] for j in range(n_mid)],
-            wt3s_ref[i],
-        )
-
-    sm = sm_ref[:]
+def _fwd_core(k, net, logw, u, x, eps, ab, sm, sconst):
+    """The whole filtering step as pure array math (shared by the per-step
+    and whole-scan kernels). Returns (x_new, alpha, idx, x_res, fm, ell, ess).
+    """
     aq = sm[:, :, SM_AQ : SM_AQ + 1]
     cq = sm[:, :, SM_CQ : SM_CQ + 1]
     sq = sm[:, :, SM_SQ : SM_SQ + 1]
     y = sm[:, :, SM_Y : SM_Y + 1]
-    sfi = _col3(sconst_ref[:], SM_SFI)  # [1, PD, 1]
-    sgi = _col3(sconst_ref[:], SM_SGI)
+    sfi = _col3(sconst, SM_SFI)  # [1, PD, 1]
+    sgi = _col3(sconst, SM_SGI)
 
-    logw = logw_ref[:]
     # ESS of the incoming weights: (Σw)²/Σw² with max-shifted w
     m = jnp.max(logw, axis=-1, keepdims=True)
     w_in = jnp.exp(logw - m)
@@ -383,10 +367,8 @@ def _fwd_kernel(
 
     # resample: two-level O(K) indices + hardware lane gather (preserves the
     # pinned ones-channel row)
-    idx = _two_level_indices(logw, u_ref[:], k)
-    idx_ref[:] = idx
-    x_res = _gather_particles(x_ref[:], idx, k)
-    xres_ref[:] = x_res
+    idx = _two_level_indices(logw, u, k)
+    x_res = _gather_particles(x, idx, k)
 
     # q1 / f trunks on the resampled particles
     m1, _ = _trunk(x_res, *net(_Q1))
@@ -394,21 +376,18 @@ def _fwd_kernel(
 
     # fused proposal + reparameterized draw; row OC: aq=1, cq=sq=0 keeps
     # the ones-channel alive in x_new
-    x_new = cq * m1 + aq + sq * eps_ref[:]
-    xnew_ref[:] = x_new
+    x_new = cq * m1 + aq + sq * eps
 
     # emission trunk + α
     m_g, _ = _trunk(x_new, *net(_G))
     z_f = (x_new - m_f) * sfi
     z_g = (y - m_g) * sgi
     alpha = (
-        -0.5 * (jnp.sum(z_f * z_f, axis=-2) + jnp.sum(z_g * z_g, axis=-2))
-        + ab_ref[:]
+        -0.5 * (jnp.sum(z_f * z_f, axis=-2) + jnp.sum(z_g * z_g, axis=-2)) + ab
     )
     # finiteness floor (distributions._MIN_LOGP rationale): a diverged mean
     # must yield an astronomically-negative finite α, not -inf
     alpha = jnp.maximum(alpha, -3e30)
-    alpha_ref[:] = alpha
 
     # ℓ = lse(α) − log K; filtered mean under the new weights
     amax = jnp.max(alpha, axis=-1, keepdims=True)
@@ -420,33 +399,10 @@ def _fwd_kernel(
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) / sw[:, :, None]  # [R, PD, 1]
-
-    stats_ref[:] = jnp.zeros_like(stats_ref)
-    stats_ref[:, :, 0:1] = fm
-    stats_ref[:, 0:1, 1:2] = ell[:, :, None]
-    stats_ref[:, 0:1, 2:3] = ess[:, :, None]
+    return x_new, alpha, idx, x_res, fm, ell, ess
 
 
-# ---------------------------------------------------------------------------
-# Backward kernel
-# ---------------------------------------------------------------------------
-
-
-def _bwd_kernel(
-    k, n_mid, activation,
-    # residual inputs (wt* = transposed for recompute, w* for _dense_t)
-    xres_ref, xnew_ref, idx_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
-    wt1s_ref, wtms_ref, wt3s_ref, w1s_ref, wms_ref, w3s_ref,
-    # cotangent inputs
-    dxnew_ref, dalpha_ref, dstats_ref,
-    # outputs: per-batch grads
-    dx_ref, dab_ref, dsm_ref,
-    # outputs: accumulated param grads (constant index map, resident)
-    dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref,
-):
-    from jax.experimental import pallas as pl
-
-    del activation
+def _mk_net(wt1s_ref, wtms_ref, wt3s_ref, n_mid):
     n_wm = max(n_mid, 1)
 
     def net(i):
@@ -456,21 +412,55 @@ def _bwd_kernel(
             wt3s_ref[i],
         )
 
-    def netw(i):
-        return (
-            w1s_ref[i],
-            [wms_ref[i * n_wm + j] for j in range(n_mid)],
-            w3s_ref[i],
-        )
+    return net
 
-    x_res = xres_ref[:]
-    x_new = xnew_ref[:]  # saved by the forward — no q1 recompute for it
-    eps = eps_ref[:]
-    sm = sm_ref[:]
+
+def _write_stats(stats_ref, fm, ell, ess):
+    stats_ref[:] = jnp.zeros_like(stats_ref)
+    stats_ref[:, :, 0:1] = fm
+    stats_ref[:, 0:1, 1:2] = ell[:, :, None]
+    stats_ref[:, 0:1, 2:3] = ess[:, :, None]
+
+
+def _fwd_kernel(
+    k, n_mid, activation,
+    # inputs (weights augmented + TRANSPOSED — see module docstring)
+    logw_ref, u_ref, x_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
+    wt1s_ref, wtms_ref, wt3s_ref,
+    # outputs
+    xnew_ref, alpha_ref, stats_ref, idx_ref, xres_ref,
+):
+    del activation  # always relu (eligibility)
+    net = _mk_net(wt1s_ref, wtms_ref, wt3s_ref, n_mid)
+    x_new, alpha, idx, x_res, fm, ell, ess = _fwd_core(
+        k, net, logw_ref[:], u_ref[:], x_ref[:], eps_ref[:], ab_ref[:],
+        sm_ref[:], sconst_ref[:],
+    )
+    idx_ref[:] = idx
+    xres_ref[:] = x_res
+    xnew_ref[:] = x_new
+    alpha_ref[:] = alpha
+    _write_stats(stats_ref, fm, ell, ess)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_core(
+    k, net, netw, x_res, x_new, idx, eps, ab, sm, sconst,
+    d_xnew_in, d_alpha_in, d_stats,
+):
+    """Recompute-style step backward as pure array math (shared by the
+    per-step and whole-scan kernels). Returns
+    (d_x, d_alpha_full, sm_sums, dsfg, dws) where dws is
+    [(dw1, dwm_list, dw3) for q1, f, g] and sm_sums/dsfg are the packed
+    fusion-coefficient / scale-inverse reductions."""
     cq = sm[:, :, SM_CQ : SM_CQ + 1]
     y = sm[:, :, SM_Y : SM_Y + 1]
-    sfi = _col3(sconst_ref[:], SM_SFI)
-    sgi = _col3(sconst_ref[:], SM_SGI)
+    sfi = _col3(sconst, SM_SFI)
+    sgi = _col3(sconst, SM_SGI)
 
     # ---- recompute: f and g trunks keep their activations through the α
     # rebuild; q1 runs later so its hidden stack never overlaps g's
@@ -479,8 +469,7 @@ def _bwd_kernel(
     z_f = (x_new - m_f) * sfi
     z_g = (y - m_g) * sgi
     alpha = (
-        -0.5 * (jnp.sum(z_f * z_f, axis=-2) + jnp.sum(z_g * z_g, axis=-2))
-        + ab_ref[:]
+        -0.5 * (jnp.sum(z_f * z_f, axis=-2) + jnp.sum(z_g * z_g, axis=-2)) + ab
     )
     floored = alpha < -3e30  # grad cut where the forward floor clamped
     alpha = jnp.maximum(alpha, -3e30)
@@ -491,10 +480,9 @@ def _bwd_kernel(
     soft = w_new / _lane_sum(w_new)
     # ℓ rides stats[:, 0, 1]; its cotangent is zero on rows > 0, so the
     # sublane sum is exact and avoids a [R, 1, 1] ref load
-    d_ell = jnp.sum(dstats_ref[:][:, :, 1:2], axis=1)  # [R, 1]
-    d_alpha = dalpha_ref[:] + d_ell * soft
+    d_ell = jnp.sum(d_stats[:, :, 1:2], axis=1)  # [R, 1]
+    d_alpha = d_alpha_in + d_ell * soft
     d_alpha = jnp.where(floored, 0.0, d_alpha)
-    dab_ref[:] = d_alpha
 
     # ---- z-paths
     da_col = d_alpha[:, None, :]  # broadcast over channels
@@ -502,15 +490,13 @@ def _bwd_kernel(
     d_zg = -da_col * z_g
     d_mf = -d_zf * sfi
     d_mg = -d_zg * sgi
-    d_xnew = dxnew_ref[:] + d_zf * sfi
+    d_xnew = d_xnew_in + d_zf * sfi
 
     # scale-inverse grads in the [PD, 8] safe shape; one fused reduction
     # for both (the kernel is op-count-bound — round-3 ablation)
-    pd = x_new.shape[-2]
     dsfg = _bias_grad8(
         jnp.concatenate([d_zf * (x_new - m_f), d_zg * (y - m_g)], axis=-2)
     )  # [2·PD, 8]
-    dsfi, dsgi = dsfg[:pd], dsfg[pd:]
 
     # ---- g trunk backprop (activations live from the recompute)
     d_xg, dw1_g, dwm_g, dw3_g = _trunk_bwd(x_new, hs_g, d_mg, *netw(_G))
@@ -528,37 +514,79 @@ def _bwd_kernel(
     sm_sums = _lane_sum(
         jnp.concatenate([d_meanq, d_meanq * m1, d_xnew * eps], axis=-2)
     )  # [R, 3·PD, 1]
-    dsm_ref[:] = jnp.zeros_like(dsm_ref)
-    dsm_ref[:, :, SM_AQ : SM_AQ + 1] = sm_sums[:, :pd]
-    dsm_ref[:, :, SM_CQ : SM_CQ + 1] = sm_sums[:, pd : 2 * pd]
-    dsm_ref[:, :, SM_SQ : SM_SQ + 1] = sm_sums[:, 2 * pd :]
 
     # ---- f trunk backprop (activations kept from the top)
     d_xr_f, dw1_f, dwm_f, dw3_f = _trunk_bwd(x_res, hs_f, d_mf, *netw(_F))
 
     # ---- scatter particle grads back through the ancestor choice
-    dx_ref[:] = _onehot_scatter(d_xr_q + d_xr_f, idx_ref[:], k)
+    d_x = _onehot_scatter(d_xr_q + d_xr_f, idx, k)
 
-    # ---- accumulate param grads across the batch grid
-    b_step = pl.program_id(0)
+    dws = [(dw1_q, dwm_q, dw3_q), (dw1_f, dwm_f, dw3_f), (dw1_g, dwm_g, dw3_g)]
+    return d_x, d_alpha, sm_sums, dsfg, dws
 
-    @pl.when(b_step == 0)
+
+def _write_dsm(dsm_ref, sm_sums, pd):
+    dsm_ref[:] = jnp.zeros_like(dsm_ref)
+    dsm_ref[:, :, SM_AQ : SM_AQ + 1] = sm_sums[:, :pd]
+    dsm_ref[:, :, SM_CQ : SM_CQ + 1] = sm_sums[:, pd : 2 * pd]
+    dsm_ref[:, :, SM_SQ : SM_SQ + 1] = sm_sums[:, 2 * pd :]
+
+
+def _accum_param_grads(
+    n_mid, pd, dsfg, dws, dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref, init
+):
+    """Zero-init the resident param-grad blocks under `init`, then +=."""
+    from jax.experimental import pallas as pl
+
+    n_wm = max(n_mid, 1)
+
+    @pl.when(init)
     def _():
         dsconst_ref[:] = jnp.zeros_like(dsconst_ref)
         dw1s_ref[:] = jnp.zeros_like(dw1s_ref)
         dwms_ref[:] = jnp.zeros_like(dwms_ref)  # incl. the n_mid=0 dummy
         dw3s_ref[:] = jnp.zeros_like(dw3s_ref)
 
-    dsconst_ref[:, SM_SFI : SM_SFI + 8] += dsfi
-    dsconst_ref[:, SM_SGI : SM_SGI + 8] += dsgi
-    for i, (dw1, dw3) in enumerate(
-        [(dw1_q, dw3_q), (dw1_f, dw3_f), (dw1_g, dw3_g)]
-    ):
+    dsconst_ref[:, SM_SFI : SM_SFI + 8] += dsfg[:pd]
+    dsconst_ref[:, SM_SGI : SM_SGI + 8] += dsfg[pd:]
+    for i, (dw1, dwm, dw3) in enumerate(dws):
         dw1s_ref[i] += dw1
         dw3s_ref[i] += dw3
-    for i, dwm in enumerate([dwm_q, dwm_f, dwm_g]):
         for j in range(n_mid):
             dwms_ref[i * n_wm + j] += dwm[j]
+
+
+def _bwd_kernel(
+    k, n_mid, activation,
+    # residual inputs (wt* = transposed for recompute, w* for _dense_t)
+    xres_ref, xnew_ref, idx_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
+    wt1s_ref, wtms_ref, wt3s_ref, w1s_ref, wms_ref, w3s_ref,
+    # cotangent inputs
+    dxnew_ref, dalpha_ref, dstats_ref,
+    # outputs: per-batch grads
+    dx_ref, dab_ref, dsm_ref,
+    # outputs: accumulated param grads (constant index map, resident)
+    dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref,
+):
+    from jax.experimental import pallas as pl
+
+    del activation
+    net = _mk_net(wt1s_ref, wtms_ref, wt3s_ref, n_mid)
+    netw = _mk_net(w1s_ref, wms_ref, w3s_ref, n_mid)
+    pd = xnew_ref.shape[-2]
+
+    d_x, d_alpha, sm_sums, dsfg, dws = _bwd_core(
+        k, net, netw, xres_ref[:], xnew_ref[:], idx_ref[:], eps_ref[:],
+        ab_ref[:], sm_ref[:], sconst_ref[:],
+        dxnew_ref[:], dalpha_ref[:], dstats_ref[:],
+    )
+    dab_ref[:] = d_alpha
+    dx_ref[:] = d_x
+    _write_dsm(dsm_ref, sm_sums, pd)
+    _accum_param_grads(
+        n_mid, pd, dsfg, dws, dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref,
+        pl.program_id(0) == 0,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -730,6 +758,312 @@ def _step_bwd(static, res, cots):
 
 
 _step_call.defvjp(_step_fwd, _step_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-scan kernels: ONE pallas_call per direction for the ENTIRE filter.
+#
+# The per-step megakernel still paid ~2 kernel launches plus the lax.scan
+# glue (operand dynamic-slices, output dynamic-update-slices, carry
+# bookkeeping — several XLA ops of 2-8 µs) per timestep. Here the grid is
+# (batch-blocks, T−1) with t fastest-varying: per-step operands stream
+# through t-indexed BlockSpecs, the carry (particles + log-weights) lives in
+# VMEM scratch across grid steps, and x0 / the weights stay resident. The
+# backward mirrors it with REVERSED index maps (t = T−2−tr), carrying the
+# particle cotangent in scratch exactly where lax.scan's VJP carried d_x.
+# Param grads accumulate into constant-index-map resident blocks across BOTH
+# grid axes. The launch count per train step drops from ~2(T−1) to 2.
+# ---------------------------------------------------------------------------
+
+SCAN_FUSED = True  # flip False to A/B the per-step _step_call path
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _scan_call(static, x0, alpha0, sm, ab, eps, u, sconst,
+               wt1s, wtms, wt3s, w1s, wms, w3s):
+    """static = (k, pd, n_mid, activation, cache). Streams are [T-1, ...].
+
+    Returns (x_last, alpha_last, stats) — plus (x_new_all, alpha_all) when
+    `cache` (the SVO/PSVO history; FIVO skips the two big stream outputs'
+    cotangent plumbing entirely)."""
+    out, _ = _scan_fwd(static, x0, alpha0, sm, ab, eps, u, sconst,
+                       wt1s, wtms, wt3s, w1s, wms, w3s)
+    return out
+
+
+def _scan_fwd_kernel(
+    k, n_mid, t_len,
+    x0_ref, a0_ref, sm_ref, ab_ref, eps_ref, u_ref, sconst_ref,
+    wt1s_ref, wtms_ref, wt3s_ref,
+    xnew_ref, alpha_ref, stats_ref, idx_ref, xres_ref, xlast_ref, alast_ref,
+    x_c, lw_c,
+):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+    net = _mk_net(wt1s_ref, wtms_ref, wt3s_ref, n_mid)
+
+    @pl.when(t == 0)
+    def _():
+        x_c[:] = x0_ref[:]
+        lw_c[:] = a0_ref[:]
+
+    x_new, alpha, idx, x_res, fm, ell, ess = _fwd_core(
+        k, net, lw_c[:], u_ref[0], x_c[:], eps_ref[0], ab_ref[0],
+        sm_ref[0], sconst_ref[:],
+    )
+    idx_ref[:] = idx[None]
+    xres_ref[:] = x_res[None]
+    xnew_ref[:] = x_new[None]
+    alpha_ref[:] = alpha[None]
+    stats_ref[:] = jnp.zeros_like(stats_ref)
+    stats_ref[:, :, :, 0:1] = fm[None]
+    stats_ref[:, :, 0:1, 1:2] = ell[None, :, :, None]
+    stats_ref[:, :, 0:1, 2:3] = ess[None, :, :, None]
+    x_c[:] = x_new
+    lw_c[:] = alpha
+
+    @pl.when(t == t_len - 1)
+    def _():
+        xlast_ref[:] = x_new
+        alast_ref[:] = alpha
+
+
+def _scan_bwd_kernel(
+    k, n_mid, t_len, has_cot,
+    # residuals (streamed reversed) + constants
+    xres_ref, xnew_ref, idx_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
+    wt1s_ref, wtms_ref, wt3s_ref, w1s_ref, wms_ref, w3s_ref,
+    *rest,
+):
+    from jax.experimental import pallas as pl
+
+    it = iter(rest)
+    dxnew_s = next(it) if has_cot else None
+    dalpha_s = next(it) if has_cot else None
+    dstats_s, dxlast_ref, dalast_ref = next(it), next(it), next(it)
+    dx0_ref, dab_ref, dsm_ref = next(it), next(it), next(it)
+    dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref = (
+        next(it), next(it), next(it), next(it),
+    )
+    (dxc,) = it
+
+    b, tr = pl.program_id(0), pl.program_id(1)
+    net = _mk_net(wt1s_ref, wtms_ref, wt3s_ref, n_mid)
+    netw = _mk_net(w1s_ref, wms_ref, w3s_ref, n_mid)
+    pd = dxc.shape[-2]
+
+    @pl.when(tr == 0)
+    def _():
+        dxc[:] = dxlast_ref[:]  # cotangent of x_last seeds the carry
+
+    d_xnew_in = dxc[:]
+    d_alpha_in = jnp.where(tr == 0, dalast_ref[:], 0.0)
+    if has_cot:
+        d_xnew_in = d_xnew_in + dxnew_s[0]
+        d_alpha_in = d_alpha_in + dalpha_s[0]
+
+    d_x, d_alpha, sm_sums, dsfg, dws = _bwd_core(
+        k, net, netw, xres_ref[0], xnew_ref[0], idx_ref[0], eps_ref[0],
+        ab_ref[0], sm_ref[0], sconst_ref[:],
+        d_xnew_in, d_alpha_in, dstats_s[0],
+    )
+    dab_ref[:] = d_alpha[None]
+    dsm_ref[:] = jnp.zeros_like(dsm_ref)
+    dsm_ref[:, :, :, SM_AQ : SM_AQ + 1] = sm_sums[None, :, :pd]
+    dsm_ref[:, :, :, SM_CQ : SM_CQ + 1] = sm_sums[None, :, pd : 2 * pd]
+    dsm_ref[:, :, :, SM_SQ : SM_SQ + 1] = sm_sums[None, :, 2 * pd :]
+    dxc[:] = d_x  # feeds step t-1's x_new cotangent
+
+    @pl.when(tr == t_len - 1)
+    def _():
+        dx0_ref[:] = d_x  # t == 0: the cotangent of the initial particles
+
+    _accum_param_grads(
+        n_mid, pd, dsfg, dws, dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref,
+        (b == 0) & (tr == 0),
+    )
+
+
+def _res_spec(shape, reverse_t_len=None):
+    """BlockSpec for a [T, B, ...] stream: block (1, ROW_BLOCK, ...)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = len(shape)
+    if reverse_t_len is None:
+        imap = lambda b, t, _n=n: (t, b) + (0,) * (_n - 2)
+    else:
+        imap = lambda b, t, _n=n, _tl=reverse_t_len: (_tl - 1 - t, b) + (0,) * (
+            _n - 2
+        )
+    return pl.BlockSpec((1, ROW_BLOCK, *shape[2:]), imap, memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape, batched_rows=False):
+    """Resident block: constant over t (and blocked over rows if batched)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = len(shape)
+    if batched_rows:
+        return pl.BlockSpec(
+            (ROW_BLOCK, *shape[1:]),
+            lambda b, t, _n=n: (b,) + (0,) * (_n - 1),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        shape, lambda b, t, _n=n: (0,) * _n, memory_space=pltpu.VMEM
+    )
+
+
+def _scan_fwd(static, x0, alpha0, sm, ab, eps, u, sconst,
+              wt1s, wtms, wt3s, w1s, wms, w3s):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k, pd, n_mid, _activation, cache = static
+    t_len, batch = ab.shape[0], ab.shape[1]
+
+    in_specs = [
+        _const_spec(x0.shape, batched_rows=True),
+        _const_spec(alpha0.shape, batched_rows=True),
+        _res_spec(sm.shape),
+        _res_spec(ab.shape),
+        _res_spec(eps.shape),
+        _res_spec(u.shape),
+        _const_spec(sconst.shape),
+        _const_spec(wt1s.shape),
+        _const_spec(wtms.shape),
+        _const_spec(wt3s.shape),
+    ]
+    out_specs = [
+        _res_spec((t_len, batch, pd, k)),      # x_new
+        _res_spec((t_len, batch, k)),          # alpha
+        _res_spec((t_len, batch, pd, _LANES)), # stats
+        _res_spec((t_len, batch, k)),          # idx
+        _res_spec((t_len, batch, pd, k)),      # x_res
+        _const_spec((batch, pd, k), batched_rows=True),  # x_last
+        _const_spec((batch, k), batched_rows=True),      # alpha_last
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_len, batch, pd, k), jnp.float32),
+        jax.ShapeDtypeStruct((t_len, batch, k), jnp.float32),
+        jax.ShapeDtypeStruct((t_len, batch, pd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((t_len, batch, k), jnp.int32),
+        jax.ShapeDtypeStruct((t_len, batch, pd, k), jnp.float32),
+        jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
+        jax.ShapeDtypeStruct((batch, k), jnp.float32),
+    ]
+    xnew, alpha, stats, idx, xres, x_last, a_last = pl.pallas_call(
+        functools.partial(_scan_fwd_kernel, k, n_mid, t_len),
+        grid=(batch // ROW_BLOCK, t_len),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ROW_BLOCK, pd, k), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, k), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x0, alpha0, sm, ab, eps, u, sconst, wt1s, wtms, wt3s)
+    res = (xres, xnew, idx, eps, ab, sm, sconst,
+           wt1s, wtms, wt3s, w1s, wms, w3s)
+    if cache:
+        return (x_last, a_last, stats, xnew, alpha), res
+    return (x_last, a_last, stats), res
+
+
+def _scan_bwd(static, res, cots):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k, pd, n_mid, _activation, cache = static
+    (xres, xnew, idx, eps, ab, sm, sconst,
+     wt1s, wtms, wt3s, w1s, wms, w3s) = res
+    if cache:
+        d_xlast, d_alast, d_stats, d_xnew_s, d_alpha_s = cots
+    else:
+        d_xlast, d_alast, d_stats = cots
+        d_xnew_s = d_alpha_s = None
+    t_len, batch = ab.shape[0], ab.shape[1]
+    ha = wt1s.shape[1]
+    n_wm = wms.shape[0] // 3
+
+    rev = t_len
+    in_specs = [
+        _res_spec(xres.shape, reverse_t_len=rev),
+        _res_spec(xnew.shape, reverse_t_len=rev),
+        _res_spec(idx.shape, reverse_t_len=rev),
+        _res_spec(eps.shape, reverse_t_len=rev),
+        _res_spec(ab.shape, reverse_t_len=rev),
+        _res_spec(sm.shape, reverse_t_len=rev),
+        _const_spec(sconst.shape),
+        _const_spec(wt1s.shape),
+        _const_spec(wtms.shape),
+        _const_spec(wt3s.shape),
+        _const_spec(w1s.shape),
+        _const_spec(wms.shape),
+        _const_spec(w3s.shape),
+    ]
+    operands = [xres, xnew, idx, eps, ab, sm, sconst,
+                wt1s, wtms, wt3s, w1s, wms, w3s]
+    if cache:
+        in_specs += [
+            _res_spec(d_xnew_s.shape, reverse_t_len=rev),
+            _res_spec(d_alpha_s.shape, reverse_t_len=rev),
+        ]
+        operands += [d_xnew_s, d_alpha_s]
+    in_specs += [
+        _res_spec(d_stats.shape, reverse_t_len=rev),
+        _const_spec(d_xlast.shape, batched_rows=True),
+        _const_spec(d_alast.shape, batched_rows=True),
+    ]
+    operands += [d_stats, d_xlast, d_alast]
+
+    out_specs = [
+        _const_spec((batch, pd, k), batched_rows=True),   # d_x0
+        _res_spec((t_len, batch, k), reverse_t_len=rev),  # d_ab
+        _res_spec((t_len, batch, pd, _LANES), reverse_t_len=rev),  # d_sm
+        _const_spec((pd, _LANES)),
+        _const_spec((3, pd, ha)),
+        _const_spec((3 * n_wm, ha, ha)),
+        _const_spec((3, ha, pd)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
+        jax.ShapeDtypeStruct((t_len, batch, k), jnp.float32),
+        jax.ShapeDtypeStruct((t_len, batch, pd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((pd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((3, pd, ha), jnp.float32),
+        jax.ShapeDtypeStruct((3 * n_wm, ha, ha), jnp.float32),
+        jax.ShapeDtypeStruct((3, ha, pd), jnp.float32),
+    ]
+    (d_x0, d_ab, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
+        functools.partial(_scan_bwd_kernel, k, n_mid, t_len, cache),
+        grid=(batch // ROW_BLOCK, t_len),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((ROW_BLOCK, pd, k), jnp.float32)],
+        interpret=_INTERPRET,
+    )(*operands)
+
+    zeros = jnp.zeros_like
+    return (
+        d_x0,
+        zeros(ab[0]),   # d alpha0: consumed only via stop-grad resampling/ESS
+        d_sm,
+        d_ab,
+        zeros(eps),     # ε is raw RNG — no param dependence
+        zeros(ab),      # d u
+        d_sconst,
+        zeros(wt1s), zeros(wtms), zeros(wt3s),
+        d_w1s, d_wms, d_w3s,
+    )
+
+
+_scan_call.defvjp(_scan_fwd, _scan_bwd)
 
 
 # ---------------------------------------------------------------------------

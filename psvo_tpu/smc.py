@@ -321,31 +321,48 @@ def _forward_filter_fused(
     weights = consts["w"]
     sconst = consts["sconst"]
 
-    def body(carry, inputs):
-        x, logw = carry
-        sm_t, ab_t, eps_t, u_t = inputs
-        x_new, alpha, stats = pallas_step._step_call(
-            static, logw, u_t, x, eps_t, ab_t, sm_t, sconst, *weights
+    if pallas_step.SCAN_FUSED:
+        # whole-scan megakernel: ONE pallas_call per direction for all T-1
+        # steps (carry in VMEM scratch, per-step operands streamed by
+        # t-indexed BlockSpecs) — no lax.scan glue, 2 launches per train step
+        outs = pallas_step._scan_call(
+            static + (cache,), x0_p, alpha0, sm_scan, ab, eps_p, u_scan,
+            sconst, *weights,
         )
-        # stats lanes: 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS. The [B,PD,K]
-        # particle / [B,K] weight stacks ride the ys outputs only when the
-        # smoothing pass will read them — otherwise they are two extra
-        # dynamic-update-slices per step next to the VJP's own residual saves
-        big = (x_new, alpha) if cache else ()
-        return (x_new, alpha), big + (
-            stats[:, 0, 1], stats[:, 0, 2], stats[:, :, 0]
-        )
-
-    (x_last, logw_last), outs = jax.lax.scan(
-        body,
-        (x0_p, alpha0),
-        (sm_scan, ab, eps_p, u_scan),
-    )
-    if cache:
-        xs_scan, alphas, ells, esss, fmeans = outs
+        if cache:
+            x_last, logw_last, stats_all, xs_scan, alphas = outs
+        else:
+            (x_last, logw_last, stats_all), xs_scan, alphas = outs, None, None
+        ells = stats_all[:, :, 0, 1]
+        esss = stats_all[:, :, 0, 2]
+        fmeans = stats_all[:, :, :, 0]
     else:
-        xs_scan = alphas = None
-        ells, esss, fmeans = outs
+        def body(carry, inputs):
+            x, logw = carry
+            sm_t, ab_t, eps_t, u_t = inputs
+            x_new, alpha, stats = pallas_step._step_call(
+                static, logw, u_t, x, eps_t, ab_t, sm_t, sconst, *weights
+            )
+            # stats lanes: 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS. The
+            # [B,PD,K] particle / [B,K] weight stacks ride the ys outputs
+            # only when the smoothing pass will read them — otherwise they
+            # are two extra dynamic-update-slices per step next to the VJP's
+            # own residual saves
+            big = (x_new, alpha) if cache else ()
+            return (x_new, alpha), big + (
+                stats[:, 0, 1], stats[:, 0, 2], stats[:, :, 0]
+            )
+
+        (x_last, logw_last), outs = jax.lax.scan(
+            body,
+            (x0_p, alpha0),
+            (sm_scan, ab, eps_p, u_scan),
+        )
+        if cache:
+            xs_scan, alphas, ells, esss, fmeans = outs
+        else:
+            xs_scan = alphas = None
+            ells, esss, fmeans = outs
 
     increments = jnp.concatenate([ell0[None], ells], axis=0)
     ess_all = jnp.concatenate(

@@ -52,7 +52,9 @@ def _run(cfg, fused: bool, cache=False, key=7):
     return ssm, params, ys, fwd
 
 
-def test_fused_forward_matches_unfused():
+@pytest.mark.parametrize("scan_fused", [True, False])
+def test_fused_forward_matches_unfused(scan_fused, monkeypatch):
+    monkeypatch.setattr(pallas_step, "SCAN_FUSED", scan_fused)
     cfg = _cfg()
     _, _, _, want = _run(cfg, fused=False, cache=True)
     _, _, _, got = _run(cfg, fused=True, cache=True)
