@@ -230,28 +230,35 @@ def _make_ffbsi_body(ssm: SSM, params):
     """One FFBSi reverse step: re-weight the forward support against the
     current backward state, draw an ancestor per path, accumulate log p and
     the discrete path pmf log q̃ (the reference-form sampled-trajectory
-    proposal mass — see the psvo_direct notes in make_objective)."""
+    proposal mass — see the psvo_direct notes in make_objective).
+
+    The selected trajectory's densities are GATHERED, not re-evaluated: the
+    pairwise logits already hold log f(x̃_{t+1} | X_t^j) for every support
+    point (same point, same value, same parameter gradient — the discrete
+    index is stop-grad), and the emission density of the whole support is
+    precomputed in ONE bulk trunk call outside the scan (`log_g_support`) —
+    so the scan body runs no transition/emission MLPs beyond the pairwise
+    support trunk itself. Normalized forward weights are also bulk-hoisted."""
 
     def body(carry, inputs):
         x_next, logp, logq = carry
-        # [B,Dx,K], [B,K], [B,Dy], [B,Di] control at t+1 (into x_next), key
-        x_t_support, logw_t, y_t, u_next, k_t = inputs
+        # support [B,Dx,K], normalized logw [B,K], bulk emission [B,K],
+        # [B,Di] control at t+1 (into x_next), key
+        x_t_support, logw_norm, log_g_t, u_next, k_t = inputs
 
-        logw_norm, _ = log_normalize(logw_t, axis=-1)  # [B, K]
         pair = _pairwise_transition_logp(ssm, params, x_t_support, x_next, u_next)
         logits = pair + logw_norm[:, None, :]  # [B, M, K] backward weights
         idx = jax.random.categorical(k_t, logits, axis=-1)  # [B, M]
-        probs_log, _ = log_normalize(logits, axis=-1)
-        logq = logq + jnp.take_along_axis(probs_log, idx[..., None], axis=-1)[..., 0]
+        idx3 = idx[..., None]
+        pair_sel = jnp.take_along_axis(pair, idx3, axis=-1)[..., 0]  # log f
+        lwn_sel = jnp.take_along_axis(logw_norm, idx, axis=-1)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [B, M]
+        logq = logq + pair_sel + lwn_sel - lse
         x_t = jnp.swapaxes(
             jnp.take_along_axis(x_t_support, idx[:, None, :], axis=-1), -1, -2
         )  # [B, M, Dx]
 
-        logp = (
-            logp
-            + ssm.transition_log_prob(params, x_t, x_next, u_next)
-            + ssm.emission_log_prob(params, x_t, y_t[:, None, :])
-        )
+        logp = logp + pair_sel + jnp.take_along_axis(log_g_t, idx, axis=-1)
         return (x_t, logp, logq), x_t
 
     return body
@@ -272,11 +279,17 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
     logq = jnp.take_along_axis(logw_norm_t, idx_t, axis=-1)  # [B, M] anchor pmf
     # pre-split per-step keys so the scan carry has no serial key chain
     cat_keys = jax.random.split(k_cat, t_steps - 1)
+    # bulk hoists (the scan is launch-bound): normalized forward weights and
+    # the support's emission densities for all T in one trunk call each
+    logw_norm_all, _ = log_normalize(fwd.logws[:-1], axis=-1)  # [T-1, B, K]
+    log_g_support = ssm.emission_log_prob_cm(
+        params, fwd.xs[:-1], ys_tm[:-1]
+    )  # [T-1, B, K]
 
     (x_first, logp, logq), xs_rev = jax.lax.scan(
         _make_ffbsi_body(ssm, params),
         (x_tilde_t, logp, logq),
-        (fwd.xs[:-1], fwd.logws[:-1], ys_tm[:-1], ctrl_tm[1:], cat_keys),
+        (fwd.xs[:-1], logw_norm_all, log_g_support, ctrl_tm[1:], cat_keys),
         reverse=True,
     )
     logp = logp + ssm.prior_log_prob(params, x_first)
@@ -327,14 +340,19 @@ def _ffbsi_backward_segmented(
         ys_sup = ys_tm[lo : hi + 1]
         ctrl_sup = ctrl_tm[lo + 1 : hi + 2]
         keys_sup = cat_keys[lo : hi + 1]
+        lwn_sup, _ = log_normalize(logw_sup, axis=-1)
+        lg_sup = ssm.emission_log_prob_cm(params, xs_sup, ys_sup)
         carry, xs_rev = jax.lax.scan(
-            body, carry, (xs_sup, logw_sup, ys_sup, ctrl_sup, keys_sup), reverse=True
+            body, carry, (xs_sup, lwn_sup, lg_sup, ctrl_sup, keys_sup),
+            reverse=True,
         )
         pieces.append(xs_rev)
 
     # final reverse step: support t = 0 (the initial particles)
+    lwn0, _ = log_normalize(cache.alpha0, axis=-1)
+    lg0 = ssm.emission_log_prob_cm(params, cache.x0, ys_tm[0])
     carry, x0_tilde = body(
-        carry, (cache.x0, cache.alpha0, ys_tm[0], ctrl_tm[1], cat_keys[0])
+        carry, (cache.x0, lwn0, lg0, ctrl_tm[1], cat_keys[0])
     )
     x_first, logp, logq = carry
     logp = logp + ssm.prior_log_prob(params, x_first)
