@@ -192,15 +192,16 @@ class SSM:
         return jnp.concatenate([x, u], axis=-1)
 
     def _with_control_cm(self, x: jax.Array, u: Optional[jax.Array]) -> jax.Array:
-        """Channel-major concat: x [B, Dx, K], u [B, Di] -> [B, Dx+Di, K]."""
+        """Channel-major concat: x [..., Dx, K], u [..., Di] -> [..., Dx+Di, K]
+        (leading dims broadcast — the FFBSi bulk support hoist passes
+        [T, B, ...])."""
         if not self.di:
             return x
+        shape = (*x.shape[:-2], self.di, x.shape[-1])
         if u is None:
-            u_b = jnp.zeros((x.shape[0], self.di, x.shape[-1]), x.dtype)
+            u_b = jnp.zeros(shape, x.dtype)
         else:
-            u_b = jnp.broadcast_to(
-                u[:, :, None], (x.shape[0], self.di, x.shape[-1])
-            )
+            u_b = jnp.broadcast_to(u[..., :, None], shape)
         return jnp.concatenate([x, u_b], axis=-2)
 
     # -- prior ----------------------------------------------------------------

@@ -71,33 +71,19 @@ class ObjectiveOutput:
     filter_result: Optional[FilterResult] = None
 
 
-def _pairwise_transition_logp(
-    ssm: SSM, params, x_support: jax.Array, x_query: jax.Array, u=None
-) -> jax.Array:
-    """log f(x_query^m | x_support^j) for all (m, j):
-    x_support [B,Dx,K] (channel-major), x_query [B,M,Dx] -> [B,M,K].
+def _pairwise_support_terms(ssm: SSM, params, x_support: jax.Array, u=None):
+    """Support-side pieces of the pairwise transition density.
 
-    The O(K·M·D) inner loop of FFBSi (SURVEY.md §3.3 "THE hot spot of PSVO").
-    One batched MLP forward over the K support points gives (m, s) [B,Dx,K];
-    then, with r = 1/s², the squared Mahalanobis term expands into three MXU
-    contractions over d instead of a broadcast [B,M,K,D] tensor:
+    Everything that depends only on (params, x_support, u) — the transition
+    trunk, precision products, and the query-independent Mahalanobis /
+    log-det terms — separated from the query-side contractions so the FFBSi
+    reverse scan can precompute it for ALL T in one bulk trunk call
+    (leading dims broadcast: x_support may be [T, B, Dx, K]).
 
-        Σ_d (q_d − m_dj)²·r_dj = Σ_d q_d²·r_dj − 2·Σ_d q_d·(m·r)_dj + Σ_d m²r
-
-    — round-1 ROADMAP #4 ("fused pairwise density kernel") realized as plain
-    dot_generals riding the MXU; no Pallas needed.
-    """
-    d = x_query.shape[-1]
-    hi = jax.lax.Precision.HIGHEST
+    Returns a dict streamed through the scan; consumed by
+    _pairwise_query_logp."""
+    d = x_support.shape[-2]
     if ssm.f_tril_head:
-        # STATE-DEPENDENT full covariance (cov_type='tril_head'): per support
-        # point j the Mahalanobis term expands through the precision matrix
-        # P_j = L_j⁻ᵀ L_j⁻¹ as
-        #   qᵀP_j q − 2 qᵀ(P_j m_j) + m_jᵀP_j m_j
-        # with qᵀP_j q = ⟨q⊗q, vec(P_j)⟩ — ONE D²-channel MXU contraction —
-        # so the [B, M, K, D] broadcast never materializes even though every
-        # support point carries its own factor. The packed L inverts by
-        # unrolled forward substitution on [.., K] channel tensors (D tiny).
         mean, diag, off = ssm.transition_tril_cm(params, x_support, u)
 
         def L(i, j):  # packed lower-tri entry, i >= j
@@ -114,11 +100,11 @@ def _pairwise_transition_logp(
             sum(linv[i][j] * mean[..., j, :] for j in range(i + 1))
             for i in range(d)
         ]
-        t3 = sum(v * v for v in m_w)[:, None, :]  # [B, 1, K]
+        t3 = sum(v * v for v in m_w)  # [..., K]
         w = jnp.stack(
             [sum(linv[i][j] * m_w[i] for i in range(j, d)) for j in range(d)],
             axis=-2,
-        )  # [B, D, K] = P m
+        )  # [..., D, K] = P m
         pflat = jnp.stack(
             [
                 sum(linv[i][a] * linv[i][b] for i in range(max(a, b), d))
@@ -126,40 +112,90 @@ def _pairwise_transition_logp(
                 for b in range(d)
             ],
             axis=-2,
-        )  # [B, D², K] row-major vec(P)
-        qq = (x_query[..., :, None] * x_query[..., None, :]).reshape(
-            *x_query.shape[:-1], d * d
-        )
-        t1 = jnp.einsum("bmp,bpk->bmk", qq, pflat, precision=hi)
-        t2 = jnp.einsum("bmd,bdk->bmk", x_query, w, precision=hi)
-        logdet = jnp.sum(jnp.log(diag), axis=-2)[:, None, :]
-        logp = -0.5 * (t1 - 2.0 * t2 + t3) - logdet - d * _HALF_LOG_2PI
-        return jnp.maximum(logp, _MIN_LOGP)
+        )  # [..., D², K] row-major vec(P)
+        logdet = jnp.sum(jnp.log(diag), axis=-2)
+        return {"pflat": pflat, "w": w, "c": -0.5 * t3 - logdet - d * _HALF_LOG_2PI}
     if ssm.f_tril:
-        # constant full covariance: whiten both sides with L⁻¹, then the same
-        # expansion applies with unit scales
-        mean, chol = ssm.transition_full_cm(params, x_support, u)  # [B,Dx,K], [D,D]
+        # constant full covariance: whiten the support mean once; the query
+        # whitens per step against the same (tiny, broadcast) factor
+        mean, chol = ssm.transition_full_cm(params, x_support, u)
         solve = lambda v: jax.scipy.linalg.solve_triangular(
             jnp.broadcast_to(chol, (*v.shape[:-2], d, d)), v, lower=True
         )
         mean = solve(mean)
-        x_query = jnp.swapaxes(solve(jnp.swapaxes(x_query, -1, -2)), -1, -2)
         r = jnp.ones_like(mean)
         logdet = jnp.sum(jnp.log(jnp.diagonal(chol)))
-    else:
-        mean, scale = ssm.transition_params_cm(params, x_support, u)  # [B, Dx, K]
-        r = 1.0 / (scale * scale)
-        logdet = jnp.sum(jnp.log(scale), axis=-2)[:, None, :]
-    # HIGHEST precision: t1/t2/t3 are large near-cancelling quantities
-    # (~x²/σ², 1e3-1e4 at Lorenz-63 state scales); the TPU default truncates
-    # f32 operands to bf16 (~0.4% rel), which after the t1−2·t2+t3
-    # cancellation would leave O(1-100 nat) noise in the backward categorical
-    # logits. These contractions are tiny next to the MLP cost.
-    t1 = jnp.einsum("bmd,bdk->bmk", x_query * x_query, r, precision=hi)
-    t2 = jnp.einsum("bmd,bdk->bmk", x_query, mean * r, precision=hi)
-    t3 = jnp.sum(mean * mean * r, axis=-2)[:, None, :]  # [B, 1, K]
-    logp = -0.5 * (t1 - 2.0 * t2 + t3) - logdet - d * _HALF_LOG_2PI
+        t3 = jnp.sum(mean * mean, axis=-2)
+        return {
+            "r": r,
+            "mr": mean,
+            "c": -0.5 * t3 - logdet - d * _HALF_LOG_2PI,
+            "chol": jnp.broadcast_to(chol, (*x_support.shape[:-2], d, d)),
+        }
+    mean, scale = ssm.transition_params_cm(params, x_support, u)  # [..., Dx, K]
+    r = 1.0 / (scale * scale)
+    logdet = jnp.sum(jnp.log(scale), axis=-2)
+    t3 = jnp.sum(mean * mean * r, axis=-2)
+    return {"r": r, "mr": mean * r, "c": -0.5 * t3 - logdet - d * _HALF_LOG_2PI}
+
+
+def _pairwise_query_logp(ssm: SSM, sup: dict, x_query: jax.Array) -> jax.Array:
+    """Query-side contractions of the pairwise density: sup (one step's
+    support terms, [B, ..., K]) × x_query [B, M, Dx] -> [B, M, K].
+
+    With r = 1/s², the squared Mahalanobis term expands into MXU
+    contractions over d instead of a broadcast [B,M,K,D] tensor:
+
+        Σ_d (q_d − m_dj)²·r_dj = Σ_d q_d²·r_dj − 2·Σ_d q_d·(m·r)_dj + Σ_d m²r
+
+    (the last term rides sup["c"]). HIGHEST precision: t1/t2/c are large
+    near-cancelling quantities (~x²/σ², 1e3-1e4 at Lorenz-63 state scales);
+    the TPU default truncates f32 operands to bf16 (~0.4% rel), which after
+    the cancellation would leave O(1-100 nat) noise in the backward
+    categorical logits. These contractions are tiny next to the MLP cost."""
+    hi = jax.lax.Precision.HIGHEST
+    if ssm.f_tril_head:
+        qq = (x_query[..., :, None] * x_query[..., None, :]).reshape(
+            *x_query.shape[:-1], x_query.shape[-1] ** 2
+        )
+        t1 = jnp.einsum("bmp,bpk->bmk", qq, sup["pflat"], precision=hi)
+        t2 = jnp.einsum("bmd,bdk->bmk", x_query, sup["w"], precision=hi)
+        logp = -0.5 * t1 + t2 + sup["c"][:, None, :]
+        return jnp.maximum(logp, _MIN_LOGP)
+    if ssm.f_tril:
+        d = x_query.shape[-1]
+        x_query = jnp.swapaxes(
+            jax.scipy.linalg.solve_triangular(
+                jnp.broadcast_to(sup["chol"], (*x_query.shape[:-2], d, d)),
+                jnp.swapaxes(x_query, -1, -2),
+                lower=True,
+            ),
+            -1, -2,
+        )
+    t1 = jnp.einsum("bmd,bdk->bmk", x_query * x_query, sup["r"], precision=hi)
+    t2 = jnp.einsum("bmd,bdk->bmk", x_query, sup["mr"], precision=hi)
+    logp = -0.5 * t1 + t2 + sup["c"][:, None, :]
     return jnp.maximum(logp, _MIN_LOGP)
+
+
+def _pairwise_transition_logp(
+    ssm: SSM, params, x_support: jax.Array, x_query: jax.Array, u=None
+) -> jax.Array:
+    """log f(x_query^m | x_support^j) for all (m, j):
+    x_support [B,Dx,K] (channel-major), x_query [B,M,Dx] -> [B,M,K].
+
+    The O(K·M·D) inner loop of FFBSi (SURVEY.md §3.3 "THE hot spot of PSVO").
+    One batched MLP forward over the K support points gives (m, s) [B,Dx,K];
+    the Mahalanobis term then rides three MXU contractions (see
+    _pairwise_query_logp) — round-1 ROADMAP #4 ("fused pairwise density
+    kernel") realized as plain dot_generals riding the MXU; no Pallas
+    needed. Split as support-terms + query-contractions so the FFBSi scan
+    bulk-precomputes the support side (_pairwise_support_terms).
+    """
+    return _pairwise_query_logp(
+        ssm, _pairwise_support_terms(ssm, params, x_support, u), x_query
+    )
+
 
 
 def _predictive_mixture_logp(
@@ -236,17 +272,19 @@ def _make_ffbsi_body(ssm: SSM, params):
     pairwise logits already hold log f(x̃_{t+1} | X_t^j) for every support
     point (same point, same value, same parameter gradient — the discrete
     index is stop-grad), and the emission density of the whole support is
-    precomputed in ONE bulk trunk call outside the scan (`log_g_support`) —
-    so the scan body runs no transition/emission MLPs beyond the pairwise
-    support trunk itself. Normalized forward weights are also bulk-hoisted."""
+    precomputed in ONE bulk trunk call outside the scan (`log_g_support`).
+    The pairwise density's support-side terms (transition trunk included)
+    are bulk-hoisted too (`_pairwise_support_terms`), so the reverse scan
+    body runs NO MLPs — only the two query contractions, the categorical
+    draw, and gathers."""
 
     def body(carry, inputs):
         x_next, logp, logq = carry
-        # support [B,Dx,K], normalized logw [B,K], bulk emission [B,K],
-        # [B,Di] control at t+1 (into x_next), key
-        x_t_support, logw_norm, log_g_t, u_next, k_t = inputs
+        # support [B,Dx,K], bulk support-side density terms, normalized
+        # logw [B,K], bulk emission [B,K], key
+        x_t_support, sup_t, logw_norm, log_g_t, k_t = inputs
 
-        pair = _pairwise_transition_logp(ssm, params, x_t_support, x_next, u_next)
+        pair = _pairwise_query_logp(ssm, sup_t, x_next)
         logits = pair + logw_norm[:, None, :]  # [B, M, K] backward weights
         idx = jax.random.categorical(k_t, logits, axis=-1)  # [B, M]
         idx3 = idx[..., None]
@@ -279,17 +317,20 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
     logq = jnp.take_along_axis(logw_norm_t, idx_t, axis=-1)  # [B, M] anchor pmf
     # pre-split per-step keys so the scan carry has no serial key chain
     cat_keys = jax.random.split(k_cat, t_steps - 1)
-    # bulk hoists (the scan is launch-bound): normalized forward weights and
-    # the support's emission densities for all T in one trunk call each
+    # bulk hoists (the scan is launch-bound): normalized forward weights, the
+    # support's emission densities, and the pairwise density's support-side
+    # terms (the transition trunk included) for all T in one call each — the
+    # reverse scan body runs NO MLPs at all
     logw_norm_all, _ = log_normalize(fwd.logws[:-1], axis=-1)  # [T-1, B, K]
     log_g_support = ssm.emission_log_prob_cm(
         params, fwd.xs[:-1], ys_tm[:-1]
     )  # [T-1, B, K]
+    sup_all = _pairwise_support_terms(ssm, params, fwd.xs[:-1], ctrl_tm[1:])
 
     (x_first, logp, logq), xs_rev = jax.lax.scan(
         _make_ffbsi_body(ssm, params),
         (x_tilde_t, logp, logq),
-        (fwd.xs[:-1], logw_norm_all, log_g_support, ctrl_tm[1:], cat_keys),
+        (fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, cat_keys),
         reverse=True,
     )
     logp = logp + ssm.prior_log_prob(params, x_first)
@@ -342,8 +383,9 @@ def _ffbsi_backward_segmented(
         keys_sup = cat_keys[lo : hi + 1]
         lwn_sup, _ = log_normalize(logw_sup, axis=-1)
         lg_sup = ssm.emission_log_prob_cm(params, xs_sup, ys_sup)
+        sup_sup = _pairwise_support_terms(ssm, params, xs_sup, ctrl_sup)
         carry, xs_rev = jax.lax.scan(
-            body, carry, (xs_sup, lwn_sup, lg_sup, ctrl_sup, keys_sup),
+            body, carry, (xs_sup, sup_sup, lwn_sup, lg_sup, keys_sup),
             reverse=True,
         )
         pieces.append(xs_rev)
@@ -351,8 +393,9 @@ def _ffbsi_backward_segmented(
     # final reverse step: support t = 0 (the initial particles)
     lwn0, _ = log_normalize(cache.alpha0, axis=-1)
     lg0 = ssm.emission_log_prob_cm(params, cache.x0, ys_tm[0])
+    sup0 = _pairwise_support_terms(ssm, params, cache.x0, ctrl_tm[1])
     carry, x0_tilde = body(
-        carry, (cache.x0, lwn0, lg0, ctrl_tm[1], cat_keys[0])
+        carry, (cache.x0, sup0, lwn0, lg0, cat_keys[0])
     )
     x_first, logp, logq = carry
     logp = logp + ssm.prior_log_prob(params, x_first)
