@@ -85,6 +85,19 @@ def test_fused_forward_matches_unfused(scan_fused, monkeypatch):
     )
 
 
+def test_fused_forward_minimal_t():
+    """t_steps=2 — the whole-scan grid degenerates to one t step."""
+    cfg = _cfg(t=2)
+    _, _, _, want = _run(cfg, fused=False, cache=True)
+    _, _, _, got = _run(cfg, fused=True, cache=True)
+    np.testing.assert_allclose(
+        np.asarray(got.log_z), np.asarray(want.log_z), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.xs), np.asarray(want.xs), rtol=2e-4, atol=2e-4
+    )
+
+
 @pytest.mark.parametrize("use_2q", [True, False])
 @pytest.mark.parametrize("hidden", [(16,), (16, 16)])
 def test_fused_gradients_match_unfused(use_2q, hidden):
