@@ -228,6 +228,17 @@ def main_all(steps: int = 30, out_path: str = "BENCH_ALL.json") -> int:
             primary_vs = round(row["value"] / base, 2) if base else None
         rows[name] = _strip(row)
 
+    # the B=128 batch-scaling row (BASELINE.md tracks traj-steps/s here)
+    b128 = dataclasses.replace(
+        preset("fhn_fivo_k1024_bench"), name="fhn_fivo_k1024_b128"
+    )
+    b128 = dataclasses.replace(
+        b128,
+        train=dataclasses.replace(b128.train, batch_size=128),
+        data=dataclasses.replace(b128.data, n_train=256),
+    )
+    rows["fhn_fivo_k1024_b128"] = _strip(measure(b128, steps, adaptive=True))
+
     device = jax.devices()[0]
     blob = {
         "device": f"{device.platform}:{device.device_kind}",
