@@ -207,6 +207,13 @@ def _predictive_mixture_logp(
     return jax.scipy.special.logsumexp(pair + logw_norm[:, None, :], axis=-1)
 
 
+def _gumbel_from_keys(keys, shape):
+    """[T', *shape] Gumbel noise, one key per step (bulk RNG outside the
+    FFBSi scan; per-step generation kept key-compatible with the segmented
+    sweep, which draws its noise segment by segment from the same keys)."""
+    return jax.vmap(lambda kk: jax.random.gumbel(kk, shape))(keys)
+
+
 def _sample_final_particles(key, fwd: FilterResult, m: int):
     """Draw M trajectory anchors from the final filtering distribution."""
     logw_norm, _ = log_normalize(fwd.logw_last, axis=-1)  # [B, K]
@@ -281,12 +288,15 @@ def _make_ffbsi_body(ssm: SSM, params):
     def body(carry, inputs):
         x_next, logp, logq = carry
         # support [B,Dx,K], bulk support-side density terms, normalized
-        # logw [B,K], bulk emission [B,K], key
-        x_t_support, sup_t, logw_norm, log_g_t, k_t = inputs
+        # logw [B,K], bulk emission [B,K], Gumbel noise [B,M,K]
+        x_t_support, sup_t, logw_norm, log_g_t, gum_t = inputs
 
         pair = _pairwise_query_logp(ssm, sup_t, x_next)
         logits = pair + logw_norm[:, None, :]  # [B, M, K] backward weights
-        idx = jax.random.categorical(k_t, logits, axis=-1)  # [B, M]
+        # categorical draw as Gumbel-argmax over PRE-GENERATED noise (bulk
+        # RNG outside the scan; also what lets the Pallas whole-scan kernel
+        # reproduce the jnp path bit-exactly)
+        idx = jnp.argmax(logits + gum_t, axis=-1)  # [B, M]
         idx3 = idx[..., None]
         pair_sel = jnp.take_along_axis(pair, idx3, axis=-1)[..., 0]  # log f
         lwn_sel = jnp.take_along_axis(logw_norm, idx, axis=-1)
@@ -315,8 +325,8 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
     logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
     logw_norm_t, _ = log_normalize(fwd.logw_last, axis=-1)
     logq = jnp.take_along_axis(logw_norm_t, idx_t, axis=-1)  # [B, M] anchor pmf
-    # pre-split per-step keys so the scan carry has no serial key chain
     cat_keys = jax.random.split(k_cat, t_steps - 1)
+    gum = _gumbel_from_keys(cat_keys, (*logq.shape, fwd.logw_last.shape[-1]))
     # bulk hoists (the scan is launch-bound): normalized forward weights, the
     # support's emission densities, and the pairwise density's support-side
     # terms (the transition trunk included) for all T in one call each — the
@@ -330,7 +340,7 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
     (x_first, logp, logq), xs_rev = jax.lax.scan(
         _make_ffbsi_body(ssm, params),
         (x_tilde_t, logp, logq),
-        (fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, cat_keys),
+        (fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, gum),
         reverse=True,
     )
     logp = logp + ssm.prior_log_prob(params, x_first)
@@ -381,11 +391,12 @@ def _ffbsi_backward_segmented(
         ys_sup = ys_tm[lo : hi + 1]
         ctrl_sup = ctrl_tm[lo + 1 : hi + 2]
         keys_sup = cat_keys[lo : hi + 1]
+        gum_sup = _gumbel_from_keys(keys_sup, (batch, m, xs_sup.shape[-1]))
         lwn_sup, _ = log_normalize(logw_sup, axis=-1)
         lg_sup = ssm.emission_log_prob_cm(params, xs_sup, ys_sup)
         sup_sup = _pairwise_support_terms(ssm, params, xs_sup, ctrl_sup)
         carry, xs_rev = jax.lax.scan(
-            body, carry, (xs_sup, sup_sup, lwn_sup, lg_sup, keys_sup),
+            body, carry, (xs_sup, sup_sup, lwn_sup, lg_sup, gum_sup),
             reverse=True,
         )
         pieces.append(xs_rev)
@@ -394,8 +405,9 @@ def _ffbsi_backward_segmented(
     lwn0, _ = log_normalize(cache.alpha0, axis=-1)
     lg0 = ssm.emission_log_prob_cm(params, cache.x0, ys_tm[0])
     sup0 = _pairwise_support_terms(ssm, params, cache.x0, ctrl_tm[1])
+    gum0 = jax.random.gumbel(cat_keys[0], (batch, m, cache.x0.shape[-1]))
     carry, x0_tilde = body(
-        carry, (cache.x0, sup0, lwn0, lg0, cat_keys[0])
+        carry, (cache.x0, sup0, lwn0, lg0, gum0)
     )
     x_first, logp, logq = carry
     logp = logp + ssm.prior_log_prob(params, x_first)
