@@ -337,12 +337,25 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
     )  # [T-1, B, K]
     sup_all = _pairwise_support_terms(ssm, params, fwd.xs[:-1], ctrl_tm[1:])
 
-    (x_first, logp, logq), xs_rev = jax.lax.scan(
-        _make_ffbsi_body(ssm, params),
-        (x_tilde_t, logp, logq),
-        (fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, gum),
-        reverse=True,
-    )
+    from psvo_tpu.ops import pallas_ffbsi
+
+    k = fwd.logw_last.shape[-1]
+    if ssm.use_pallas_step and pallas_ffbsi.usable(ssm, k, ys_tm.shape[1], m):
+        # whole-sweep Pallas kernel (one launch per direction); consumes the
+        # SAME bulk streams + Gumbel noise as the lax.scan path below
+        x_first, lp_acc, lq_acc, xs_rev = pallas_ffbsi.run_ffbsi_scan(
+            ssm, sup_all, fwd.xs[:-1], logw_norm_all, log_g_support, gum,
+            x_tilde_t, ssm.dx,
+        )
+        logp = logp + lp_acc
+        logq = logq + lq_acc
+    else:
+        (x_first, logp, logq), xs_rev = jax.lax.scan(
+            _make_ffbsi_body(ssm, params),
+            (x_tilde_t, logp, logq),
+            (fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, gum),
+            reverse=True,
+        )
     logp = logp + ssm.prior_log_prob(params, x_first)
     x_tilde = jnp.concatenate([xs_rev, x_tilde_t[None]], axis=0)
     return x_tilde, logp, logq
