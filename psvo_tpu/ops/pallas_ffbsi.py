@@ -49,9 +49,12 @@ MAX_K = 2048
 
 
 def usable(ssm, k: int, batch: int, m: int) -> bool:
+    from psvo_tpu.parallel.context import get_mesh
+
     return (
         ENABLE
         and (_on_tpu() or _INTERPRET)
+        and get_mesh() is None  # GSPMD cannot partition the custom call
         and not (ssm.f_tril or ssm.f_tril_head)
         and k % 128 == 0
         and k <= MAX_K
