@@ -370,11 +370,13 @@ def _idx_usable(batch: int, k: int) -> bool:
 
 W_TILES = 8  # window width in 128-lane tiles
 MAX_K_WIN = 8192  # [8, 8, K] f32 in/out blocks = 2 MB each at the cap
+WIN_ENABLE = True  # independent kill-switch for A/B against the XLA path
 
 
 def _win_usable(batch: int, k: int) -> bool:
     return (
         ENABLE
+        and WIN_ENABLE
         and (_on_tpu() or _INTERPRET)
         and k % Q == 0
         and W_TILES * Q <= k <= MAX_K_WIN
