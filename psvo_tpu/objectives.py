@@ -58,6 +58,7 @@ from psvo_tpu.distributions import (
     mvn_diag_log_prob,
 )
 from psvo_tpu.models.ssm import SSM
+from psvo_tpu.ops import pallas_ffbsi
 from psvo_tpu.smc import FilterResult, forward_filter
 
 
@@ -337,8 +338,6 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
     )  # [T-1, B, K]
     sup_all = _pairwise_support_terms(ssm, params, fwd.xs[:-1], ctrl_tm[1:])
 
-    from psvo_tpu.ops import pallas_ffbsi
-
     k = fwd.logw_last.shape[-1]
     if ssm.use_pallas_step and pallas_ffbsi.usable(ssm, k, ys_tm.shape[1], m):
         # whole-sweep Pallas kernel (one launch per direction); consumes the
@@ -408,10 +407,22 @@ def _ffbsi_backward_segmented(
         lwn_sup, _ = log_normalize(logw_sup, axis=-1)
         lg_sup = ssm.emission_log_prob_cm(params, xs_sup, ys_sup)
         sup_sup = _pairwise_support_terms(ssm, params, xs_sup, ctrl_sup)
-        carry, xs_rev = jax.lax.scan(
-            body, carry, (xs_sup, sup_sup, lwn_sup, lg_sup, gum_sup),
-            reverse=True,
-        )
+        if ssm.use_pallas_step and pallas_ffbsi.usable(
+            ssm, xs_sup.shape[-1], batch, m
+        ):
+            # fused sweep per segment: the previous carry is this segment's
+            # anchor/query; the in-sweep logp/logq terms add to the carried
+            # accumulators (plain sums)
+            x_q, logp_c, logq_c = carry
+            x_first_seg, lp_seg, lq_seg, xs_rev = pallas_ffbsi.run_ffbsi_scan(
+                ssm, sup_sup, xs_sup, lwn_sup, lg_sup, gum_sup, x_q, ssm.dx
+            )
+            carry = (x_first_seg, logp_c + lp_seg, logq_c + lq_seg)
+        else:
+            carry, xs_rev = jax.lax.scan(
+                body, carry, (xs_sup, sup_sup, lwn_sup, lg_sup, gum_sup),
+                reverse=True,
+            )
         pieces.append(xs_rev)
 
     # final reverse step: support t = 0 (the initial particles)

@@ -82,6 +82,26 @@ def test_ffbsi_kernel_matches_scan(bound, monkeypatch):
         )
 
 
+def test_ffbsi_kernel_segmented_matches_scan(monkeypatch):
+    """The long-T path runs the fused sweep per segment."""
+    cfg = _cfg(ffbsi_segments=2)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, t_steps=5)
+    )  # T-1 = 4 -> two 2-step segments
+    params, loss_f = _loss_fn(cfg, True, monkeypatch)
+    (lf, out_f), gf = jax.value_and_grad(loss_f, has_aux=True)(params)
+    _, loss_u = _loss_fn(cfg, False, monkeypatch)
+    (lu, out_u), gu = jax.value_and_grad(loss_u, has_aux=True)(params)
+    np.testing.assert_allclose(float(lf), float(lu), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_f.smoothed), np.asarray(out_u.smoothed),
+        rtol=2e-4, atol=2e-4,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_ffbsi_kernel_usable_gates():
     cfg = _cfg()
     ssm, _ = init_ssm(cfg, jax.random.key(0))
