@@ -47,8 +47,63 @@ def make_mesh(cfg: Config, devices=None) -> Mesh:
         raise ValueError(
             f"batch_size={cfg.train.batch_size} not divisible by mesh.data={cfg.mesh.data}"
         )
-    grid = np.asarray(devices[:n]).reshape(cfg.mesh.data, cfg.mesh.particle)
+    devices = _slice_ordered(cfg, list(devices[:n]))
+    grid = np.asarray(devices).reshape(cfg.mesh.data, cfg.mesh.particle)
     return Mesh(grid, (context.DATA_AXIS, context.PARTICLE_AXIS))
+
+
+def _slice_ordered(cfg: Config, devices: list) -> list:
+    """Order devices so the (data, particle) grid keeps DCN off the hot path.
+
+    Multi-slice layout (SURVEY.md §5 distributed row, "ICI and DCN"): devices
+    are sorted slice-major, so the row-major reshape to (data, particle) puts
+    every particle-axis row inside ONE slice — the per-timestep particle
+    collectives (psum normalizer, resampling ring) ride ICI, and only the
+    outer `slices`-sized component of the data axis (the once-per-step
+    gradient all-reduce) crosses DCN. Divisibility makes this exact: with
+    data % slices == 0, each slice holds (data/slices)·particle devices, a
+    whole number of particle rows.
+
+    Single-slice and virtual-CPU meshes (no `slice_index` attribute, or all
+    devices on one slice) pass through in natural order.
+    """
+    s = cfg.mesh.slices
+    if s < 1:
+        raise ValueError(f"mesh.slices={s} must be >= 1")
+    if cfg.mesh.data % s:
+        raise ValueError(
+            f"mesh.data={cfg.mesh.data} not divisible by mesh.slices={s}: "
+            "the data axis is the only axis allowed to span DCN, so it must "
+            "split evenly across slices (particle stays intra-slice)"
+        )
+    slice_ids = [getattr(d, "slice_index", 0) or 0 for d in devices]
+    groups: dict[int, list] = {}
+    for d, sid in zip(devices, slice_ids):
+        groups.setdefault(sid, []).append(d)
+    if s > 1:
+        if len(groups) == 1:
+            # Emulation (one physical slice / virtual devices): the layout is
+            # still exercised — contiguous blocks stand in for slices.
+            pass
+        elif len(groups) != s:
+            raise ValueError(
+                f"mesh.slices={s} but devices span {len(groups)} slice(s) "
+                f"(slice_index values: {sorted(groups)})"
+            )
+        else:
+            per = len(devices) // s
+            if any(len(g) != per for g in groups.values()):
+                raise ValueError(
+                    "uneven devices per slice: "
+                    f"{ {k: len(v) for k, v in groups.items()} }"
+                )
+            return [d for sid in sorted(groups) for d in groups[sid]]
+    elif len(groups) > 1:
+        raise ValueError(
+            f"devices span {len(groups)} slices but mesh.slices=1: set "
+            "mesh.slices so the data axis (not particle) crosses DCN"
+        )
+    return devices
 
 
 def maybe_mesh(cfg: Config) -> Optional[Mesh]:

@@ -309,3 +309,62 @@ def test_sharded_train_step_runs(objective, d_data, d_part):
     )
     assert delta > 0
     context.set_mesh(None)
+
+
+class _FakeDev:
+    """Stand-in device carrying a slice_index (no real multi-slice pod here)."""
+
+    def __init__(self, i, sl):
+        self.id, self.slice_index = i, sl
+
+    def __repr__(self):
+        return f"d{self.id}@s{self.slice_index}"
+
+
+def test_multislice_device_order():
+    """DCN layout guard (SURVEY.md §5: ICI *and* DCN): devices re-order
+    slice-major so every particle row of the (data, particle) grid sits
+    inside one slice — the per-timestep particle collectives never cross
+    DCN; only the outer data-axis component does."""
+    cfg = dataclasses.replace(_cfg(d_data=4, d_part=2), mesh=MeshConfig(data=4, particle=2, slices=2))
+    # interleaved arrival order (typical of jax.devices() across slices)
+    devs = [_FakeDev(0, 0), _FakeDev(1, 1), _FakeDev(2, 0), _FakeDev(3, 1),
+            _FakeDev(4, 0), _FakeDev(5, 1), _FakeDev(6, 0), _FakeDev(7, 1)]
+    ordered = sharding._slice_ordered(cfg, devs)
+    grid = np.asarray(ordered, dtype=object).reshape(4, 2)
+    for row in grid:  # particle rows intra-slice
+        assert len({d.slice_index for d in row}) == 1
+    # outer data component spans slices: first half slice 0, second slice 1
+    assert [d.slice_index for d in grid[:, 0]] == [0, 0, 1, 1]
+
+
+def test_multislice_config_guards():
+    base = _cfg(d_data=4, d_part=2)
+    # data axis must split evenly across slices
+    bad = dataclasses.replace(base, mesh=MeshConfig(data=3, particle=2, slices=2))
+    with pytest.raises(ValueError, match="divisible by mesh.slices"):
+        sharding._slice_ordered(bad, [_FakeDev(i, i % 2) for i in range(6)])
+    # declaring slices=1 while devices span two slices must refuse
+    with pytest.raises(ValueError, match="mesh.slices=1"):
+        sharding._slice_ordered(base, [_FakeDev(i, i % 2) for i in range(8)])
+    # slice count mismatch must refuse
+    bad2 = dataclasses.replace(base, mesh=MeshConfig(data=4, particle=2, slices=4))
+    with pytest.raises(ValueError, match="span 2 slice"):
+        sharding._slice_ordered(bad2, [_FakeDev(i, i % 2) for i in range(8)])
+
+
+def test_multislice_emulated_train_step():
+    """slices=2 on the virtual 8-CPU mesh (one `slice group' — emulation path):
+    the full sharded train step still compiles and runs."""
+    cfg = dataclasses.replace(_cfg(), mesh=MeshConfig(data=2, particle=4, slices=2))
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    from psvo_tpu.train import make_optimizer
+
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    mesh = sharding.make_mesh(cfg)
+    step = sharding.make_sharded_train_step(ssm, cfg, optimizer, mesh)
+    batch = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
+    _, _, metrics = step(params, opt_state, jax.random.key(2), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    context.set_mesh(None)
