@@ -215,13 +215,36 @@ def _gumbel_from_keys(keys, shape):
     return jax.vmap(lambda kk: jax.random.gumbel(kk, shape))(keys)
 
 
+def _particle_mesh():
+    """The active mesh iff the particle axis is actually sharded."""
+    from psvo_tpu.parallel import context
+
+    mesh = context.get_mesh()
+    if mesh is not None and mesh.shape.get(context.PARTICLE_AXIS, 1) > 1:
+        return mesh
+    return None
+
+
 def _sample_final_particles(key, fwd: FilterResult, m: int):
-    """Draw M trajectory anchors from the final filtering distribution."""
+    """Draw M trajectory anchors from the final filtering distribution.
+
+    Explicit Gumbel-argmax (what `jax.random.categorical` is internally):
+    generating the noise as a named array lets the particle-sharded path
+    (ops/sharded_ffbsi.sharded_anchor) consume the SAME noise and reproduce
+    the single-device draw bit-exactly. Returns (x̃_T [B, M, Dx],
+    anchor log-pmf [B, M])."""
     logw_norm, _ = log_normalize(fwd.logw_last, axis=-1)  # [B, K]
-    idx = jax.random.categorical(key, logw_norm[None], axis=-1, shape=(m, logw_norm.shape[0]))
-    idx = jnp.swapaxes(idx, 0, 1)  # [B, M]
+    b, k = logw_norm.shape
+    gum = jax.random.gumbel(key, (b, m, k))
+    mesh = _particle_mesh()
+    if mesh is not None:
+        from psvo_tpu.ops.sharded_ffbsi import sharded_anchor
+
+        return sharded_anchor(mesh, logw_norm, fwd.x_last, gum)
+    idx = jnp.argmax(logw_norm[:, None, :] + gum, axis=-1)  # [B, M]
     x_t = jnp.take_along_axis(fwd.x_last, idx[:, None, :], axis=-1)  # [B, Dx, M]
-    return jnp.swapaxes(x_t, -1, -2), idx  # [B, M, Dx]
+    lwn_sel = jnp.take_along_axis(logw_norm, idx, axis=-1)  # [B, M]
+    return jnp.swapaxes(x_t, -1, -2), lwn_sel  # [B, M, Dx]
 
 
 def _svo_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: int):
@@ -322,10 +345,9 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
     """
     t_steps = ys_tm.shape[0]
     k_anchor, k_cat = jax.random.split(key)
-    x_tilde_t, idx_t = _sample_final_particles(k_anchor, fwd, m)
+    x_tilde_t, lwn_anchor = _sample_final_particles(k_anchor, fwd, m)
     logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
-    logw_norm_t, _ = log_normalize(fwd.logw_last, axis=-1)
-    logq = jnp.take_along_axis(logw_norm_t, idx_t, axis=-1)  # [B, M] anchor pmf
+    logq = lwn_anchor  # [B, M] anchor pmf
     cat_keys = jax.random.split(k_cat, t_steps - 1)
     gum = _gumbel_from_keys(cat_keys, (*logq.shape, fwd.logw_last.shape[-1]))
     # bulk hoists (the scan is launch-bound): normalized forward weights, the
@@ -339,7 +361,20 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
     sup_all = _pairwise_support_terms(ssm, params, fwd.xs[:-1], ctrl_tm[1:])
 
     k = fwd.logw_last.shape[-1]
-    if ssm.use_pallas_step and pallas_ffbsi.usable(ssm, k, ys_tm.shape[1], m):
+    mesh = _particle_mesh()
+    if mesh is not None:
+        # particle-sharded sweep: shard_map island (global Gumbel-argmax +
+        # psum-gathered selections) — bit-identical to the lax.scan below on
+        # the same noise; see ops/sharded_ffbsi.py
+        from psvo_tpu.ops.sharded_ffbsi import sharded_ffbsi_sweep
+
+        x_first, logp, logq, xs_rev = sharded_ffbsi_sweep(
+            mesh,
+            lambda sup_t, xq: _pairwise_query_logp(ssm, sup_t, xq),
+            fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, gum,
+            x_tilde_t, logp, logq,
+        )
+    elif ssm.use_pallas_step and pallas_ffbsi.usable(ssm, k, ys_tm.shape[1], m):
         # whole-sweep Pallas kernel (one launch per direction); consumes the
         # SAME bulk streams + Gumbel noise as the lax.scan path below
         x_first, lp_acc, lq_acc, xs_rev = pallas_ffbsi.run_ffbsi_scan(
@@ -375,10 +410,9 @@ def _ffbsi_backward_segmented(
     seg_len = (t_steps - 1) // n_segments
 
     k_anchor, k_cat = jax.random.split(key)
-    x_tilde_t, idx_t = _sample_final_particles(k_anchor, fwd, m)
+    x_tilde_t, lwn_anchor = _sample_final_particles(k_anchor, fwd, m)
     logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
-    logw_norm_t, _ = log_normalize(fwd.logw_last, axis=-1)
-    logq = jnp.take_along_axis(logw_norm_t, idx_t, axis=-1)
+    logq = lwn_anchor
     cat_keys = jax.random.split(k_cat, t_steps - 1)  # cat_keys[t-1] for step t
 
     body = _make_ffbsi_body(ssm, params)

@@ -153,19 +153,21 @@ def prepare_sharded(ssm, cfg: Config, mesh: Mesh):
     """
     from psvo_tpu.models.ssm import SSM
 
-    if cfg.mesh.particle > 1 and cfg.smc.objective in ("svo", "psvo"):
-        # The backward smoothing sweep (take_along_axis ancestor gathers and
-        # the [B, M, K] pairwise logits over the particle axis) has no
-        # shard_map island yet: under GSPMD it would all-gather the full
-        # particle support every reverse step — exactly the pattern the
-        # forward island exists to avoid. Refuse loudly rather than silently
-        # losing the scaling benefit; data-axis sharding is fine (the gathers
-        # are per-trajectory).
+    if (
+        cfg.mesh.particle > 1
+        and cfg.smc.objective == "psvo"
+        and cfg.smc.ffbsi_segments > 1
+    ):
+        # The segmented long-T sweep interleaves per-segment forward
+        # recomputation with the reverse pass in a Python loop; its gather
+        # structure has no shard_map island yet. (The non-segmented SVO/PSVO
+        # backward DOES shard: anchor + FFBSi sweep run in the
+        # ops/sharded_ffbsi.py island; SVO's remaining K-contact — the ρ_T
+        # predictive mixture — is gather-free reductions GSPMD psums.)
         raise ValueError(
-            "mesh.particle > 1 currently supports objectives 'iwae'/'fivo' "
-            "only: the SVO/PSVO backward sweep would all-gather the sharded "
-            "particle axis every step. Use mesh.data for smoothing "
-            "objectives, or run unsharded."
+            "mesh.particle > 1 does not support the segmented FFBSi path "
+            "(smc.ffbsi_segments > 1): run unsegmented — the particle-"
+            "sharded cache is already per-shard — or use mesh.data only."
         )
     if mesh.devices.size > 1 and cfg.use_pallas_mlp:
         cfg = dataclasses.replace(cfg, use_pallas_mlp=False)

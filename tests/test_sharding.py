@@ -270,17 +270,18 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     context.set_mesh(None)
 
 
-def test_particle_mesh_rejects_smoothing_objectives():
-    """SVO/PSVO have no shard_map island for the backward sweep: under a
-    particle-sharded mesh GSPMD would all-gather the full support every
-    reverse step (ADVICE r2). prepare_sharded refuses loudly; data-only
-    meshes stay supported (covered by the psvo case of
-    test_sharded_train_step_runs)."""
+def test_particle_mesh_rejects_segmented_ffbsi():
+    """The segmented long-T FFBSi path has no shard_map island (its
+    per-segment recompute/reverse interleaving runs in Python); a particle
+    mesh must refuse it loudly. Non-segmented SVO/PSVO under particle meshes
+    are supported via ops/sharded_ffbsi.py (equivalence-tested below)."""
     cfg = _cfg()  # data=2, particle=4
-    cfg = dataclasses.replace(cfg, smc=dataclasses.replace(cfg.smc, objective="psvo"))
+    cfg = dataclasses.replace(
+        cfg, smc=dataclasses.replace(cfg.smc, objective="psvo", ffbsi_segments=2)
+    )
     ssm, _ = init_ssm(cfg, jax.random.key(0))
     mesh = sharding.make_mesh(cfg)
-    with pytest.raises(ValueError, match="iwae.*fivo|'fivo'"):
+    with pytest.raises(ValueError, match="segmented"):
         sharding.prepare_sharded(ssm, cfg, mesh)
 
 
@@ -367,4 +368,121 @@ def test_multislice_emulated_train_step():
     batch = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
     _, _, metrics = step(params, opt_state, jax.random.key(2), batch)
     assert np.isfinite(float(metrics["loss"]))
+    context.set_mesh(None)
+
+
+def _smooth_cfg(objective, d_data=2, d_part=4, m=4):
+    cfg = _cfg(d_data, d_part)
+    return dataclasses.replace(
+        cfg,
+        smc=dataclasses.replace(
+            cfg.smc, objective=objective, n_smoothing_particles=m
+        ),
+    )
+
+
+@pytest.mark.parametrize("objective", ["psvo", "svo"])
+def test_sharded_smoothing_matches_single_device(objective):
+    """Particle-sharded smoothing (ops/sharded_ffbsi.py island): the full
+    objective — forward filter + backward sweep — must reproduce the
+    single-device values AND parameter gradients (same keys; the backward
+    draws consume the same pre-generated Gumbel noise, so the sampled
+    trajectories are identical up to reduction-order float noise)."""
+    from psvo_tpu.objectives import make_objective
+
+    cfg = _smooth_cfg(objective)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    obj = make_objective(ssm, cfg)
+    ys = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
+
+    def loss_fn(p, key, y):
+        return obj(p, key, y).loss
+
+    ref_loss, ref_grad = jax.jit(jax.value_and_grad(loss_fn))(
+        params, jax.random.key(2), ys
+    )
+    ref_loss = float(ref_loss)
+
+    mesh = sharding.make_mesh(cfg)
+    ssm_sh, cfg_sh = sharding.prepare_sharded(ssm, cfg, mesh)
+    obj_sh = make_objective(ssm_sh, cfg_sh)
+    context.set_mesh(mesh)
+    ys_sh = jax.device_put(ys, sharding.batch_sharding(mesh))
+    got_loss, got_grad = jax.jit(
+        jax.value_and_grad(lambda p, key, y: obj_sh(p, key, y).loss)
+    )(params, jax.random.key(2), ys_sh)
+    context.set_mesh(None)
+
+    assert np.isfinite(ref_loss)
+    np.testing.assert_allclose(float(got_loss), ref_loss, rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_grad), jax.tree_util.tree_leaves(got_grad)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-5
+        )
+
+
+def test_sharded_psvo_hlo_no_full_allgather():
+    """The compiled particle-sharded PSVO program (forward + FFBSi backward)
+    must not all-gather any tensor carrying the full particle axis — the
+    GSPMD default the sharded_ffbsi island replaces (ADVICE r2 low #4)."""
+    import re
+
+    from psvo_tpu.objectives import make_objective
+
+    cfg = _smooth_cfg("psvo")
+    k = cfg.smc.n_particles
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    mesh = sharding.make_mesh(cfg)
+    ssm_sh, cfg_sh = sharding.prepare_sharded(ssm, cfg, mesh)
+    obj = make_objective(ssm_sh, cfg_sh)
+    context.set_mesh(mesh)
+    ys = jax.device_put(
+        jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy)),
+        sharding.batch_sharding(mesh),
+    )
+    f = jax.jit(jax.grad(lambda p, key, y: obj(p, key, y).loss))
+    txt = f.lower(params, jax.random.key(2), ys).compile().as_text()
+    context.set_mesh(None)
+
+    assert "collective-permute" in txt  # forward resampling ring still active
+    for shape in re.findall(r"= (\w+\[[\d,]*\])[^\n]*all-gather\(", txt):
+        dims = [int(d) for d in shape[shape.index("[") + 1 : -1].split(",") if d]
+        assert not (len(dims) >= 3 and dims[-1] == k), (
+            f"full particle tensor all-gathered: {shape}"
+        )
+
+
+def test_sharded_smoothing_train_step():
+    """End-to-end: several sharded PSVO train steps over data×particle.
+
+    Deliberately loops with recycled outputs: the second call compiles for
+    NamedSharding inputs and the third re-dispatches that cached executable
+    through jax's C++ fastpath — the path that broke when a module-level
+    jnp constant became a hidden 183rd executable argument ("supplied 181
+    buffers but expected 182", round-3 bisect in ops/sharded_ffbsi.py)."""
+    from psvo_tpu.train import make_optimizer
+
+    cfg = _smooth_cfg("psvo")
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    mesh = sharding.make_mesh(cfg)
+    step = sharding.make_sharded_train_step(ssm, cfg, optimizer, mesh)
+    batch = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
+    params0 = params
+    for i in range(3):
+        params, opt_state, metrics = step(
+            params, opt_state, jax.random.key(2 + i), batch
+        )
+        jax.block_until_ready((params, opt_state))
+        assert np.isfinite(float(metrics["loss"]))
+    delta = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params0), jax.tree_util.tree_leaves(params)
+        )
+    )
+    assert delta > 0
     context.set_mesh(None)
