@@ -64,6 +64,18 @@ Q = 128  # query/support tile width (lane width)
 # over. VMEM would allow K=8192 ([8, 8, K] blocks are 2 MB).
 MAX_K = 2048
 
+# Mosaic's default scoped-VMEM limit is 16 MiB; the large-K kernels' live
+# temporaries legitimately exceed it (the K=8192 two-level count holds
+# ~34 MiB of in-flight [R, K]-scale tensors). v5e VMEM is 128 MiB physical —
+# grant half and let Mosaic fail loudly past that. Shared by pallas_step.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _vmem_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _on_tpu() -> bool:
     try:
@@ -321,6 +333,7 @@ def _indices_large(u: jax.Array, logw: jax.Array) -> jax.Array:
             (ROW_BLOCK, k), lambda b: (b, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, k), jnp.int32),
+        compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(logw, u)
 
@@ -392,10 +405,16 @@ def _win_gather_kernel(k, w, idx_ref, anch_ref, x_ref, out_ref):
 
     nq = k // Q
     r, dt = x_ref.shape[0], x_ref.shape[1]
-    for t in range(nq):
+
+    # fori_loop, NOT a static range: 64 unrolled iterations at K=8192 each
+    # hold a live data-dependent window slice + temporaries, and Mosaic
+    # stack-allocates them all at once (~105 MB scoped VMEM — compile
+    # failure). One dynamic loop reuses a single iteration's buffers; its
+    # one-time scalar overhead is noise at this path's ms-scale step cost.
+    def body(t, carry):
         a = anch_ref[0, t]
         win = x_ref[:, :, pl.ds(a * Q, w * Q)].reshape(r * dt, w * Q)
-        loc = idx_ref[:, t * Q : (t + 1) * Q] - a * Q  # [R, Q] in [0, w·Q)
+        loc = idx_ref[:, pl.ds(t * Q, Q)] - a * Q  # [R, Q] in [0, w·Q)
         coarse = jax.lax.shift_right_logical(loc, 7)
         fine = jnp.bitwise_and(loc, Q - 1)
         c2 = jnp.broadcast_to(coarse[:, None, :], (r, dt, Q)).reshape(r * dt, Q)
@@ -406,7 +425,10 @@ def _win_gather_kernel(k, w, idx_ref, anch_ref, x_ref, out_ref):
                 win[:, s * Q : (s + 1) * Q], f2, axis=1, mode="promise_in_bounds"
             )
             acc = jnp.where(c2 == s, g, acc)
-        out_ref[:, :, t * Q : (t + 1) * Q] = acc.reshape(r, dt, Q)
+        out_ref[:, :, pl.ds(t * Q, Q)] = acc.reshape(r, dt, Q)
+        return carry
+
+    jax.lax.fori_loop(0, nq, body, 0)
 
 
 def _win_scatter_kernel(k, w, idx_ref, anch_ref, g_ref, dx_ref):
@@ -419,7 +441,9 @@ def _win_scatter_kernel(k, w, idx_ref, anch_ref, g_ref, dx_ref):
     nq = k // Q
     r, dt = g_ref.shape[0], g_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Q), 2)
-    for s in range(nq):
+
+    # fori_loop for the same stack-reuse reason as _win_gather_kernel.
+    def body(s, carry):
         qa = anch_ref[0, s]
         gwin = g_ref[:, :, pl.ds(qa * Q, w * Q)]
         iwin = idx_ref[:, pl.ds(qa * Q, w * Q)]
@@ -432,7 +456,10 @@ def _win_scatter_kernel(k, w, idx_ref, anch_ref, g_ref, dx_ref):
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-        dx_ref[:, :, s * Q : (s + 1) * Q] = acc
+        dx_ref[:, :, pl.ds(s * Q, Q)] = acc
+        return carry
+
+    jax.lax.fori_loop(0, nq, body, 0)
 
 
 def _win_pallas_call(kernel, k, w, idx, anch, val):
@@ -462,6 +489,7 @@ def _win_pallas_call(kernel, k, w, idx, anch, val):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(val.shape, val.dtype),
+        compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(idx, anch, val)
 
@@ -605,6 +633,7 @@ def resample_and_gather(u: jax.Array, logw: jax.Array, x: jax.Array):
             jax.ShapeDtypeStruct((batch, k), jnp.int32),
             jax.ShapeDtypeStruct((batch, dp, k), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(logw, u, x_p)
     return idx, out[:, :d, :] if dp != d else out
@@ -657,6 +686,7 @@ def _rg_bwd(res, cots):
                 (r, D_TILE, k), lambda b, dd: (b, dd, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((batch, dp, k), jnp.float32),
+            compiler_params=_vmem_params(),
             interpret=_INTERPRET,
         )(idx, g_p)
         if dp != d:

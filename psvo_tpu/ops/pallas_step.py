@@ -102,11 +102,18 @@ from psvo_tpu.ops.pallas_resample import (
     _on_tpu,
     _round_up,
     _two_level_indices,
+    _vmem_params,
 )
 
 _INTERPRET = False  # flipped by tests to run on CPU
 
 MAX_K = 2048  # VMEM ceiling for the whole-step kernel
+
+# Mosaic's default scoped-VMEM limit is 16 MiB — the recompute backward's
+# in-flight temporaries (three [R, HA, K] hidden stacks plus the streamed
+# residual blocks and their double buffers) need ~19 MiB at K=1024 with the
+# cotangent streams attached (PSVO). _vmem_params (pallas_resample) raises
+# the grant to half of v5e's 128 MiB physical VMEM.
 _LANES = 128  # packed small-tensor lane width
 
 # net order in the stacked weight tensors
@@ -678,6 +685,7 @@ def _step_fwd(static, logw, u, x, eps, ab, sm, sconst,
         in_specs=_mk_specs(in_shapes),
         out_specs=_mk_specs(out_shapes),
         out_shape=out_shape,
+        compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(logw, u, x, eps, ab, sm, sconst, wt1s, wtms, wt3s)
     res = (x_res, x_new, idx, eps, ab, sm, sconst,
@@ -738,6 +746,7 @@ def _step_bwd(static, res, cots):
         in_specs=_mk_specs(in_shapes),
         out_specs=_mk_specs(out_shapes),
         out_shape=out_shape,
+        compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(x_res, x_new, idx, eps, ab, sm, sconst,
       wt1s, wtms, wt3s, w1s, wms, w3s, d_xnew, d_alpha, d_stats)
@@ -870,9 +879,13 @@ def _scan_bwd_kernel(
     )
     dab_ref[:] = d_alpha[None]
     dsm_ref[:] = jnp.zeros_like(dsm_ref)
-    dsm_ref[:, :, :, SM_AQ : SM_AQ + 1] = sm_sums[None, :, :pd]
-    dsm_ref[:, :, :, SM_CQ : SM_CQ + 1] = sm_sums[None, :, pd : 2 * pd]
-    dsm_ref[:, :, :, SM_SQ : SM_SQ + 1] = sm_sums[None, :, 2 * pd :]
+    # slice FIRST, newaxis after: `v[None, :, :pd]` (newaxis mixed with a
+    # partial slice) traces to a rank>2 lax.gather that Mosaic rejects on
+    # real TPU ("Only 2D gather is supported"); slice_in_dim + pure [None]
+    # stays slice+broadcast. Interpret-mode tests cannot catch this class.
+    for lane, lo in ((SM_AQ, 0), (SM_CQ, pd), (SM_SQ, 2 * pd)):
+        part = jax.lax.slice_in_dim(sm_sums, lo, lo + pd, axis=1)
+        dsm_ref[:, :, :, lane : lane + 1] = part[None]
     dxc[:] = d_x  # feeds step t-1's x_new cotangent
 
     @pl.when(tr == t_len - 1)
@@ -965,6 +978,7 @@ def _scan_fwd(static, x0, alpha0, sm, ab, eps, u, sconst,
             pltpu.VMEM((ROW_BLOCK, pd, k), jnp.float32),
             pltpu.VMEM((ROW_BLOCK, k), jnp.float32),
         ],
+        compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(x0, alpha0, sm, ab, eps, u, sconst, wt1s, wtms, wt3s)
     res = (xres, xnew, idx, eps, ab, sm, sconst,
@@ -1046,6 +1060,7 @@ def _scan_bwd(static, res, cots):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((ROW_BLOCK, pd, k), jnp.float32)],
+        compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(*operands)
 
