@@ -299,15 +299,14 @@ def _make_ffbsi_body(ssm: SSM, params):
     the discrete path pmf log q̃ (the reference-form sampled-trajectory
     proposal mass — see the psvo_direct notes in make_objective).
 
-    The selected trajectory's densities are GATHERED, not re-evaluated: the
-    pairwise logits already hold log f(x̃_{t+1} | X_t^j) for every support
-    point (same point, same value, same parameter gradient — the discrete
-    index is stop-grad), and the emission density of the whole support is
-    precomputed in ONE bulk trunk call outside the scan (`log_g_support`).
-    The pairwise density's support-side terms (transition trunk included)
-    are bulk-hoisted too (`_pairwise_support_terms`), so the reverse scan
-    body runs NO MLPs — only the two query contractions, the categorical
-    draw, and gathers."""
+    The body only SELECTS: the path log-joint is recomputed after the sweep
+    on the selected trajectories (`_selected_path_log_joint`), so the in-body
+    logp accumulator (kept for carry-shape compatibility with the fused
+    kernel) is discarded by the callers and the log_g stream is zeros. The
+    pairwise density's support-side terms (transition trunk included) are
+    bulk-hoisted (`_pairwise_support_terms`), so the reverse scan body runs
+    NO MLPs — only the two query contractions, the categorical draw, and
+    gathers."""
 
     def body(carry, inputs):
         x_next, logp, logq = carry
@@ -336,29 +335,79 @@ def _make_ffbsi_body(ssm: SSM, params):
     return body
 
 
-def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: int):
+def _selected_path_log_joint(ssm: SSM, params, x_tilde, ys_tm, ctrl_tm):
+    """log p_θ(x̃, y) [B, M], evaluated directly on the selected trajectories.
+
+    Mathematically identical — value AND gradient — to gathering the selected
+    entries of full-support density evaluations: the selected particle IS the
+    support atom (x̃_t = X_t^{idx}), the densities are pointwise in the
+    particle, and the discrete index carries no gradient, so evaluation and
+    gather commute. But this form costs O(T·B·M) trunk rows instead of
+    O(T·B·K): at the BASELINE PSVO config (K=1024, M=16) that is 64× less
+    work, and it removes the K-wide trunk *backward* from the train step
+    entirely (the two bulk-support VJPs measured 2×15.5 ms of the 55.9 ms
+    round-3 PSVO step on v5e before this split)."""
+    t_steps, b, m, _ = x_tilde.shape
+    u = None
+    if ssm.di:
+        u = jnp.broadcast_to(
+            ctrl_tm[1:, :, None, :], (t_steps - 1, b, m, ssm.di)
+        )
+    lp_f = ssm.transition_log_prob(params, x_tilde[:-1], x_tilde[1:], u)
+    lp_g = ssm.emission_log_prob(params, x_tilde, ys_tm[:, :, None, :])
+    return (
+        jnp.sum(lp_f, axis=0)
+        + jnp.sum(lp_g, axis=0)
+        + ssm.prior_log_prob(params, x_tilde[0])
+    )
+
+
+def _ffbsi_backward(
+    ssm: SSM,
+    params,
+    key,
+    ys_tm,
+    ctrl_tm,
+    fwd: FilterResult,
+    m: int,
+    *,
+    differentiable_sweep: bool = False,
+):
     """FFBSi discrete backward simulation over the forward support.
 
     Returns (smoothed [T,B,M,Dx], log p(smoothed, y) [B,M], log q̃ [B,M]) —
     the smoothed trajectories, the model log-joint along them (the PSVO
     EM-surrogate), and the discrete path pmf of the backward draws.
+
+    The sweep itself only produces the *selections* (and the logq̃ pmf): the
+    log-joint is recomputed post-sweep on the selected paths
+    (`_selected_path_log_joint`), which is gradient-identical and 64× cheaper
+    than differentiating the K-wide support densities. With
+    differentiable_sweep=False (the default forward-bound mode) the K-wide
+    pairwise logits then feed only the argmax draws and the logq̃ metric, so
+    they run under stop_gradient — the full-support trunk backward vanishes
+    from the step. The direct bound differentiates logq̃'s logsumexp over the
+    support, so it keeps the sweep differentiable.
     """
     t_steps = ys_tm.shape[0]
     k_anchor, k_cat = jax.random.split(key)
     x_tilde_t, lwn_anchor = _sample_final_particles(k_anchor, fwd, m)
-    logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
     logq = lwn_anchor  # [B, M] anchor pmf
+    logp0 = jnp.zeros_like(logq)  # in-sweep logp is discarded (see above)
     cat_keys = jax.random.split(k_cat, t_steps - 1)
     gum = _gumbel_from_keys(cat_keys, (*logq.shape, fwd.logw_last.shape[-1]))
-    # bulk hoists (the scan is launch-bound): normalized forward weights, the
-    # support's emission densities, and the pairwise density's support-side
-    # terms (the transition trunk included) for all T in one call each — the
-    # reverse scan body runs NO MLPs at all
+    # bulk hoists (the scan is launch-bound): normalized forward weights and
+    # the pairwise density's support-side terms (the transition trunk
+    # included) for all T in one call each — the reverse scan body runs NO
+    # MLPs at all
     logw_norm_all, _ = log_normalize(fwd.logws[:-1], axis=-1)  # [T-1, B, K]
-    log_g_support = ssm.emission_log_prob_cm(
-        params, fwd.xs[:-1], ys_tm[:-1]
-    )  # [T-1, B, K]
     sup_all = _pairwise_support_terms(ssm, params, fwd.xs[:-1], ctrl_tm[1:])
+    if not differentiable_sweep:
+        sup_all = jax.tree_util.tree_map(jax.lax.stop_gradient, sup_all)
+        logw_norm_all = jax.lax.stop_gradient(logw_norm_all)
+    # the emission stream is dead weight now that logp is recomputed
+    # post-sweep — feed zeros (the sweep bodies/kernels keep their shape)
+    log_g_support = jnp.zeros(logw_norm_all.shape, logw_norm_all.dtype)
 
     k = fwd.logw_last.shape[-1]
     mesh = _particle_mesh()
@@ -368,40 +417,44 @@ def _ffbsi_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m:
         # the same noise; see ops/sharded_ffbsi.py
         from psvo_tpu.ops.sharded_ffbsi import sharded_ffbsi_sweep
 
-        x_first, logp, logq, xs_rev = sharded_ffbsi_sweep(
+        x_first, _, logq, xs_rev = sharded_ffbsi_sweep(
             mesh,
             lambda sup_t, xq: _pairwise_query_logp(ssm, sup_t, xq),
             fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, gum,
-            x_tilde_t, logp, logq,
+            x_tilde_t, logp0, logq,
         )
     elif ssm.use_pallas_step and pallas_ffbsi.usable(ssm, k, ys_tm.shape[1], m):
         # whole-sweep Pallas kernel (one launch per direction); consumes the
         # SAME bulk streams + Gumbel noise as the lax.scan path below
-        x_first, lp_acc, lq_acc, xs_rev = pallas_ffbsi.run_ffbsi_scan(
+        x_first, _, lq_acc, xs_rev = pallas_ffbsi.run_ffbsi_scan(
             ssm, sup_all, fwd.xs[:-1], logw_norm_all, log_g_support, gum,
             x_tilde_t, ssm.dx,
         )
-        logp = logp + lp_acc
         logq = logq + lq_acc
     else:
-        (x_first, logp, logq), xs_rev = jax.lax.scan(
+        (x_first, _, logq), xs_rev = jax.lax.scan(
             _make_ffbsi_body(ssm, params),
-            (x_tilde_t, logp, logq),
+            (x_tilde_t, logp0, logq),
             (fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, gum),
             reverse=True,
         )
-    logp = logp + ssm.prior_log_prob(params, x_first)
     x_tilde = jnp.concatenate([xs_rev, x_tilde_t[None]], axis=0)
+    logp = _selected_path_log_joint(ssm, params, x_tilde, ys_tm, ctrl_tm)
     return x_tilde, logp, logq
 
 
 def _ffbsi_backward_segmented(
-    ssm: SSM, params, key, ys_tm, enc_tm, ctrl_tm, fwd, cache, m: int, smc_cfg
+    ssm: SSM, params, key, ys_tm, enc_tm, ctrl_tm, fwd, cache, m: int, smc_cfg,
+    *, differentiable_sweep: bool = False,
 ):
     """FFBSi over a segmented forward cache (the long-T path, SURVEY.md §5):
     each forward segment is recomputed bit-exactly from its boundary carry
     just before the reverse sweep consumes it, so only O(T/L) carries persist
     instead of the full O(T) particle history.
+
+    Same selection-only sweep as `_ffbsi_backward`: the log-joint is
+    recomputed post-sweep on the selected paths, and the K-wide logits run
+    under stop_gradient unless the direct bound needs them differentiable.
     """
     from psvo_tpu.smc import recompute_segment
 
@@ -411,9 +464,14 @@ def _ffbsi_backward_segmented(
 
     k_anchor, k_cat = jax.random.split(key)
     x_tilde_t, lwn_anchor = _sample_final_particles(k_anchor, fwd, m)
-    logp = ssm.emission_log_prob(params, x_tilde_t, ys_tm[-1][:, None, :])
+    logp = jnp.zeros_like(lwn_anchor)  # in-sweep logp discarded (recomputed)
     logq = lwn_anchor
     cat_keys = jax.random.split(k_cat, t_steps - 1)  # cat_keys[t-1] for step t
+
+    def _sg_unless_diff(tree):
+        if differentiable_sweep:
+            return tree
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
 
     body = _make_ffbsi_body(ssm, params)
     ys_seg = ys_tm[1:].reshape(n_segments, seg_len, batch, -1)
@@ -438,9 +496,11 @@ def _ffbsi_backward_segmented(
         ctrl_sup = ctrl_tm[lo + 1 : hi + 2]
         keys_sup = cat_keys[lo : hi + 1]
         gum_sup = _gumbel_from_keys(keys_sup, (batch, m, xs_sup.shape[-1]))
-        lwn_sup, _ = log_normalize(logw_sup, axis=-1)
-        lg_sup = ssm.emission_log_prob_cm(params, xs_sup, ys_sup)
-        sup_sup = _pairwise_support_terms(ssm, params, xs_sup, ctrl_sup)
+        lwn_sup = _sg_unless_diff(log_normalize(logw_sup, axis=-1)[0])
+        lg_sup = jnp.zeros(lwn_sup.shape, lwn_sup.dtype)
+        sup_sup = _sg_unless_diff(
+            _pairwise_support_terms(ssm, params, xs_sup, ctrl_sup)
+        )
         if ssm.use_pallas_step and pallas_ffbsi.usable(
             ssm, xs_sup.shape[-1], batch, m
         ):
@@ -460,19 +520,21 @@ def _ffbsi_backward_segmented(
         pieces.append(xs_rev)
 
     # final reverse step: support t = 0 (the initial particles)
-    lwn0, _ = log_normalize(cache.alpha0, axis=-1)
-    lg0 = ssm.emission_log_prob_cm(params, cache.x0, ys_tm[0])
-    sup0 = _pairwise_support_terms(ssm, params, cache.x0, ctrl_tm[1])
+    lwn0 = _sg_unless_diff(log_normalize(cache.alpha0, axis=-1)[0])
+    lg0 = jnp.zeros(lwn0.shape, lwn0.dtype)
+    sup0 = _sg_unless_diff(
+        _pairwise_support_terms(ssm, params, cache.x0, ctrl_tm[1])
+    )
     gum0 = jax.random.gumbel(cat_keys[0], (batch, m, cache.x0.shape[-1]))
     carry, x0_tilde = body(
         carry, (cache.x0, sup0, lwn0, lg0, gum0)
     )
-    x_first, logp, logq = carry
-    logp = logp + ssm.prior_log_prob(params, x_first)
+    x_first, _, logq = carry
 
     x_tilde = jnp.concatenate(
         [x0_tilde[None], *reversed(pieces), x_tilde_t[None]], axis=0
     )
+    logp = _selected_path_log_joint(ssm, params, x_tilde, ys_tm, ctrl_tm)
     return x_tilde, logp, logq
 
 
@@ -569,11 +631,14 @@ def make_objective(ssm: SSM, cfg: Config):
                     else ys_tm
                 )
                 x_tilde, logp_joint, logq_pmf = _ffbsi_backward_segmented(
-                    ssm, params, k_bwd, ys_tm, enc_tm, ctrl_tm, fwd, seg_cache, m, smc_cfg
+                    ssm, params, k_bwd, ys_tm, enc_tm, ctrl_tm, fwd, seg_cache,
+                    m, smc_cfg,
+                    differentiable_sweep=smc_cfg.psvo_bound == "direct",
                 )
             else:
                 x_tilde, logp_joint, logq_pmf = _ffbsi_backward(
-                    ssm, params, k_bwd, ys_tm, ctrl_tm, fwd, m
+                    ssm, params, k_bwd, ys_tm, ctrl_tm, fwd, m,
+                    differentiable_sweep=smc_cfg.psvo_bound == "direct",
                 )
             # Reference-form sampled-trajectory bound (SURVEY.md §3.3 "PSVO
             # objective on smoothed paths"): logsumexp_m(log p − log q̃) −
