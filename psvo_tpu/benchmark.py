@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from psvo_tpu.utils.rng import run_key
+
 
 def _time_loop(fn, n: int) -> float:
     """Time n chained calls ending in a REAL value fetch.
@@ -90,13 +92,13 @@ def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
     from psvo_tpu.train import make_optimizer, make_train_step
 
     dataset = generate_dataset(cfg.data, cfg.seed)
-    ssm, params = init_ssm(cfg, jax.random.key(cfg.seed))
+    ssm, params = init_ssm(cfg, run_key(cfg))
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     train_step = make_train_step(ssm, cfg, optimizer)
 
     batch = jnp.asarray(dataset.obs_train[: cfg.train.batch_size])
-    key = jax.random.key(1)
+    key = run_key(cfg, 1)
 
     # Warmup: compile + a couple of steady-state steps.
     p, s = params, opt_state

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from psvo_tpu.utils.rng import run_key
 from psvo_tpu.config import PRESETS, Config, from_dict, preset
 
 
@@ -54,7 +55,7 @@ def build(cfg: Config, data_npz: str | None = None):
     from psvo_tpu.models.ssm import init_ssm
 
     dataset = load_dataset(data_npz) if data_npz else generate_dataset(cfg.data, cfg.seed)
-    ssm, params = init_ssm(cfg, jax.random.key(cfg.seed))
+    ssm, params = init_ssm(cfg, run_key(cfg))
     return dataset, ssm, params
 
 
@@ -69,7 +70,7 @@ def _inferred_test_latents(cfg, ssm, params, dataset):
     from psvo_tpu.smc import forward_filter
     from psvo_tpu.train import filtered_means
 
-    key = jax.random.key(cfg.seed + 9)
+    key = run_key(cfg, 9)
     obs = jnp.asarray(dataset.obs_test)
     # q_uses_true_x: the encoder heads were built with input dim Dx and must
     # see the true latents, mirroring Trainer.run (shape error — or silently
@@ -165,7 +166,7 @@ def cmd_eval(args) -> int:
         params = restored
     ev = make_eval_step(ssm, cfg)(
         params,
-        jax.random.key(cfg.seed + 3),
+        run_key(cfg, 3),
         jnp.asarray(dataset.obs_test),
         _encoder_inputs_for(cfg, dataset),
         jnp.asarray(dataset.controls_test) if cfg.data.di else None,

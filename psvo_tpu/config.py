@@ -136,6 +136,14 @@ class TrainConfig:
     patience: int = 20  # early stopping, in eval periods
     mse_k_steps: int = 10  # k-step-ahead prediction R^2 horizon
     bf16_matmuls: bool = False  # run MLP trunks in bf16 on the MXU
+    # PRNG implementation for every run key ("threefry2x32" | "rbg").
+    # threefry is JAX's reproducible-everywhere default but costs real VPU
+    # time on TPU (the bulk per-scan noise — eps/gumbel/uniform tensors —
+    # measured 1.7 ms of the 18.4 ms primary train step); rbg uses the
+    # hardware RNG path and removes essentially all of it. Streams differ
+    # between impls (and rbg's shards differ across backends), so the
+    # default stays threefry; the TPU bench presets set rbg.
+    rng_impl: str = "threefry2x32"
 
 
 @dataclass(frozen=True)
@@ -278,12 +286,14 @@ PRESETS: dict[str, Config] = {
         name="fhn_iwae_k16",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="iwae", n_particles=16, resampling="none"),
+        train=TrainConfig(rng_impl="rbg"),
     ),
     # 2. "FIVO/AESMC filtering with systematic resampling, FHN, K=128, batched"
     "fhn_fivo_k128": Config(
         name="fhn_fivo_k128",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="fivo", n_particles=128, resampling="systematic"),
+        train=TrainConfig(rng_impl="rbg"),
     ),
     # 3. "SVO smoothing with learned backward proposal, Lorenz-63 3D latent, K=256"
     "lorenz63_svo_k256": Config(
@@ -295,6 +305,7 @@ PRESETS: dict[str, Config] = {
             n_smoothing_particles=16,
             resampling="systematic",
         ),
+        train=TrainConfig(rng_impl="rbg"),
     ),
     # 4. "PSVO full FFBSi backward-simulation smoother, Lorenz-63, K=1024"
     "lorenz63_psvo_k1024": Config(
@@ -306,6 +317,7 @@ PRESETS: dict[str, Config] = {
             n_smoothing_particles=16,
             resampling="systematic",
         ),
+        train=TrainConfig(rng_impl="rbg"),
     ),
     # 5. "Scaled Lorenz-96 D=40 latent, K=8192 particles sharded over ICI on v5e-8"
     "lorenz96_fivo_k8192_sharded": Config(
@@ -315,7 +327,7 @@ PRESETS: dict[str, Config] = {
         ),
         smc=SMCConfig(objective="fivo", n_particles=8192, resampling="systematic"),
         mesh=MeshConfig(data=1, particle=8),
-        train=TrainConfig(batch_size=8),
+        train=TrainConfig(batch_size=8, rng_impl="rbg"),
     ),
     # --- reference capability-parity modes (round 2) ---
     # exogenous control inputs (reference `Di`). control_scale 0.5: FHN's
@@ -351,6 +363,7 @@ PRESETS: dict[str, Config] = {
         name="fhn_fivo_k1024_bench",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="fivo", n_particles=1024, resampling="systematic"),
+        train=TrainConfig(rng_impl="rbg"),
     ),
 }
 

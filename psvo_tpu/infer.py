@@ -19,6 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from psvo_tpu.utils.rng import run_key
 from psvo_tpu.config import Config
 from psvo_tpu.models.ssm import SSM
 from psvo_tpu.objectives import make_objective
@@ -57,7 +58,7 @@ def filter_posterior(
     (the reference's `q_uses_true_X` debug path).
     """
     _check_controls(ssm, controls)
-    key = key if key is not None else jax.random.key(cfg.seed + 17)
+    key = key if key is not None else run_key(cfg, 17)
     fwd = forward_filter(
         ssm,
         params,
@@ -103,7 +104,7 @@ def smooth_posterior(
     with di > 0.
     """
     _check_controls(ssm, controls)
-    key = key if key is not None else jax.random.key(cfg.seed + 18)
+    key = key if key is not None else run_key(cfg, 18)
     method = method or (cfg.smc.objective if cfg.smc.objective in ("svo", "psvo") else "psvo")
     m = n_samples or cfg.smc.n_smoothing_particles
     run_cfg = dataclasses.replace(

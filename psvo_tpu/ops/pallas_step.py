@@ -243,13 +243,19 @@ def _trunk_bwd(x_in, hs, d_mean, w1, wms, w3):
     """Backprop one augmented trunk; bias grads are rows/cols of the
     augmented weight grads (ones-channel folding).
 
-    All of the trunk's weight grads ride ONE fused _dw: the per-layer
-    (activation, pre-act-grad) pairs concatenate along the sublane channel
-    axis and a single [Cin_tot, K] x [Cout_tot, K] contraction yields every
-    layer's grad as a diagonal block (off-diagonal blocks are discarded —
-    ~3.6x FLOP waste at ha=72, trivial next to the 3x per-layer dot+sum
-    call overhead it replaces: the 9 separate _dw calls measured 23.7 us of
-    the 88.5 us backward megakernel, round-3 ablation)."""
+    The weight grads ride ONE "corners" _dw plus one _dw per mid layer:
+    the first/last layers' (activation, pre-act-grad) pairs share a single
+    [HA+PD, K] × [PD+HA, K] contraction whose corner blocks are exactly
+    (dw3, dw1) — their small PD widths make the off-corner waste cheap —
+    while each [HA, K] × [HA, K] mid-layer grad is already a full-rank dot
+    with no waste. History: the 9 separate per-layer dots measured 23.7 µs
+    of the 88.5 µs backward megakernel (per-call overhead), and the round-3
+    all-blocks-in-one form fixed that but carried ~3.6× FLOP waste
+    ((2HA+PD)² vs the useful diagonal) that dominated the whole-scan
+    backward once the other reductions were fused; this pairing keeps the
+    call count at n_mid+1 with only ((HA+PD)²−HA²−PD²)/… ≈ 2× less MXU work
+    than the all-blocks form at HA=72 (10.4 → 8.6 ms on the primary
+    config's whole backward, measured v5e)."""
     n_mid = len(wms)
     d_h = _dense_t(d_mean, w3)
     d_pres = []
@@ -260,30 +266,18 @@ def _trunk_bwd(x_in, hs, d_mean, w1, wms, w3):
     d_pre1 = d_h * (hs[0] > 0).astype(d_h.dtype)
     d_x = _dense_t(d_pre1, w1)
 
-    # lhs blocks: hs[n_mid], hs[n_mid-1], ..., hs[0], x_in
-    # rhs blocks: d_mean,  d_pre(n_mid-1), ..., d_pre(0), d_pre1 — the
-    # diagonal block pairing reproduces (dw3, dwms[i], dw1) exactly
-    lhs_blocks = [hs[-1]] + [hs[i] for i in range(n_mid - 1, -1, -1)] + [x_in]
-    rhs_blocks = [d_mean] + d_pres + [d_pre1]
-    dwall = _dw(
-        jnp.concatenate(lhs_blocks, axis=-2),
-        jnp.concatenate(rhs_blocks, axis=-2),
-    )
-    ro = co = 0
-    dw3 = dw1 = None
-    dwms_rev = []
-    for m, (lb, rb) in enumerate(zip(lhs_blocks, rhs_blocks)):
-        ci, cj = lb.shape[-2], rb.shape[-2]
-        blk = dwall[ro : ro + ci, co : co + cj]
-        if m == 0:
-            dw3 = blk
-        elif m <= n_mid:
-            dwms_rev.append(blk)
-        else:
-            dw1 = blk
-        ro += ci
-        co += cj
-    return d_x, dw1, dwms_rev[::-1], dw3
+    ha, pd = hs[-1].shape[-2], x_in.shape[-2]
+    corners = _dw(
+        jnp.concatenate([hs[-1], x_in], axis=-2),
+        jnp.concatenate([d_mean, d_pre1], axis=-2),
+    )  # [HA+PD, PD+HA]: top-left = dw3, bottom-right = dw1
+    dw3 = corners[:ha, :pd]
+    dw1 = corners[ha:, pd:]
+    # d_pres[j] is layer i = n_mid-1-j's pre-act grad, paired with hs[i]
+    dwms = [
+        _dw(hs[n_mid - 1 - j], d_pres[j]) for j in range(n_mid - 1, -1, -1)
+    ]
+    return d_x, dw1, dwms, dw3
 
 
 def _lane_gather(x, idx):

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from psvo_tpu.utils.rng import run_key
 from psvo_tpu.config import Config
 from psvo_tpu.distributions import log_normalize
 from psvo_tpu.models.ssm import SSM
@@ -221,7 +222,7 @@ class Trainer:
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
-            key=jax.random.key(cfg.seed + 1),
+            key=run_key(cfg, 1),
         )
         self.metrics_writer = metrics_writer
         self.checkpointer = checkpointer
