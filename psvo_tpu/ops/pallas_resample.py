@@ -98,7 +98,7 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _tri_cumsum(w: jax.Array) -> jax.Array:
+def _tri_cumsum(w: jax.Array, exact: bool = False) -> jax.Array:
     """Inclusive lane-axis cumsum as MXU work: per-128-lane-tile cumsums via a
     [Q, Q] triangular-ones contraction, plus a tiny tile-offset prefix sum.
 
@@ -107,13 +107,17 @@ def _tri_cumsum(w: jax.Array) -> jax.Array:
     """
     r, k = w.shape
     nq = k // Q
+    # exact=True: HIGHEST keeps the summand operands in full f32 (the
+    # default MXU pass rounds them to bf16 — fine for the CDF whose ties
+    # the callers tolerate, not for the segment-sum prefixes)
+    prec = jax.lax.Precision.HIGHEST if exact else None
     wt = w.reshape(r, nq, Q)
     row = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
     tri = (row <= col).astype(jnp.float32)
     within = jax.lax.dot_general(
         wt, tri, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )  # [R, nq, Q]
     if nq > 1:
         sums = within[:, :, Q - 1]  # [R, nq] per-tile totals
@@ -122,7 +126,7 @@ def _tri_cumsum(w: jax.Array) -> jax.Array:
         tri_ex = (row_n < col_n).astype(jnp.float32)
         offs = jax.lax.dot_general(
             sums, tri_ex, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )  # [R, nq] exclusive tile offsets
         within = within + offs[:, :, None]
     return within.reshape(r, k)
@@ -555,6 +559,170 @@ def _win_gather(idx: jax.Array, x: jax.Array, k: int) -> jax.Array:
     return out[:, :d, :] if dp != d else out
 
 
+def _two_level_rank_int(vals_i: jax.Array, k: int) -> jax.Array:
+    """e[r, s] = #{j : vals[r, j] <= s}, s = 0..K-1, for SORTED i32 vals in
+    [0, K) — the integer-exact sibling of _two_level_count.
+
+    Exactness without HIGHEST-precision dots: the MXU truncates f32 operands
+    to bf16 (8 mantissa bits), which rounds integers >= 256, so the value
+    selection splits vals into hi = vals >> 7 and lo = vals & 127 (both
+    < 256 and bf16-exact, as are one-hot entries and f32 accumulation of
+    <= 2^15 such products) and runs one DEFAULT-rate dot per half with the
+    query's own hi/lo folded in, recombining (hi_d*128 + lo_d) exactly in
+    f32 on the VPU — ~3x cheaper than one HIGHEST (6-pass) selection dot.
+    """
+    r = vals_i.shape[0]
+    s_tiles = k // Q
+    v3 = vals_i.reshape(r, s_tiles, Q)
+    bnd = v3[:, :, Q - 1 :]  # [R, S, 1] per-tile maxima (ints)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, s_tiles, 1), 1)
+    ones_q = jnp.ones((Q, 1), jnp.float32)
+    hi_f = jax.lax.shift_right_logical(v3, 7).astype(jnp.float32)
+    lo_f = jnp.bitwise_and(v3, Q - 1).astype(jnp.float32)
+    ones_row = jnp.ones((r, 1, Q), jnp.float32)
+    hi_aug = jnp.concatenate([hi_f, ones_row], axis=1)  # [R, S+1, Q]
+    lo_aug = jnp.concatenate([lo_f, ones_row], axis=1)
+
+    c = min(k, max(Q, (2 * 1024 * 1024 // 4) // (r * Q) // Q * Q))
+    chunks = []
+    for t in range(0, k, c):
+        s_i = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1) + t  # [R, C]
+        coarse = jnp.sum(
+            (s_i[:, None, :] >= bnd).astype(jnp.float32), axis=1
+        )  # int compare: bnd <= s + 0.5  <=>  bnd <= s
+        coarse_i = jnp.minimum(coarse.astype(jnp.int32), s_tiles - 1)
+        onehot_s = (coarse_i[:, None, :] == srow).astype(jnp.float32)
+        q_hi = jax.lax.shift_right_logical(s_i, 7).astype(jnp.float32)
+        # +0.5: vals_j <= s  <=>  vals_j < s + 0.5 (strictness-safe compare)
+        q_lo = jnp.bitwise_and(s_i, Q - 1).astype(jnp.float32) + 0.5
+        oh_hi = jnp.concatenate([onehot_s, -q_hi[:, None, :]], axis=1)
+        oh_lo = jnp.concatenate([onehot_s, -q_lo[:, None, :]], axis=1)
+        dn = (((1,), (1,)), ((0,), (0,)))
+        d_hi = jax.lax.dot_general(
+            oh_hi, hi_aug, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )  # [R, C, Q'] = sel_hi - q_hi
+        d_lo = jax.lax.dot_general(
+            oh_lo, lo_aug, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )  # sel_lo - q_lo
+        le = (d_hi * float(Q) + d_lo <= 0.0).astype(jnp.float32)
+        fine = jax.lax.dot_general(
+            le, ones_q, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+        chunks.append(Q * coarse_i + fine.astype(jnp.int32))
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=-1)
+
+
+def _rank_kernel(k: int, idx_ref, e_ref):
+    e_ref[:] = _two_level_rank_int(idx_ref[:], k)
+
+
+def _rank_of_positions(idx: jax.Array, k: int) -> jax.Array:
+    """e[b, s] = #{q : idx[b, q] <= s} for SORTED integer idx — the same
+    two-level rank as the forward indices with roles swapped (rank of s+0.5
+    among the idx values; both sides f32-exact for K < 2^24, so the compares
+    carry no float ambiguity). Runs as a Pallas kernel: the identical jnp
+    graph left to XLA outside Mosaic measured ~35 ms/step at K=8192 (its
+    chunked one-hot contractions don't fuse), vs µs-scale in-kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = idx.shape[0]
+    return pl.pallas_call(
+        functools.partial(_rank_kernel, k),
+        grid=(batch // ROW_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, k), lambda b: (b, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_BLOCK, k), lambda b: (b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, k), jnp.int32),
+        compiler_params=_vmem_params(),
+        interpret=_INTERPRET,
+    )(idx)
+
+
+def _cumsum_kernel(k: int, g_ref, out_ref):
+    r, d = g_ref.shape[0], g_ref.shape[1]
+    out_ref[:] = _tri_cumsum(
+        g_ref[:].reshape(r * d, k), exact=True
+    ).reshape(r, d, k)
+
+
+def _lane_cumsum(g: jax.Array, k: int) -> jax.Array:
+    """Inclusive lane-axis cumsum of [B, D, K] as a Pallas tri-matmul kernel:
+    XLA lowers jnp.cumsum to a reduce-window that measured 0.46 ms/call at
+    [8, 40, 8192] (~46 ms/step over the T-scan); the in-kernel triangular
+    contraction at HIGHEST precision (exact f32 products — the default MXU
+    pass would round the summand operands to bf16) is an order of magnitude
+    cheaper. Falls back to jnp.cumsum off-TPU or on ineligible shapes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, d = g.shape[0], g.shape[1]
+    if not (
+        (_on_tpu() or _INTERPRET)
+        and k % Q == 0
+        and batch % ROW_BLOCK == 0
+        and d % 8 == 0
+    ):
+        return jnp.cumsum(g, axis=-1)
+    return pl.pallas_call(
+        functools.partial(_cumsum_kernel, k),
+        grid=(batch // ROW_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(
+                (ROW_BLOCK, d, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_BLOCK, d, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(g.shape, jnp.float32),
+        compiler_params=_vmem_params(),
+        interpret=_INTERPRET,
+    )(g)
+
+
+def _sorted_segsum(idx: jax.Array, g: jax.Array, k: int) -> jax.Array:
+    """Scatter-transpose of a MONOTONE-index gather without any scatter:
+    dx[b, :, s] = Σ_{q: idx[b,q]==s} g[b, :, q].
+
+    Children of each ancestor are contiguous in query space (idx sorted), so
+    the segment sum telescopes to a difference of inclusive prefix sums at
+    segment boundaries:
+
+        dx[s] = T[e_s − 1] − T[e_{s−1} − 1],   e_s = #{q : idx_q ≤ s}
+
+    e is counted by the same two-level rank that produces the forward
+    indices, with roles swapped — rank of s+0.5 among the sorted idx values
+    (both f32-exact for K < 2^24, so the compares have no float ambiguity).
+    Everything lowers to a lane cumsum, one dynamic gather, and a lane
+    shift. Why it exists: XLA's scatter-add for the cm [B, D, K] cotangent
+    measured **74 ms/step** at K=8192 D=40 — ~35% of the whole train step —
+    while this form costs ~7 ms (round-3 profile). Accuracy note: each
+    segment sum is a *difference of prefixes*, so entries carry absolute
+    error ~eps·|T| (≈1e-5 at unit-variance K=16k) instead of direct
+    summation's — irrelevant for gradients, and the exact windowed kernel
+    still takes every step whose windows fit."""
+    batch, _ = idx.shape
+    e = _rank_of_positions(idx, k)  # [B, K] counts in [0, K]
+    t = _lane_cumsum(g, k)  # [B, D, K] inclusive prefix over queries
+    # [B, 1, K] index broadcast, NOT a materialized [B, D, K] index tensor:
+    # the materialized form lowered to a 6x-slower gather (33.6 vs 5.4 ms
+    # at this shape — per-(b,d)-row lane addressing instead of one shared
+    # index vector per batch row)
+    big_g = jnp.take_along_axis(t, jnp.clip(e - 1, 0, k - 1)[:, None, :], axis=-1)
+    big_g = jnp.where((e > 0)[:, None, :], big_g, 0.0)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(big_g[..., :1]), big_g[..., :-1]], axis=-1
+    )
+    return big_g - prev
+
+
 def _win_scatter(idx: jax.Array, g: jax.Array, k: int) -> jax.Array:
     w = W_TILES
     d = g.shape[-2]
@@ -562,18 +730,10 @@ def _win_scatter(idx: jax.Array, g: jax.Array, k: int) -> jax.Array:
     g_p = jnp.pad(g, ((0, 0), (0, dp - d), (0, 0))) if dp != d else g
     anch, ok = _scatter_meta(idx, k, w)
 
-    def fallback(i, a, v):
-        batch = i.shape[0]
-        return (
-            jnp.zeros_like(v)
-            .at[jnp.arange(batch)[:, None], :, i]
-            .add(jnp.swapaxes(v, -1, -2))
-        )
-
     dx = jax.lax.cond(
         ok,
         lambda i, a, v: _win_pallas_call(_win_scatter_kernel, k, w, i, a, v),
-        fallback,
+        lambda i, a, v: _sorted_segsum(i, v, k),
         idx, anch, g_p,
     )
     return dx[:, :d, :] if dp != d else dx
@@ -660,6 +820,11 @@ def _rg_bwd(res, cots):
     if not _usable(batch, k):
         if _win_usable(batch, k):
             dx = _win_scatter(idx, g_x, k)
+        elif k % Q == 0:
+            # monotone idx: segment-sum via prefix differences — XLA's
+            # scatter-add here measured 74 ms/step at K=8192 (see
+            # _sorted_segsum)
+            dx = _sorted_segsum(idx, g_x, k)
         else:
             # cm scatter-add: dx[b, :, idx[b, q]] += g[b, :, q]
             dx = (
