@@ -281,19 +281,23 @@ def from_dict(d: dict) -> Config:
 # ---------------------------------------------------------------------------
 
 PRESETS: dict[str, Config] = {
+    # rng_impl per preset is MEASURED, not aesthetic (v5e A/B, 2026-08-18):
+    # 'rbg' carries ~3 ms of fixed per-step dispatch overhead that only pays
+    # once threefry's element-proportional bulk-noise cost exceeds it —
+    # K=16: 4.7 ms threefry vs 7.7 rbg; K=128: 5.7 vs 8.9; K=256: wash;
+    # K=1024: rbg wins by ~0.3-1 ms; K=8192: rbg by ~10 ms. Small-K presets
+    # therefore keep the threefry default (also cross-backend reproducible).
     # 1. "IWAE (no resampling), FitzHugh–Nagumo 2D SSM, K=16 particles, T=100"
     "fhn_iwae_k16": Config(
         name="fhn_iwae_k16",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="iwae", n_particles=16, resampling="none"),
-        train=TrainConfig(rng_impl="rbg"),
     ),
     # 2. "FIVO/AESMC filtering with systematic resampling, FHN, K=128, batched"
     "fhn_fivo_k128": Config(
         name="fhn_fivo_k128",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="fivo", n_particles=128, resampling="systematic"),
-        train=TrainConfig(rng_impl="rbg"),
     ),
     # 3. "SVO smoothing with learned backward proposal, Lorenz-63 3D latent, K=256"
     "lorenz63_svo_k256": Config(
@@ -305,7 +309,6 @@ PRESETS: dict[str, Config] = {
             n_smoothing_particles=16,
             resampling="systematic",
         ),
-        train=TrainConfig(rng_impl="rbg"),
     ),
     # 4. "PSVO full FFBSi backward-simulation smoother, Lorenz-63, K=1024"
     "lorenz63_psvo_k1024": Config(
