@@ -340,6 +340,13 @@ class Trainer:
                     "grad_norm": float(metrics["grad_norm"]),
                     "steps_per_sec": steps_s,
                 }
+                # objective-specific extras (PSVO's direct smoothing bound +
+                # EM log-joint, SVO's backward bound) persist to the record,
+                # not just the in-memory eval dict — a user comparing bound
+                # forms reads them from metrics.jsonl/history.json
+                for extra in ("elbo_psvo_direct", "log_joint_smoothed", "elbo_svo"):
+                    if extra in ev:
+                        rec[extra] = float(ev[extra])
                 self.history.append(rec)
                 if self.metrics_writer is not None:
                     self.metrics_writer.write(rec)

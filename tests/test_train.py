@@ -43,6 +43,14 @@ def test_short_training_improves_elbo(objective):
     trainer.run(ds.obs_train, ds.obs_test)
     after = float(ev(trainer.state.params, jax.random.key(7), ds.obs_test)["elbo"])
     assert after > before, (before, after)
+    # objective-specific bound extras persist to the eval record (a user
+    # comparing PSVO's forward vs direct bound reads metrics.jsonl)
+    rec = trainer.history[-1]
+    if objective == "psvo":
+        assert np.isfinite(rec["elbo_psvo_direct"])
+        assert np.isfinite(rec["log_joint_smoothed"])
+    if objective == "svo":
+        assert np.isfinite(rec["elbo_svo"])
 
 
 def test_eval_metrics_shapes():
