@@ -69,6 +69,47 @@ def test_always_resampling_gives_per_step_increments():
     )
 
 
+def test_iwae_gradient_matches_finite_differences():
+    """SURVEY.md §4.3: the IWAE estimator is fully reparameterized (no
+    resampling, no discrete choices), so with a FIXED key its loss is a
+    smooth deterministic function of the params — central finite differences
+    must reproduce the autodiff directional derivative."""
+    cfg, ssm, params, ys = _setup(objective="iwae", resampling="none", t=5)
+    obj = make_objective(ssm, cfg)
+    key = jax.random.key(3)
+
+    loss = lambda p: obj(p, key, ys).loss
+    g = jax.grad(loss)(params)
+    # fixed UNIT-norm direction with every leaf populated (an unnormalized
+    # direction makes eps·‖v‖ large enough for curvature + relu-kink
+    # crossings to bias the difference quotient ~10%)
+    direction = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.default_rng(0).standard_normal(a.shape), a.dtype
+        ),
+        params,
+    )
+    tn = float(
+        jnp.sqrt(
+            sum(jnp.vdot(v, v).real for v in jax.tree_util.tree_leaves(direction))
+        )
+    )
+    direction = jax.tree_util.tree_map(lambda v: v / tn, direction)
+    gv = sum(
+        float(jnp.vdot(a, b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(direction)
+        )
+    )
+    eps = 3e-3  # sweep 3e-2..3e-4 showed <0.2% error here; f32 noise below 1e-3
+    shift = lambda s: jax.tree_util.tree_map(
+        lambda p, v: p + s * v, params, direction
+    )
+    fd = (float(loss(shift(eps))) - float(loss(shift(-eps)))) / (2 * eps)
+    assert np.isfinite(gv) and np.isfinite(fd)
+    np.testing.assert_allclose(gv, fd, rtol=2e-2, atol=1e-4)
+
+
 def test_grad_reverse_matches_forward_mode():
     """vjp-vs-jvp consistency on every objective — the safety net that will
     catch custom-VJP bugs when the Pallas kernels land (SURVEY.md §7 M4)."""
