@@ -396,6 +396,7 @@ def forward_filter(
     cache: bool = False,
     encoder_inputs: Optional[jax.Array] = None,
     controls: Optional[jax.Array] = None,
+    noise: Optional[tuple] = None,
 ) -> FilterResult:
     """Run the forward SMC pass on observations ys [B, T, Dy].
 
@@ -403,9 +404,14 @@ def forward_filter(
     step (the reference's `q_uses_true_X` debug flag feeds true latents).
     controls [B, T, Di] are exogenous inputs (reference `Di`): x_t ~
     f(· | x_{t-1}, u_t), so step t consumes controls[:, t].
+    noise is a testing/diagnostic hook: a (eps0 [B,Dx,K], eps_scan
+    [T-1,B,Dx,K], u_scan [T-1,B,K]) tuple replacing the key-derived draws —
+    the SURVEY §4.3 gradient-enumeration test conditions on fixed noise and
+    enumerates the resampling outcomes through u_scan. Forces the plain
+    scan path (the fused kernel derives its own streams from the key).
     """
     batch, t_steps, _ = ys.shape
-    if controls is None and t_steps >= 2 and ssm.use_pallas_step:
+    if controls is None and t_steps >= 2 and ssm.use_pallas_step and noise is None:
         from psvo_tpu.ops import pallas_step
 
         if pallas_step.usable(ssm, cfg, batch):
@@ -426,16 +432,22 @@ def forward_filter(
     # ---- Bulk RNG: one threefry call per stream for ALL T steps. The scan is
     # latency-bound on TPU, so per-step key splits + sample chains dominate;
     # hoisting them out cuts per-timestep kernel count sharply.
-    k0, k_prop, k_res = jax.random.split(key, 3)
-    eps0 = jax.random.normal(k0, (batch, ssm.dx, k))
-    eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, ssm.dx, k))
-    if resample_on:
-        # [T-1, B, K] quantile positions, sorted along K, built in one shot —
-        # per-step position math (1-D iota / sort inside the scan) measured
-        # ~1 ms/step on v5e, several times the entire resampling kernel.
-        u_scan = resampling.bulk_positions(k_res, t_steps - 1, batch, k, cfg.resampling)
+    if noise is not None:
+        eps0, eps_scan, u_scan = noise
     else:
-        u_scan = jnp.zeros((t_steps - 1, batch, 1))  # unused placeholder
+        k0, k_prop, k_res = jax.random.split(key, 3)
+        eps0 = jax.random.normal(k0, (batch, ssm.dx, k))
+        eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, ssm.dx, k))
+        if resample_on:
+            # [T-1, B, K] quantile positions, sorted along K, built in one
+            # shot — per-step position math (1-D iota / sort inside the scan)
+            # measured ~1 ms/step on v5e, several times the entire
+            # resampling kernel.
+            u_scan = resampling.bulk_positions(
+                k_res, t_steps - 1, batch, k, cfg.resampling
+            )
+        else:
+            u_scan = jnp.zeros((t_steps - 1, batch, 1))  # unused placeholder
 
     # ---- t = 0: propose from q0(x_0 | y_0), weight against the learned prior.
     x0, alpha0 = _init_t0(ssm, params, eps0, ys_tm[0], enc_tm[0])

@@ -110,6 +110,90 @@ def test_iwae_gradient_matches_finite_differences():
     np.testing.assert_allclose(gv, fd, rtol=2e-2, atol=1e-4)
 
 
+def test_fivo_full_gradient_matches_enumeration():
+    """SURVEY.md §4.3 second clause: on a 2-step model with K=2 particles and
+    FIXED proposal noise, the expectation over the multinomial resampling
+    draws is computable by enumeration (3 ancestor multisets), so
+
+        E_a[ ∇̂_full(a) ]  ==  ∇_θ E_a[ log Ẑ(a) ]
+        E_a[log Ẑ] = Σ_a P_θ(a)·log Ẑ(a, θ),  P((0,0))=W₀², P((0,1))=2W₀W₁, …
+
+    exactly — validating both the product-categorical score term and its
+    future-increments-only baseline (a past-measurable baseline preserves
+    unbiasedness; it must drop out of the enumerated expectation)."""
+    cfg, ssm, params, ys = _setup(objective="fivo", resampling="multinomial",
+                                  k=2, t=2)
+    cfg = dataclasses.replace(
+        cfg, smc=dataclasses.replace(cfg.smc, use_stop_gradient=False)
+    )
+    ys = ys[:1]  # B=1
+    k = 2
+    rng = np.random.default_rng(11)
+    eps0 = jnp.asarray(rng.standard_normal((1, 2, k)), jnp.float32)
+    eps1 = jnp.asarray(rng.standard_normal((1, 1, 2, k)), jnp.float32)
+
+    def filt(p, u):
+        return forward_filter(
+            ssm, p, jax.random.key(0), ys, cfg.smc, cache=True,
+            noise=(eps0, eps1, u),
+        )
+
+    # base-point resampling weights W = softmax(α₀) pick the in-bin u's
+    w_base = np.asarray(
+        jax.nn.softmax(filt(params, jnp.full((1, 1, k), 0.5)).logws[0], -1)
+    )[0]
+    w0 = float(w_base[0])
+    multisets = {
+        (0, 0): ([0.25 * w0, 0.75 * w0], lambda W: W[0] * W[0]),
+        (0, 1): ([0.5 * w0, w0 + 0.5 * (1 - w0)], lambda W: 2.0 * W[0] * W[1]),
+        (1, 1): (
+            [w0 + 0.25 * (1 - w0), w0 + 0.75 * (1 - w0)],
+            lambda W: W[1] * W[1],
+        ),
+    }
+    us = {
+        a: jnp.asarray(np.array(pos, np.float32))[None, None, :]
+        for a, (pos, _) in multisets.items()
+    }
+    # the u's must actually realize their assignments at the base point
+    from psvo_tpu.ops import resampling as res_ops
+
+    cumw = jnp.cumsum(jnp.asarray(w_base, jnp.float32), -1)[None]
+    for a, u in us.items():
+        got = tuple(np.asarray(res_ops.inverse_cdf_indices(cumw, u[0]))[0])
+        assert got == a, (got, a)
+
+    def prob(p, a):
+        W = jax.nn.softmax(filt(p, us[a]).logws[0], -1)[0]
+        return multisets[a][1](W)
+
+    def logz(p, a):
+        return filt(p, us[a]).log_z[0]
+
+    def est(p, a):
+        fwd = filt(p, us[a])
+        sur = fwd.score_surrogate[0]
+        return fwd.log_z[0] + (sur - jax.lax.stop_gradient(sur))
+
+    # true gradient: ∇ Σ_a P(a,θ)·log Ẑ(a,θ)  (u's fixed, in-bin)
+    true_g = jax.grad(
+        lambda p: sum(prob(p, a) * logz(p, a) for a in multisets)
+    )(params)
+    # estimator expectation: Σ_a P(a)·∇̂(a) at the base point
+    probs = {a: float(prob(params, a)) for a in multisets}
+    assert abs(sum(probs.values()) - 1.0) < 1e-5, probs
+    est_leaves = None
+    for a in multisets:
+        g = jax.tree_util.tree_leaves(jax.grad(lambda p: est(p, a))(params))
+        scaled = [probs[a] * np.asarray(x) for x in g]
+        est_leaves = (
+            scaled if est_leaves is None
+            else [e + s for e, s in zip(est_leaves, scaled)]
+        )
+    for got, want in zip(est_leaves, jax.tree_util.tree_leaves(true_g)):
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
 def test_grad_reverse_matches_forward_mode():
     """vjp-vs-jvp consistency on every objective — the safety net that will
     catch custom-VJP bugs when the Pallas kernels land (SURVEY.md §7 M4)."""
