@@ -99,6 +99,10 @@ def cmd_train(args) -> int:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = apply_overrides(preset(args.preset), args.set or [])
+    if args.debug_checks:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, debug_checks=True)
+        )
     if args.steps:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, n_steps=args.steps)
@@ -220,6 +224,11 @@ def main(argv=None) -> int:
     p_train.add_argument(
         "--debug-nans", action="store_true",
         help="enable jax_debug_nans (the rebuild's sanitizer mode, SURVEY.md §5)",
+    )
+    p_train.add_argument(
+        "--debug-checks", action="store_true",
+        help="run the train step under checkify float checks (compiled "
+        "NaN/inf provenance — faster than --debug-nans through the relay)",
     )
     p_train.add_argument(
         "--profile", default=None, metavar="DIR",

@@ -144,6 +144,10 @@ class TrainConfig:
     # between impls (and rbg's shards differ across backends), so the
     # default stays threefry; the TPU bench presets set rbg.
     rng_impl: str = "threefry2x32"
+    # checkify float checks on the train step (SURVEY.md §5 sanitizers row):
+    # reports WHERE the first non-finite value was produced, compiled — no
+    # op-by-op eager re-execution like --debug-nans. Debug builds only.
+    debug_checks: bool = False
 
 
 @dataclass(frozen=True)
@@ -225,7 +229,7 @@ class Config:
         excluded; anything shaping params/optimizer-state structure is not.
         """
         d = self.to_dict()
-        for k in ("n_steps", "epochs", "eval_every", "save_every", "patience", "batch_size", "lr"):
+        for k in ("n_steps", "epochs", "eval_every", "save_every", "patience", "batch_size", "lr", "debug_checks"):
             d["train"].pop(k, None)
         blob = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:12]

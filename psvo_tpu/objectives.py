@@ -247,6 +247,7 @@ def _sample_final_particles(key, fwd: FilterResult, m: int):
     return jnp.swapaxes(x_t, -1, -2), lwn_sel  # [B, M, Dx]
 
 
+@jax.named_scope("svo_backward")
 def _svo_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: int):
     """Backward simulation with the learned proposal q_b; returns (logw̃ [B,M], x̃ [T,B,M,Dx])."""
     t_steps = ys_tm.shape[0]
@@ -362,6 +363,7 @@ def _selected_path_log_joint(ssm: SSM, params, x_tilde, ys_tm, ctrl_tm):
     )
 
 
+@jax.named_scope("ffbsi_backward")
 def _ffbsi_backward(
     ssm: SSM,
     params,
@@ -443,6 +445,7 @@ def _ffbsi_backward(
     return x_tilde, logp, logq
 
 
+@jax.named_scope("ffbsi_backward_segmented")
 def _ffbsi_backward_segmented(
     ssm: SSM, params, key, ys_tm, enc_tm, ctrl_tm, fwd, cache, m: int, smc_cfg,
     *, differentiable_sweep: bool = False,

@@ -84,6 +84,7 @@ class FilterResult:
     score_surrogate: Optional[jax.Array] = None  # [B]
 
 
+@jax.named_scope("smc_init_t0")
 def _init_t0(ssm: SSM, params, eps0, y0, enc0):
     """t=0: propose x0 ~ q0(·|y0) (reparameterized with eps0 [B, Dx, K]),
     weight against the learned prior: α0 = log p(x0) + log g(y0|x0) − log q0(x0)."""
@@ -154,7 +155,8 @@ def _make_step_body(ssm: SSM, params, cfg: SMCConfig):
         score = jnp.zeros(logw.shape[0])
         if resample_on:
             logw_pre = logw
-            x, logw, did, ess, idx = _resample(u_t, logw, x)
+            with jax.named_scope("resample"):
+                x, logw, did, ess, idx = _resample(u_t, logw, x)
             if not cfg.use_stop_gradient:
                 # Score-function term for the resampling distribution (the
                 # full FIVO gradient, Maddison et al. 2017): the categorical

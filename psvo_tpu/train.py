@@ -63,22 +63,53 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_step(ssm: SSM, cfg: Config, optimizer) -> Callable:
-    """One jitted optimization step over a minibatch of trajectories."""
+    """One jitted optimization step over a minibatch of trajectories.
+
+    With cfg.train.debug_checks the step runs under `checkify` float checks
+    (SURVEY.md §5 sanitizers row: "checkify for NaN/OOB guards in debug
+    builds"): the step reports WHERE the first non-finite value was produced
+    — unlike --debug-nans, which needs op-by-op eager re-execution and is
+    very slow through the TPU relay. The error pytree rides the metrics dict
+    (`metrics["checkify_err"]`); the Trainer throws it after each step, and
+    direct callers can `checkify.check_error(metrics.pop("checkify_err"))`.
+    """
     objective = make_objective(ssm, cfg)
 
-    @jax.jit
-    def train_step(params, opt_state, key, batch, encoder_inputs=None, controls=None):
+    def _step(params, opt_state, key, batch, encoder_inputs, controls):
         def loss_fn(p):
-            out = objective(p, key, batch, encoder_inputs, controls)
+            with jax.named_scope("objective"):
+                out = objective(p, key, batch, encoder_inputs, controls)
             return out.loss, out.metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        with jax.named_scope("optimizer"):
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
+
+    if cfg.train.debug_checks:
+        from jax.experimental import checkify
+
+        checked = checkify.checkify(_step, errors=checkify.float_checks)
+
+        @jax.jit
+        def train_step(
+            params, opt_state, key, batch, encoder_inputs=None, controls=None
+        ):
+            err, (params, opt_state, metrics) = checked(
+                params, opt_state, key, batch, encoder_inputs, controls
+            )
+            metrics["checkify_err"] = err
+            return params, opt_state, metrics
+
+        return train_step
+
+    @jax.jit
+    def train_step(params, opt_state, key, batch, encoder_inputs=None, controls=None):
+        return _step(params, opt_state, key, batch, encoder_inputs, controls)
 
     return train_step
 
@@ -313,6 +344,10 @@ class Trainer:
             st.params, st.opt_state, metrics = self.train_step(
                 st.params, st.opt_state, k_step, batch, enc, ctrl
             )
+            if "checkify_err" in metrics:  # cfg.train.debug_checks
+                from jax.experimental import checkify
+
+                checkify.check_error(metrics.pop("checkify_err"))
             st.step += 1
             if profile_window and st.step == profile_window[1]:
                 jax.block_until_ready(metrics["loss"])

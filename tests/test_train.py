@@ -53,6 +53,36 @@ def test_short_training_improves_elbo(objective):
         assert np.isfinite(rec["elbo_svo"])
 
 
+def test_debug_checks_flags_nonfinite_and_passes_clean():
+    """SURVEY.md §5 sanitizers row: checkify float checks on the train step.
+    A clean step must pass its error through silently; NaN-poisoned params
+    must raise with float-check provenance on throw."""
+    from jax.experimental import checkify
+
+    from psvo_tpu.train import make_optimizer, make_train_step
+
+    cfg = _cfg("fivo", steps=2)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, debug_checks=True)
+    )
+    ds = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    opt = make_optimizer(cfg)
+    step = make_train_step(ssm, cfg, opt)
+    batch = jnp.asarray(ds.obs_train[: cfg.train.batch_size])
+
+    p, s, m = step(params, opt.init(params), jax.random.key(1), batch)
+    err = m.pop("checkify_err")
+    checkify.check_error(err)  # clean run: no-op
+    assert np.isfinite(float(m["loss"]))
+
+    bad = jax.tree_util.tree_map(lambda a: a * jnp.nan, params)
+    _, _, m_bad = step(bad, opt.init(bad), jax.random.key(1), batch)
+    with pytest.raises(Exception) as ei:
+        checkify.check_error(m_bad.pop("checkify_err"))
+    assert "nan" in str(ei.value).lower()
+
+
 def test_eval_metrics_shapes():
     cfg = _cfg("fivo")
     ds = generate_dataset(cfg.data, cfg.seed)
