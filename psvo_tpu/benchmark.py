@@ -100,17 +100,29 @@ def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
     batch = jnp.asarray(dataset.obs_train[: cfg.train.batch_size])
     key = run_key(cfg, 1)
 
+    # steps_per_call presets: one jitted call scans n_call steps (the
+    # dispatch-bound small-K rows); the bench times CALLS and reports
+    # per-step numbers
+    n_call = max(int(cfg.train.steps_per_call), 1)
+    batch_flat = batch  # the numpy-baseline comparison wants [B, T, Dy]
+    if n_call > 1:
+        batch = jnp.stack([batch] * n_call)
+
+    def _key(i):
+        k = jax.random.fold_in(key, i)
+        return jax.random.split(k, n_call) if n_call > 1 else k
+
     # Warmup: compile + a couple of steady-state steps.
     p, s = params, opt_state
     for i in range(3):
-        p, s, m = train_step(p, s, jax.random.fold_in(key, i), batch)
+        p, s, m = train_step(p, s, _key(i), batch)
     float(m["loss"])  # real fetch: forces compile + warmup execution
 
     state = {"p": p, "s": s, "i": 3}
 
     def one_step():
         state["p"], state["s"], m = train_step(
-            state["p"], state["s"], jax.random.fold_in(key, state["i"]), batch
+            state["p"], state["s"], _key(state["i"]), batch
         )
         state["i"] += 1
         return m["loss"]
@@ -120,7 +132,8 @@ def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
         steps = max(5, min(steps, int(2.0 / max(est, 1e-4)) + 1))
 
     window_times = _time_windows(one_step, steps, windows=3)
-    step_time = sorted(window_times)[len(window_times) // 2]  # median window
+    # median window; with chunked presets each timed call is n_call steps
+    step_time = sorted(window_times)[len(window_times) // 2] / n_call
     gflop, gbyte = analytic_cost(cfg)
     row = {
         "metric": f"train_steps_per_sec_{cfg.name}",
@@ -128,7 +141,7 @@ def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
         "unit": "steps/s",
         "step_time_ms": round(step_time * 1e3, 3),
         "window_steps": steps,
-        "value_windows": [round(1.0 / w, 3) for w in window_times],
+        "value_windows": [round(n_call / w, 3) for w in window_times],
         "gflops_per_step": round(gflop, 3),
         "achieved_gflops_per_sec": round(gflop / step_time, 2),
         "gbytes_per_step": round(gbyte, 3),
@@ -146,7 +159,7 @@ def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
     )
     row["_final_params"] = state["p"]  # for the numpy-baseline comparison
     row["_ssm"] = ssm
-    row["_batch"] = batch
+    row["_batch"] = batch_flat
     return row
 
 

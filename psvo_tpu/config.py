@@ -148,6 +148,14 @@ class TrainConfig:
     # reports WHERE the first non-finite value was produced, compiled — no
     # op-by-op eager re-execution like --debug-nans. Debug builds only.
     debug_checks: bool = False
+    # Train steps per jitted call (lax.scan over N steps inside one XLA
+    # program). Through the tunneled-TPU relay each dispatch costs ~1-4 ms
+    # of un-overlapped host latency, which DOMINATES small configs (measured
+    # v5e 2026-08-19: IWAE K=16 5.8 -> 2.1 ms/step at N=10; the device-bound
+    # K=1024 primary is unchanged). Key derivation is the same split chain
+    # as N=1, so trajectories are bit-identical across values. eval/save
+    # cadences must be multiples of N.
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)
@@ -229,7 +237,7 @@ class Config:
         excluded; anything shaping params/optimizer-state structure is not.
         """
         d = self.to_dict()
-        for k in ("n_steps", "epochs", "eval_every", "save_every", "patience", "batch_size", "lr", "debug_checks"):
+        for k in ("n_steps", "epochs", "eval_every", "save_every", "patience", "batch_size", "lr", "debug_checks", "steps_per_call"):
             d["train"].pop(k, None)
         blob = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:12]
@@ -291,17 +299,23 @@ PRESETS: dict[str, Config] = {
     # K=16: 4.7 ms threefry vs 7.7 rbg; K=128: 5.7 vs 8.9; K=256: wash;
     # K=1024: rbg wins by ~0.3-1 ms; K=8192: rbg by ~10 ms. Small-K presets
     # therefore keep the threefry default (also cross-backend reproducible).
+    # Small-K presets additionally set steps_per_call=10: these rows are
+    # DISPATCH-bound through the tunneled TPU (IWAE K=16 measured 5.8 ->
+    # 2.1 ms/step when 10 steps ride one jitted lax.scan), and the chunked
+    # path is bit-identical to single stepping (tested).
     # 1. "IWAE (no resampling), FitzHugh–Nagumo 2D SSM, K=16 particles, T=100"
     "fhn_iwae_k16": Config(
         name="fhn_iwae_k16",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="iwae", n_particles=16, resampling="none"),
+        train=TrainConfig(steps_per_call=10),
     ),
     # 2. "FIVO/AESMC filtering with systematic resampling, FHN, K=128, batched"
     "fhn_fivo_k128": Config(
         name="fhn_fivo_k128",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="fivo", n_particles=128, resampling="systematic"),
+        train=TrainConfig(steps_per_call=10),
     ),
     # 3. "SVO smoothing with learned backward proposal, Lorenz-63 3D latent, K=256"
     "lorenz63_svo_k256": Config(
@@ -313,6 +327,7 @@ PRESETS: dict[str, Config] = {
             n_smoothing_particles=16,
             resampling="systematic",
         ),
+        train=TrainConfig(steps_per_call=10),
     ),
     # 4. "PSVO full FFBSi backward-simulation smoother, Lorenz-63, K=1024"
     "lorenz63_psvo_k1024": Config(

@@ -90,10 +90,36 @@ def make_train_step(ssm: SSM, cfg: Config, optimizer) -> Callable:
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
 
+    n_per_call = max(int(cfg.train.steps_per_call), 1)
+    if n_per_call > 1:
+        # N steps per jitted call: dispatch through the tunneled-TPU relay
+        # costs ~1-4 ms of un-overlapped host latency PER CALL, which
+        # dominates small configs (IWAE K=16 measured 5.8 -> 2.1 ms/step at
+        # N=10). `keys` is the [N] stack of the SAME per-step split chain
+        # the N=1 path walks, so trajectories are bit-identical across
+        # steps_per_call values (tested).
+        def _step_n(params, opt_state, keys, batches, encoder_inputs, controls):
+            def body(carry, inp):
+                p, s = carry
+                k_i, b_i, e_i, c_i = inp
+                p, s, m = _step(p, s, k_i, b_i, e_i, c_i)
+                return (p, s), m
+
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state), (keys, batches, encoder_inputs, controls)
+            )
+            # eval-cadence consumers read the LAST step's train metrics
+            metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
+            return params, opt_state, metrics
+
+        inner = _step_n
+    else:
+        inner = _step
+
     if cfg.train.debug_checks:
         from jax.experimental import checkify
 
-        checked = checkify.checkify(_step, errors=checkify.float_checks)
+        checked = checkify.checkify(inner, errors=checkify.float_checks)
 
         @jax.jit
         def train_step(
@@ -109,7 +135,7 @@ def make_train_step(ssm: SSM, cfg: Config, optimizer) -> Callable:
 
     @jax.jit
     def train_step(params, opt_state, key, batch, encoder_inputs=None, controls=None):
-        return _step(params, opt_state, key, batch, encoder_inputs, controls)
+        return inner(params, opt_state, key, batch, encoder_inputs, controls)
 
     return train_step
 
@@ -323,15 +349,28 @@ class Trainer:
         t_start = time.perf_counter()
         steps_done_at = st.step
         stop = False
+        spc = max(int(cfg.train.steps_per_call), 1)
+        if spc > 1:
+            # chunked stepping must land exactly on the eval/save boundaries
+            # (st.step advances by whole chunks)
+            for fname, cad in (("eval_every", cfg.train.eval_every),
+                               ("save_every", cfg.train.save_every)):
+                if cad % spc != 0:
+                    raise ValueError(
+                        f"train.{fname}={cad} must be a multiple of "
+                        f"train.steps_per_call={spc}"
+                    )
         profile_window = None
         if self.profile_dir:
-            # trace a steady-state window: skip the compile-heavy first steps
-            profile_window = (cfg.train.eval_every + 1, cfg.train.eval_every + 11)
-        while st.step < n_steps and not stop:
-            if profile_window and st.step + 1 == profile_window[0]:
-                jax.profiler.start_trace(self.profile_dir)
+            # trace a steady-state window: skip the compile-heavy first
+            # steps; with chunked stepping the window aligns to chunks
+            w0 = cfg.train.eval_every + spc if spc > 1 else cfg.train.eval_every + 1
+            profile_window = (w0, w0 + max(10 // spc, 1) * spc)
+
+        def _next_batch(step):
+            nonlocal epoch_perm
             if cfg.train.epochs > 0:
-                pos = st.step % steps_per_epoch
+                pos = step % steps_per_epoch
                 if pos == 0 or epoch_perm is None:
                     epoch_perm = rng.permutation(n_train)
                 idx = jnp.asarray(epoch_perm[pos * bsz : (pos + 1) * bsz])
@@ -340,7 +379,27 @@ class Trainer:
             batch = jnp.take(obs_train, idx, axis=0)
             enc = jnp.take(hidden_train, idx, axis=0) if use_true_x else None
             ctrl = jnp.take(controls_train, idx, axis=0) if use_controls else None
-            st.key, k_step = jax.random.split(st.key)
+            return batch, enc, ctrl
+
+        while st.step < n_steps and not stop:
+            chunk = min(spc, n_steps - st.step)  # tail chunk recompiles once
+            if profile_window and st.step + chunk == profile_window[0]:
+                jax.profiler.start_trace(self.profile_dir)
+            if chunk == 1 and spc == 1:
+                batch, enc, ctrl = _next_batch(st.step)
+                st.key, k_step = jax.random.split(st.key)
+            else:
+                parts = [_next_batch(st.step + j) for j in range(chunk)]
+                batch = jnp.stack([p[0] for p in parts])
+                enc = jnp.stack([p[1] for p in parts]) if use_true_x else None
+                ctrl = jnp.stack([p[2] for p in parts]) if use_controls else None
+                ks = []
+                for _ in range(chunk):  # the SAME split chain as spc=1
+                    st.key, k_j = jax.random.split(st.key)
+                    ks.append(k_j)
+                k_step = jnp.stack(ks)
+                # a tail chunk (chunk < spc) just scans fewer stacked steps;
+                # it re-specializes the jitted program once at the very end
             st.params, st.opt_state, metrics = self.train_step(
                 st.params, st.opt_state, k_step, batch, enc, ctrl
             )
@@ -348,7 +407,7 @@ class Trainer:
                 from jax.experimental import checkify
 
                 checkify.check_error(metrics.pop("checkify_err"))
-            st.step += 1
+            st.step += chunk
             if profile_window and st.step == profile_window[1]:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()

@@ -53,6 +53,39 @@ def test_short_training_improves_elbo(objective):
         assert np.isfinite(rec["elbo_svo"])
 
 
+def test_steps_per_call_is_bit_identical_to_single_steps():
+    """steps_per_call folds N steps into one jitted lax.scan but walks the
+    SAME host-side key-split chain and minibatch-sampling sequence, so the
+    trained params must be bit-identical to the N=1 path."""
+    base = _cfg("fivo", steps=8)
+    base = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, eval_every=4)
+    )
+    ds = generate_dataset(base.data, base.seed)
+    ssm, params = init_ssm(base, jax.random.key(base.seed))
+
+    results = {}
+    for spc in (1, 4):
+        cfg = dataclasses.replace(
+            base, train=dataclasses.replace(base.train, steps_per_call=spc)
+        )
+        tr = Trainer(cfg, ssm, params)
+        tr.run(ds.obs_train, ds.obs_test)
+        results[spc] = tr.state.params
+        assert tr.state.step == 8
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results[1]), jax.tree_util.tree_leaves(results[4])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # cadence misalignment is rejected loudly
+    bad = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, steps_per_call=3)
+    )
+    with pytest.raises(ValueError, match="multiple of"):
+        Trainer(bad, ssm, params).run(ds.obs_train, ds.obs_test)
+
+
 def test_debug_checks_flags_nonfinite_and_passes_clean():
     """SURVEY.md §5 sanitizers row: checkify float checks on the train step.
     A clean step must pass its error through silently; NaN-poisoned params
