@@ -119,7 +119,7 @@ _LANES = 128  # packed small-tensor lane width
 # net order in the stacked weight tensors
 _Q1, _F, _G = 0, 1, 2
 
-SM_AQ, SM_CQ, SM_SQ, SM_Y = 0, 1, 2, 3  # lane channels of the sm input
+SM_AQ, SM_CQ, SM_SQ, SM_Y, SM_AB = 0, 1, 2, 3, 4  # lane channels of sm
 SM_SFI, SM_SGI = 0, 8  # sconst lanes (8 apart: [PD, 8] grad stores)
 
 
@@ -348,14 +348,26 @@ def _onehot_scatter(g, idx, k):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_core(k, net, logw, u, x, eps, ab, sm, sconst):
+def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
     """The whole filtering step as pure array math (shared by the per-step
     and whole-scan kernels). Returns (x_new, alpha, idx, x_res, fm, ell, ess).
+
+    The α bias is built IN-KERNEL from ε (its only K-dependent term is
+    ½Σ_d ε², and ε is already a kernel operand) plus the K-independent
+    scalar riding sm lane SM_AB row 0 — the round-3 profile charged the
+    outside bulk ε² reduce + the [T−1,B,K] ab stream (fwd operand + bwd
+    d_ab output + the broadcast-VJP Σ_k reduce) ~0.5 ms/step of XLA glue.
+    The ε² term FOLDS INTO the z² reduction (α = −½Σ_d(z_f²−ε²+z_g²)+absc),
+    so the kernel runs ONE sublane sum where it previously ran two — a
+    separate in-kernel ½Σε² sum measured +2.4 ms/step on the primary
+    config (sublane reductions are the kernel's priciest VPU op class).
     """
     aq = sm[:, :, SM_AQ : SM_AQ + 1]
     cq = sm[:, :, SM_CQ : SM_CQ + 1]
     sq = sm[:, :, SM_SQ : SM_SQ + 1]
     y = sm[:, :, SM_Y : SM_Y + 1]
+    # K-independent α-bias scalar: row 0 of lane SM_AB (other rows zero)
+    absc = jnp.sum(sm[:, :, SM_AB : SM_AB + 1], axis=1)  # [R, 1]
     sfi = _col3(sconst, SM_SFI)  # [1, PD, 1]
     sgi = _col3(sconst, SM_SGI)
 
@@ -379,13 +391,12 @@ def _fwd_core(k, net, logw, u, x, eps, ab, sm, sconst):
     # the ones-channel alive in x_new
     x_new = cq * m1 + aq + sq * eps
 
-    # emission trunk + α
+    # emission trunk + α (ε's pad rows are zero, so the fused full-PD
+    # sublane sum of z_f² − ε² + z_g² is exact)
     m_g, _ = _trunk(x_new, *net(_G))
     z_f = (x_new - m_f) * sfi
     z_g = (y - m_g) * sgi
-    alpha = (
-        -0.5 * (jnp.sum(z_f * z_f, axis=-2) + jnp.sum(z_g * z_g, axis=-2)) + ab
-    )
+    alpha = -0.5 * jnp.sum(z_f * z_f - eps * eps + z_g * z_g, axis=-2) + absc
     # finiteness floor (distributions._MIN_LOGP rationale): a diverged mean
     # must yield an astronomically-negative finite α, not -inf
     alpha = jnp.maximum(alpha, -3e30)
@@ -426,7 +437,7 @@ def _write_stats(stats_ref, fm, ell, ess):
 def _fwd_kernel(
     k, n_mid, activation,
     # inputs (weights augmented + TRANSPOSED — see module docstring)
-    logw_ref, u_ref, x_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
+    logw_ref, u_ref, x_ref, eps_ref, sm_ref, sconst_ref,
     wt1s_ref, wtms_ref, wt3s_ref,
     # outputs
     xnew_ref, alpha_ref, stats_ref, idx_ref, xres_ref,
@@ -434,7 +445,7 @@ def _fwd_kernel(
     del activation  # always relu (eligibility)
     net = _mk_net(wt1s_ref, wtms_ref, wt3s_ref, n_mid)
     x_new, alpha, idx, x_res, fm, ell, ess = _fwd_core(
-        k, net, logw_ref[:], u_ref[:], x_ref[:], eps_ref[:], ab_ref[:],
+        k, net, logw_ref[:], u_ref[:], x_ref[:], eps_ref[:],
         sm_ref[:], sconst_ref[:],
     )
     idx_ref[:] = idx
@@ -450,16 +461,19 @@ def _fwd_kernel(
 
 
 def _bwd_core(
-    k, net, netw, x_res, x_new, idx, eps, ab, sm, sconst,
+    k, net, netw, x_res, x_new, idx, eps, sm, sconst,
     d_xnew_in, d_alpha_in, d_stats,
 ):
     """Recompute-style step backward as pure array math (shared by the
     per-step and whole-scan kernels). Returns
-    (d_x, d_alpha_full, sm_sums, dsfg, dws) where dws is
-    [(dw1, dwm_list, dw3) for q1, f, g] and sm_sums/dsfg are the packed
-    fusion-coefficient / scale-inverse reductions."""
+    (d_x, d_absc, sm_sums, dsfg, dws) where dws is
+    [(dw1, dwm_list, dw3) for q1, f, g], sm_sums/dsfg are the packed
+    fusion-coefficient / scale-inverse reductions, and d_absc [R, 1] is the
+    α-bias-scalar cotangent Σ_k dα (the ε² part of the bias carries no
+    param dependence — ε is raw RNG)."""
     cq = sm[:, :, SM_CQ : SM_CQ + 1]
     y = sm[:, :, SM_Y : SM_Y + 1]
+    absc = jnp.sum(sm[:, :, SM_AB : SM_AB + 1], axis=1)  # [R, 1]
     sfi = _col3(sconst, SM_SFI)
     sgi = _col3(sconst, SM_SGI)
 
@@ -469,9 +483,7 @@ def _bwd_core(
     m_g, hs_g = _trunk(x_new, *net(_G))
     z_f = (x_new - m_f) * sfi
     z_g = (y - m_g) * sgi
-    alpha = (
-        -0.5 * (jnp.sum(z_f * z_f, axis=-2) + jnp.sum(z_g * z_g, axis=-2)) + ab
-    )
+    alpha = -0.5 * jnp.sum(z_f * z_f - eps * eps + z_g * z_g, axis=-2) + absc
     floored = alpha < -3e30  # grad cut where the forward floor clamped
     alpha = jnp.maximum(alpha, -3e30)
 
@@ -523,14 +535,17 @@ def _bwd_core(
     d_x = _onehot_scatter(d_xr_q + d_xr_f, idx, k)
 
     dws = [(dw1_q, dwm_q, dw3_q), (dw1_f, dwm_f, dw3_f), (dw1_g, dwm_g, dw3_g)]
-    return d_x, d_alpha, sm_sums, dsfg, dws
+    return d_x, _lane_sum(d_alpha), sm_sums, dsfg, dws
 
 
-def _write_dsm(dsm_ref, sm_sums, pd):
+def _write_dsm(dsm_ref, sm_sums, d_absc, pd):
     dsm_ref[:] = jnp.zeros_like(dsm_ref)
     dsm_ref[:, :, SM_AQ : SM_AQ + 1] = sm_sums[:, :pd]
     dsm_ref[:, :, SM_CQ : SM_CQ + 1] = sm_sums[:, pd : 2 * pd]
     dsm_ref[:, :, SM_SQ : SM_SQ + 1] = sm_sums[:, 2 * pd :]
+    # α-bias scalar rides row 0 of lane SM_AB (pack_sm pads the other rows
+    # with zeros, whose VJP drops the cotangent there)
+    dsm_ref[:, 0:1, SM_AB : SM_AB + 1] = d_absc[:, :, None]
 
 
 def _accum_param_grads(
@@ -560,12 +575,12 @@ def _accum_param_grads(
 def _bwd_kernel(
     k, n_mid, activation,
     # residual inputs (wt* = transposed for recompute, w* for _dense_t)
-    xres_ref, xnew_ref, idx_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
+    xres_ref, xnew_ref, idx_ref, eps_ref, sm_ref, sconst_ref,
     wt1s_ref, wtms_ref, wt3s_ref, w1s_ref, wms_ref, w3s_ref,
     # cotangent inputs
     dxnew_ref, dalpha_ref, dstats_ref,
     # outputs: per-batch grads
-    dx_ref, dab_ref, dsm_ref,
+    dx_ref, dsm_ref,
     # outputs: accumulated param grads (constant index map, resident)
     dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref,
 ):
@@ -576,14 +591,13 @@ def _bwd_kernel(
     netw = _mk_net(w1s_ref, wms_ref, w3s_ref, n_mid)
     pd = xnew_ref.shape[-2]
 
-    d_x, d_alpha, sm_sums, dsfg, dws = _bwd_core(
+    d_x, d_absc, sm_sums, dsfg, dws = _bwd_core(
         k, net, netw, xres_ref[:], xnew_ref[:], idx_ref[:], eps_ref[:],
-        ab_ref[:], sm_ref[:], sconst_ref[:],
+        sm_ref[:], sconst_ref[:],
         dxnew_ref[:], dalpha_ref[:], dstats_ref[:],
     )
-    dab_ref[:] = d_alpha
     dx_ref[:] = d_x
-    _write_dsm(dsm_ref, sm_sums, pd)
+    _write_dsm(dsm_ref, sm_sums, d_absc, pd)
     _accum_param_grads(
         n_mid, pd, dsfg, dws, dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref,
         pl.program_id(0) == 0,
@@ -596,7 +610,7 @@ def _bwd_kernel(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _step_call(static, logw, u, x, eps, ab, sm, sconst,
+def _step_call(static, logw, u, x, eps, sm, sconst,
                wt1s, wtms, wt3s, w1s, wms, w3s):
     """static = (k, pd, n_mid, activation). All tensors padded/packed/
     bias-augmented; weights in BOTH orientations (wt* transposed for the
@@ -607,7 +621,7 @@ def _step_call(static, logw, u, x, eps, ab, sm, sconst,
     Returns (x_new [B,PD,K], alpha [B,K], stats [B,PD,128]) where stats
     lane 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS (metrics lanes carry no
     gradient; ℓ's cotangent is honored)."""
-    out, _ = _step_fwd(static, logw, u, x, eps, ab, sm, sconst,
+    out, _ = _step_fwd(static, logw, u, x, eps, sm, sconst,
                        wt1s, wtms, wt3s, w1s, wms, w3s)
     return out
 
@@ -638,7 +652,7 @@ def _mk_specs(shapes):
     return specs
 
 
-def _step_fwd(static, logw, u, x, eps, ab, sm, sconst,
+def _step_fwd(static, logw, u, x, eps, sm, sconst,
               wt1s, wtms, wt3s, w1s, wms, w3s):
     from jax.experimental import pallas as pl
 
@@ -652,7 +666,6 @@ def _step_fwd(static, logw, u, x, eps, ab, sm, sconst,
         ((batch, k), True),           # u
         ((batch, pd, k), True),       # x
         ((batch, pd, k), True),       # eps
-        ((batch, k), True),           # ab
         ((batch, pd, _LANES), True),  # sm
         ((pd, _LANES), False),        # sconst
         ((3, ha, pd), False),         # wt1s
@@ -681,8 +694,8 @@ def _step_fwd(static, logw, u, x, eps, ab, sm, sconst,
         out_shape=out_shape,
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
-    )(logw, u, x, eps, ab, sm, sconst, wt1s, wtms, wt3s)
-    res = (x_res, x_new, idx, eps, ab, sm, sconst,
+    )(logw, u, x, eps, sm, sconst, wt1s, wtms, wt3s)
+    res = (x_res, x_new, idx, eps, sm, sconst,
            wt1s, wtms, wt3s, w1s, wms, w3s)
     return (x_new, alpha, stats), res
 
@@ -691,7 +704,7 @@ def _step_bwd(static, res, cots):
     from jax.experimental import pallas as pl
 
     k, pd, n_mid, activation = static
-    (x_res, x_new, idx, eps, ab, sm, sconst,
+    (x_res, x_new, idx, eps, sm, sconst,
      wt1s, wtms, wt3s, w1s, wms, w3s) = res
     d_xnew, d_alpha, d_stats = cots
     batch = idx.shape[0]
@@ -703,7 +716,6 @@ def _step_bwd(static, res, cots):
         ((batch, pd, k), True),       # x_new
         ((batch, k), True),           # idx
         ((batch, pd, k), True),       # eps
-        ((batch, k), True),           # ab
         ((batch, pd, _LANES), True),  # sm
         ((pd, _LANES), False),        # sconst
         ((3, ha, pd), False),         # wt1s
@@ -718,7 +730,6 @@ def _step_bwd(static, res, cots):
     ]
     out_shapes = [
         ((batch, pd, k), True),       # d_x
-        ((batch, k), True),           # d_ab
         ((batch, pd, _LANES), True),  # d_sm
         ((pd, _LANES), False),        # d_sconst
         ((3, pd, ha), False),         # d_w1s
@@ -727,14 +738,13 @@ def _step_bwd(static, res, cots):
     ]
     out_shape = [
         jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
-        jax.ShapeDtypeStruct((batch, k), jnp.float32),
         jax.ShapeDtypeStruct((batch, pd, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((pd, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((3, pd, ha), jnp.float32),
         jax.ShapeDtypeStruct((3 * n_wm, ha, ha), jnp.float32),
         jax.ShapeDtypeStruct((3, ha, pd), jnp.float32),
     ]
-    (d_x, d_ab, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
+    (d_x, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
         functools.partial(_bwd_kernel, k, n_mid, activation),
         grid=(batch // ROW_BLOCK,),
         in_specs=_mk_specs(in_shapes),
@@ -742,7 +752,7 @@ def _step_bwd(static, res, cots):
         out_shape=out_shape,
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
-    )(x_res, x_new, idx, eps, ab, sm, sconst,
+    )(x_res, x_new, idx, eps, sm, sconst,
       wt1s, wtms, wt3s, w1s, wms, w3s, d_xnew, d_alpha, d_stats)
 
     zeros = jnp.zeros_like
@@ -751,7 +761,6 @@ def _step_bwd(static, res, cots):
         zeros(d_alpha),  # d u
         d_x,
         zeros(eps),      # ε is raw RNG — no param dependence
-        d_ab,
         d_sm,
         d_sconst,
         # weight grads ride the w* inputs; the wt* transposes get zeros
@@ -782,21 +791,21 @@ SCAN_FUSED = True  # flip False to A/B the per-step _step_call path
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _scan_call(static, x0, alpha0, sm, ab, eps, u, sconst,
+def _scan_call(static, x0, alpha0, sm, eps, u, sconst,
                wt1s, wtms, wt3s, w1s, wms, w3s):
     """static = (k, pd, n_mid, activation, cache). Streams are [T-1, ...].
 
     Returns (x_last, alpha_last, stats) — plus (x_new_all, alpha_all) when
     `cache` (the SVO/PSVO history; FIVO skips the two big stream outputs'
     cotangent plumbing entirely)."""
-    out, _ = _scan_fwd(static, x0, alpha0, sm, ab, eps, u, sconst,
+    out, _ = _scan_fwd(static, x0, alpha0, sm, eps, u, sconst,
                        wt1s, wtms, wt3s, w1s, wms, w3s)
     return out
 
 
 def _scan_fwd_kernel(
     k, n_mid, t_len,
-    x0_ref, a0_ref, sm_ref, ab_ref, eps_ref, u_ref, sconst_ref,
+    x0_ref, a0_ref, sm_ref, eps_ref, u_ref, sconst_ref,
     wt1s_ref, wtms_ref, wt3s_ref,
     xnew_ref, alpha_ref, stats_ref, idx_ref, xres_ref, xlast_ref, alast_ref,
     x_c, lw_c,
@@ -812,7 +821,7 @@ def _scan_fwd_kernel(
         lw_c[:] = a0_ref[:]
 
     x_new, alpha, idx, x_res, fm, ell, ess = _fwd_core(
-        k, net, lw_c[:], u_ref[0], x_c[:], eps_ref[0], ab_ref[0],
+        k, net, lw_c[:], u_ref[0], x_c[:], eps_ref[0],
         sm_ref[0], sconst_ref[:],
     )
     idx_ref[:] = idx[None]
@@ -835,7 +844,7 @@ def _scan_fwd_kernel(
 def _scan_bwd_kernel(
     k, n_mid, t_len, has_cot,
     # residuals (streamed reversed) + constants
-    xres_ref, xnew_ref, idx_ref, eps_ref, ab_ref, sm_ref, sconst_ref,
+    xres_ref, xnew_ref, idx_ref, eps_ref, sm_ref, sconst_ref,
     wt1s_ref, wtms_ref, wt3s_ref, w1s_ref, wms_ref, w3s_ref,
     *rest,
 ):
@@ -845,7 +854,7 @@ def _scan_bwd_kernel(
     dxnew_s = next(it) if has_cot else None
     dalpha_s = next(it) if has_cot else None
     dstats_s, dxlast_ref, dalast_ref = next(it), next(it), next(it)
-    dx0_ref, dab_ref, dsm_ref = next(it), next(it), next(it)
+    dx0_ref, dsm_ref = next(it), next(it)
     dsconst_ref, dw1s_ref, dwms_ref, dw3s_ref = (
         next(it), next(it), next(it), next(it),
     )
@@ -866,12 +875,11 @@ def _scan_bwd_kernel(
         d_xnew_in = d_xnew_in + dxnew_s[0]
         d_alpha_in = d_alpha_in + dalpha_s[0]
 
-    d_x, d_alpha, sm_sums, dsfg, dws = _bwd_core(
+    d_x, d_absc, sm_sums, dsfg, dws = _bwd_core(
         k, net, netw, xres_ref[0], xnew_ref[0], idx_ref[0], eps_ref[0],
-        ab_ref[0], sm_ref[0], sconst_ref[:],
+        sm_ref[0], sconst_ref[:],
         d_xnew_in, d_alpha_in, dstats_s[0],
     )
-    dab_ref[:] = d_alpha[None]
     dsm_ref[:] = jnp.zeros_like(dsm_ref)
     # slice FIRST, newaxis after: `v[None, :, :pd]` (newaxis mixed with a
     # partial slice) traces to a rank>2 lax.gather that Mosaic rejects on
@@ -880,6 +888,7 @@ def _scan_bwd_kernel(
     for lane, lo in ((SM_AQ, 0), (SM_CQ, pd), (SM_SQ, 2 * pd)):
         part = jax.lax.slice_in_dim(sm_sums, lo, lo + pd, axis=1)
         dsm_ref[:, :, :, lane : lane + 1] = part[None]
+    dsm_ref[:, :, 0:1, SM_AB : SM_AB + 1] = d_absc[None, :, :, None]
     dxc[:] = d_x  # feeds step t-1's x_new cotangent
 
     @pl.when(tr == t_len - 1)
@@ -924,19 +933,18 @@ def _const_spec(shape, batched_rows=False):
     )
 
 
-def _scan_fwd(static, x0, alpha0, sm, ab, eps, u, sconst,
+def _scan_fwd(static, x0, alpha0, sm, eps, u, sconst,
               wt1s, wtms, wt3s, w1s, wms, w3s):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     k, pd, n_mid, _activation, cache = static
-    t_len, batch = ab.shape[0], ab.shape[1]
+    t_len, batch = u.shape[0], u.shape[1]
 
     in_specs = [
         _const_spec(x0.shape, batched_rows=True),
         _const_spec(alpha0.shape, batched_rows=True),
         _res_spec(sm.shape),
-        _res_spec(ab.shape),
         _res_spec(eps.shape),
         _res_spec(u.shape),
         _const_spec(sconst.shape),
@@ -974,8 +982,8 @@ def _scan_fwd(static, x0, alpha0, sm, ab, eps, u, sconst,
         ],
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
-    )(x0, alpha0, sm, ab, eps, u, sconst, wt1s, wtms, wt3s)
-    res = (xres, xnew, idx, eps, ab, sm, sconst,
+    )(x0, alpha0, sm, eps, u, sconst, wt1s, wtms, wt3s)
+    res = (xres, xnew, idx, eps, u, sm, sconst,
            wt1s, wtms, wt3s, w1s, wms, w3s)
     if cache:
         return (x_last, a_last, stats, xnew, alpha), res
@@ -987,14 +995,14 @@ def _scan_bwd(static, res, cots):
     from jax.experimental.pallas import tpu as pltpu
 
     k, pd, n_mid, _activation, cache = static
-    (xres, xnew, idx, eps, ab, sm, sconst,
+    (xres, xnew, idx, eps, u, sm, sconst,
      wt1s, wtms, wt3s, w1s, wms, w3s) = res
     if cache:
         d_xlast, d_alast, d_stats, d_xnew_s, d_alpha_s = cots
     else:
         d_xlast, d_alast, d_stats = cots
         d_xnew_s = d_alpha_s = None
-    t_len, batch = ab.shape[0], ab.shape[1]
+    t_len, batch = u.shape[0], u.shape[1]
     ha = wt1s.shape[1]
     n_wm = wms.shape[0] // 3
 
@@ -1004,7 +1012,6 @@ def _scan_bwd(static, res, cots):
         _res_spec(xnew.shape, reverse_t_len=rev),
         _res_spec(idx.shape, reverse_t_len=rev),
         _res_spec(eps.shape, reverse_t_len=rev),
-        _res_spec(ab.shape, reverse_t_len=rev),
         _res_spec(sm.shape, reverse_t_len=rev),
         _const_spec(sconst.shape),
         _const_spec(wt1s.shape),
@@ -1014,7 +1021,7 @@ def _scan_bwd(static, res, cots):
         _const_spec(wms.shape),
         _const_spec(w3s.shape),
     ]
-    operands = [xres, xnew, idx, eps, ab, sm, sconst,
+    operands = [xres, xnew, idx, eps, sm, sconst,
                 wt1s, wtms, wt3s, w1s, wms, w3s]
     if cache:
         in_specs += [
@@ -1031,7 +1038,6 @@ def _scan_bwd(static, res, cots):
 
     out_specs = [
         _const_spec((batch, pd, k), batched_rows=True),   # d_x0
-        _res_spec((t_len, batch, k), reverse_t_len=rev),  # d_ab
         _res_spec((t_len, batch, pd, _LANES), reverse_t_len=rev),  # d_sm
         _const_spec((pd, _LANES)),
         _const_spec((3, pd, ha)),
@@ -1040,14 +1046,13 @@ def _scan_bwd(static, res, cots):
     ]
     out_shape = [
         jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
-        jax.ShapeDtypeStruct((t_len, batch, k), jnp.float32),
         jax.ShapeDtypeStruct((t_len, batch, pd, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((pd, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((3, pd, ha), jnp.float32),
         jax.ShapeDtypeStruct((3 * n_wm, ha, ha), jnp.float32),
         jax.ShapeDtypeStruct((3, ha, pd), jnp.float32),
     ]
-    (d_x0, d_ab, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
+    (d_x0, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
         functools.partial(_scan_bwd_kernel, k, n_mid, t_len, cache),
         grid=(batch // ROW_BLOCK, t_len),
         in_specs=in_specs,
@@ -1061,11 +1066,10 @@ def _scan_bwd(static, res, cots):
     zeros = jnp.zeros_like
     return (
         d_x0,
-        zeros(ab[0]),   # d alpha0: consumed only via stop-grad resampling/ESS
+        zeros(u[0]),    # d alpha0: consumed only via stop-grad resampling/ESS
         d_sm,
-        d_ab,
         zeros(eps),     # ε is raw RNG — no param dependence
-        zeros(ab),      # d u
+        zeros(u),       # d u
         d_sconst,
         zeros(wt1s), zeros(wtms), zeros(wt3s),
         d_w1s, d_wms, d_w3s,
@@ -1179,16 +1183,19 @@ def prepare(ssm, params, cfg):
     }
 
 
-def pack_sm(aq, cq, sq, y, pd: int):
+def pack_sm(aq, cq, sq, y, ab, pd: int):
     """Pack the per-step [T, B, Dx]/[T, B, Dy] vectors as lane-channels of
     one [T, B, PD, 128] tensor (bulk, outside the scan). Row PD−1 of the aq
     channel is pinned to 1 — it regenerates the ones-channel in x_new
-    (cq/sq/y rows stay 0 there)."""
+    (cq/sq/y rows stay 0 there). ab [T, B] is the K-independent α-bias
+    scalar, riding row 0 of lane SM_AB (the kernel adds the ε² part)."""
     def rows(a):
         return _pad_to(a, pd, a.ndim - 1)
 
     aq_p = rows(aq).at[..., pd - 1].set(1.0)
-    sm = jnp.stack([aq_p, rows(cq), rows(sq), rows(y)], axis=-1)
+    sm = jnp.stack(
+        [aq_p, rows(cq), rows(sq), rows(y), rows(ab[..., None])], axis=-1
+    )
     return _pad_to(sm, _LANES, sm.ndim - 1)
 
 

@@ -299,19 +299,21 @@ def _forward_filter_fused(
     x0, alpha0 = _init_t0(ssm, params, eps0, ys_tm[0], enc_tm[0])
     ell0 = _lse(alpha0) - jnp.log(float(k))
 
-    # α bias: every K-independent term of log f + log g − log q, plus the
-    # ε² part of −log q, precomputed in bulk (Dx·½log2π cancels between
-    # −log q and log f; see pallas_step module docstring).
-    ab = 0.5 * jnp.sum(eps_scan * eps_scan, axis=2) + (
+    # α bias, K-independent scalar part: log f + log g − log q's constant
+    # terms (Dx·½log2π cancels between −log q and log f; see pallas_step
+    # module docstring). The K-dependent ½Σε² part is computed IN-KERNEL
+    # from the ε operand — the outside bulk reduce + the [T−1,B,K] ab
+    # stream (and its d_ab twin) were ~0.5 ms/step of XLA glue (round 3).
+    ab_scalar = (
         logsq_sum[1:]
         - consts["log_sf_sum"]
         - consts["log_sg_sum"]
         - dy * 0.5 * jnp.log(2.0 * jnp.pi)
-    )[..., None]  # [T-1, B, K]
+    )  # [T-1, B]
 
     # pack every small per-step vector as lane-channels of ONE tensor, in
     # bulk outside the scan (kernel operand-shape rule: no dim-1 operands)
-    sm_scan = pallas_step.pack_sm(aq[1:], cq[1:], sq[1:], ys_tm[1:], pd)
+    sm_scan = pallas_step.pack_sm(aq[1:], cq[1:], sq[1:], ys_tm[1:], ab_scalar, pd)
     # row pd-1 pinned to 1: the ones-channel carrying the folded biases
     # (pallas_step module docstring) — the gather preserves it, and the
     # kernel's draw regenerates it via aq's pinned row
@@ -328,7 +330,7 @@ def _forward_filter_fused(
         # steps (carry in VMEM scratch, per-step operands streamed by
         # t-indexed BlockSpecs) — no lax.scan glue, 2 launches per train step
         outs = pallas_step._scan_call(
-            static + (cache,), x0_p, alpha0, sm_scan, ab, eps_p, u_scan,
+            static + (cache,), x0_p, alpha0, sm_scan, eps_p, u_scan,
             sconst, *weights,
         )
         if cache:
@@ -341,9 +343,9 @@ def _forward_filter_fused(
     else:
         def body(carry, inputs):
             x, logw = carry
-            sm_t, ab_t, eps_t, u_t = inputs
+            sm_t, eps_t, u_t = inputs
             x_new, alpha, stats = pallas_step._step_call(
-                static, logw, u_t, x, eps_t, ab_t, sm_t, sconst, *weights
+                static, logw, u_t, x, eps_t, sm_t, sconst, *weights
             )
             # stats lanes: 0 = filtered mean, [0,1] = ℓ, [0,2] = ESS. The
             # [B,PD,K] particle / [B,K] weight stacks ride the ys outputs
@@ -358,7 +360,7 @@ def _forward_filter_fused(
         (x_last, logw_last), outs = jax.lax.scan(
             body,
             (x0_p, alpha0),
-            (sm_scan, ab, eps_p, u_scan),
+            (sm_scan, eps_p, u_scan),
         )
         if cache:
             xs_scan, alphas, ells, esss, fmeans = outs
