@@ -299,10 +299,12 @@ PRESETS: dict[str, Config] = {
     # K=16: 4.7 ms threefry vs 7.7 rbg; K=128: 5.7 vs 8.9; K=256: wash;
     # K=1024: rbg wins by ~0.3-1 ms; K=8192: rbg by ~10 ms. Small-K presets
     # therefore keep the threefry default (also cross-backend reproducible).
-    # Small-K presets additionally set steps_per_call=10: these rows are
-    # DISPATCH-bound through the tunneled TPU (IWAE K=16 measured 5.8 ->
-    # 2.1 ms/step when 10 steps ride one jitted lax.scan), and the chunked
-    # path is bit-identical to single stepping (tested).
+    # Presets up to K=1024 additionally set steps_per_call=10: dispatch
+    # through the tunneled TPU costs ~1.5-2 ms un-overlapped host latency
+    # per call (IWAE K=16 measured 5.8 -> 2.1 ms/step, FIVO K=1024
+    # 17.9 -> 15.9, PSVO K=1024 24.5 -> 22.9 when 10 steps ride one jitted
+    # lax.scan), and the chunked path is bit-identical to single stepping
+    # (tested). K=8192 (>170 ms/step) doesn't care.
     # 1. "IWAE (no resampling), FitzHugh–Nagumo 2D SSM, K=16 particles, T=100"
     "fhn_iwae_k16": Config(
         name="fhn_iwae_k16",
@@ -339,7 +341,7 @@ PRESETS: dict[str, Config] = {
             n_smoothing_particles=16,
             resampling="systematic",
         ),
-        train=TrainConfig(rng_impl="rbg"),
+        train=TrainConfig(rng_impl="rbg", steps_per_call=10),
     ),
     # 5. "Scaled Lorenz-96 D=40 latent, K=8192 particles sharded over ICI on v5e-8"
     "lorenz96_fivo_k8192_sharded": Config(
@@ -385,7 +387,7 @@ PRESETS: dict[str, Config] = {
         name="fhn_fivo_k1024_bench",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="fivo", n_particles=1024, resampling="systematic"),
-        train=TrainConfig(rng_impl="rbg"),
+        train=TrainConfig(rng_impl="rbg", steps_per_call=10),
     ),
 }
 

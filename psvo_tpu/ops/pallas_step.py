@@ -165,6 +165,19 @@ def usable(ssm, cfg, batch: int) -> bool:
     return True
 
 
+def _row_block(batch: int, k: int) -> int:
+    """Batch rows per kernel invocation (grid axis 0 block).
+
+    16 measured fastest on the primary config (v5e, K=1024 B=32: 15.9 →
+    14.8 ms/step — the whole-scan backward runs 396 → 198 invocations and
+    its per-invocation fixed cost is real), but the backward's scoped VMEM
+    scales with rb·K: rb=32 at K=1024 needs 77 MiB (> the 64 MiB grant, and
+    granting 100 MiB measured SLOWER than rb=16 — VMEM pressure kills the
+    stream double-buffering), so rb=16 is gated to K ≤ 1024 where it fits
+    with the same headroom as the proven rb=8 K=2048 ceiling."""
+    return 16 if (batch % 16 == 0 and k <= 1024) else ROW_BLOCK
+
+
 def _col3(v, c: int = 0):
     """[N, 128] value -> [1, N, 1] holding lane c (N ≤ 8 only — module
     docstring rule 2). Leading-axis reshape + 3-D lane slice; `[None]`
@@ -626,7 +639,7 @@ def _step_call(static, logw, u, x, eps, sm, sconst,
     return out
 
 
-def _mk_specs(shapes):
+def _mk_specs(shapes, rb):
     """BlockSpecs: batch-leading tensors block over rows, params replicate."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -636,7 +649,7 @@ def _mk_specs(shapes):
         if batched:
             specs.append(
                 pl.BlockSpec(
-                    (ROW_BLOCK, *shape[1:]),
+                    (rb, *shape[1:]),
                     lambda b, _n=len(shape): (b,) + (0,) * (_n - 1),
                     memory_space=pltpu.VMEM,
                 )
@@ -686,11 +699,12 @@ def _step_fwd(static, logw, u, x, eps, sm, sconst,
         jax.ShapeDtypeStruct((batch, k), jnp.int32),
         jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
     ]
+    rb = _row_block(batch, k)
     x_new, alpha, stats, idx, x_res = pl.pallas_call(
         functools.partial(_fwd_kernel, k, n_mid, activation),
-        grid=(batch // ROW_BLOCK,),
-        in_specs=_mk_specs(in_shapes),
-        out_specs=_mk_specs(out_shapes),
+        grid=(batch // rb,),
+        in_specs=_mk_specs(in_shapes, rb),
+        out_specs=_mk_specs(out_shapes, rb),
         out_shape=out_shape,
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
@@ -744,11 +758,12 @@ def _step_bwd(static, res, cots):
         jax.ShapeDtypeStruct((3 * n_wm, ha, ha), jnp.float32),
         jax.ShapeDtypeStruct((3, ha, pd), jnp.float32),
     ]
+    rb = _row_block(batch, k)
     (d_x, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
         functools.partial(_bwd_kernel, k, n_mid, activation),
-        grid=(batch // ROW_BLOCK,),
-        in_specs=_mk_specs(in_shapes),
-        out_specs=_mk_specs(out_shapes),
+        grid=(batch // rb,),
+        in_specs=_mk_specs(in_shapes, rb),
+        out_specs=_mk_specs(out_shapes, rb),
         out_shape=out_shape,
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
@@ -901,8 +916,8 @@ def _scan_bwd_kernel(
     )
 
 
-def _res_spec(shape, reverse_t_len=None):
-    """BlockSpec for a [T, B, ...] stream: block (1, ROW_BLOCK, ...)."""
+def _res_spec(shape, rb, reverse_t_len=None):
+    """BlockSpec for a [T, B, ...] stream: block (1, rb, ...)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -913,10 +928,10 @@ def _res_spec(shape, reverse_t_len=None):
         imap = lambda b, t, _n=n, _tl=reverse_t_len: (_tl - 1 - t, b) + (0,) * (
             _n - 2
         )
-    return pl.BlockSpec((1, ROW_BLOCK, *shape[2:]), imap, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, rb, *shape[2:]), imap, memory_space=pltpu.VMEM)
 
 
-def _const_spec(shape, batched_rows=False):
+def _const_spec(shape, rb=None, batched_rows=False):
     """Resident block: constant over t (and blocked over rows if batched)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -924,7 +939,7 @@ def _const_spec(shape, batched_rows=False):
     n = len(shape)
     if batched_rows:
         return pl.BlockSpec(
-            (ROW_BLOCK, *shape[1:]),
+            (rb, *shape[1:]),
             lambda b, t, _n=n: (b,) + (0,) * (_n - 1),
             memory_space=pltpu.VMEM,
         )
@@ -940,26 +955,27 @@ def _scan_fwd(static, x0, alpha0, sm, eps, u, sconst,
 
     k, pd, n_mid, _activation, cache = static
     t_len, batch = u.shape[0], u.shape[1]
+    rb = _row_block(batch, k)
 
     in_specs = [
-        _const_spec(x0.shape, batched_rows=True),
-        _const_spec(alpha0.shape, batched_rows=True),
-        _res_spec(sm.shape),
-        _res_spec(eps.shape),
-        _res_spec(u.shape),
+        _const_spec(x0.shape, rb, batched_rows=True),
+        _const_spec(alpha0.shape, rb, batched_rows=True),
+        _res_spec(sm.shape, rb),
+        _res_spec(eps.shape, rb),
+        _res_spec(u.shape, rb),
         _const_spec(sconst.shape),
         _const_spec(wt1s.shape),
         _const_spec(wtms.shape),
         _const_spec(wt3s.shape),
     ]
     out_specs = [
-        _res_spec((t_len, batch, pd, k)),      # x_new
-        _res_spec((t_len, batch, k)),          # alpha
-        _res_spec((t_len, batch, pd, _LANES)), # stats
-        _res_spec((t_len, batch, k)),          # idx
-        _res_spec((t_len, batch, pd, k)),      # x_res
-        _const_spec((batch, pd, k), batched_rows=True),  # x_last
-        _const_spec((batch, k), batched_rows=True),      # alpha_last
+        _res_spec((t_len, batch, pd, k), rb),      # x_new
+        _res_spec((t_len, batch, k), rb),          # alpha
+        _res_spec((t_len, batch, pd, _LANES), rb), # stats
+        _res_spec((t_len, batch, k), rb),          # idx
+        _res_spec((t_len, batch, pd, k), rb),      # x_res
+        _const_spec((batch, pd, k), rb, batched_rows=True),  # x_last
+        _const_spec((batch, k), rb, batched_rows=True),      # alpha_last
     ]
     out_shape = [
         jax.ShapeDtypeStruct((t_len, batch, pd, k), jnp.float32),
@@ -972,13 +988,13 @@ def _scan_fwd(static, x0, alpha0, sm, eps, u, sconst,
     ]
     xnew, alpha, stats, idx, xres, x_last, a_last = pl.pallas_call(
         functools.partial(_scan_fwd_kernel, k, n_mid, t_len),
-        grid=(batch // ROW_BLOCK, t_len),
+        grid=(batch // rb, t_len),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((ROW_BLOCK, pd, k), jnp.float32),
-            pltpu.VMEM((ROW_BLOCK, k), jnp.float32),
+            pltpu.VMEM((rb, pd, k), jnp.float32),
+            pltpu.VMEM((rb, k), jnp.float32),
         ],
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
@@ -1005,14 +1021,15 @@ def _scan_bwd(static, res, cots):
     t_len, batch = u.shape[0], u.shape[1]
     ha = wt1s.shape[1]
     n_wm = wms.shape[0] // 3
+    rb = _row_block(batch, k)
 
     rev = t_len
     in_specs = [
-        _res_spec(xres.shape, reverse_t_len=rev),
-        _res_spec(xnew.shape, reverse_t_len=rev),
-        _res_spec(idx.shape, reverse_t_len=rev),
-        _res_spec(eps.shape, reverse_t_len=rev),
-        _res_spec(sm.shape, reverse_t_len=rev),
+        _res_spec(xres.shape, rb, reverse_t_len=rev),
+        _res_spec(xnew.shape, rb, reverse_t_len=rev),
+        _res_spec(idx.shape, rb, reverse_t_len=rev),
+        _res_spec(eps.shape, rb, reverse_t_len=rev),
+        _res_spec(sm.shape, rb, reverse_t_len=rev),
         _const_spec(sconst.shape),
         _const_spec(wt1s.shape),
         _const_spec(wtms.shape),
@@ -1025,20 +1042,20 @@ def _scan_bwd(static, res, cots):
                 wt1s, wtms, wt3s, w1s, wms, w3s]
     if cache:
         in_specs += [
-            _res_spec(d_xnew_s.shape, reverse_t_len=rev),
-            _res_spec(d_alpha_s.shape, reverse_t_len=rev),
+            _res_spec(d_xnew_s.shape, rb, reverse_t_len=rev),
+            _res_spec(d_alpha_s.shape, rb, reverse_t_len=rev),
         ]
         operands += [d_xnew_s, d_alpha_s]
     in_specs += [
-        _res_spec(d_stats.shape, reverse_t_len=rev),
-        _const_spec(d_xlast.shape, batched_rows=True),
-        _const_spec(d_alast.shape, batched_rows=True),
+        _res_spec(d_stats.shape, rb, reverse_t_len=rev),
+        _const_spec(d_xlast.shape, rb, batched_rows=True),
+        _const_spec(d_alast.shape, rb, batched_rows=True),
     ]
     operands += [d_stats, d_xlast, d_alast]
 
     out_specs = [
-        _const_spec((batch, pd, k), batched_rows=True),   # d_x0
-        _res_spec((t_len, batch, pd, _LANES), reverse_t_len=rev),  # d_sm
+        _const_spec((batch, pd, k), rb, batched_rows=True),   # d_x0
+        _res_spec((t_len, batch, pd, _LANES), rb, reverse_t_len=rev),  # d_sm
         _const_spec((pd, _LANES)),
         _const_spec((3, pd, ha)),
         _const_spec((3 * n_wm, ha, ha)),
@@ -1054,11 +1071,11 @@ def _scan_bwd(static, res, cots):
     ]
     (d_x0, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
         functools.partial(_scan_bwd_kernel, k, n_mid, t_len, cache),
-        grid=(batch // ROW_BLOCK, t_len),
+        grid=(batch // rb, t_len),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((ROW_BLOCK, pd, k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rb, pd, k), jnp.float32)],
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(*operands)

@@ -98,6 +98,32 @@ def test_fused_forward_minimal_t():
     )
 
 
+def test_fused_row_block_16():
+    """batch=16 selects the rb=16 grid (pallas_step._row_block) — values and
+    gradients must match the unfused body exactly as the rb=8 path does."""
+    cfg = _cfg(t=5)
+    assert pallas_step._row_block(16, cfg.smc.n_particles) == 16
+
+    def make_loss(fused):
+        run_cfg = dataclasses.replace(cfg, use_pallas_step=fused)
+        ssm, params = init_ssm(run_cfg, jax.random.key(0))
+        ys = jax.random.normal(jax.random.key(1), (16, cfg.data.t_steps, cfg.data.dy))
+
+        def loss(p):
+            fwd = forward_filter(ssm, p, jax.random.key(3), ys, run_cfg.smc)
+            return jnp.mean(fwd.log_z)
+
+        return params, loss
+
+    params, loss_f = make_loss(True)
+    _, loss_u = make_loss(False)
+    np.testing.assert_allclose(float(loss_f(params)), float(loss_u(params)), rtol=2e-4)
+    g_f = jax.tree_util.tree_leaves(jax.grad(loss_f)(params))
+    g_u = jax.tree_util.tree_leaves(jax.grad(loss_u)(params))
+    for a, b in zip(g_f, g_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
 @pytest.mark.parametrize("use_2q", [True, False])
 @pytest.mark.parametrize("hidden", [(16,), (16, 16)])
 def test_fused_gradients_match_unfused(use_2q, hidden):
