@@ -458,6 +458,12 @@ def _ffbsi_backward_segmented(
     Same selection-only sweep as `_ffbsi_backward`: the log-joint is
     recomputed post-sweep on the selected paths, and the K-wide logits run
     under stop_gradient unless the direct bound needs them differentiable.
+
+    Under a particle mesh each segment's sweep (and the final t=0 step, as
+    a length-1 sweep) runs through the ops/sharded_ffbsi.py shard_map
+    island, chaining the (anchor, logp, logq) accumulators across segments —
+    the forward recompute needs no special casing because _make_step_body
+    dispatches its resample to the sharded island at trace time.
     """
     from psvo_tpu.smc import recompute_segment
 
@@ -477,6 +483,11 @@ def _ffbsi_backward_segmented(
         return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
 
     body = _make_ffbsi_body(ssm, params)
+    mesh = _particle_mesh()
+    if mesh is not None:
+        from psvo_tpu.ops.sharded_ffbsi import sharded_ffbsi_sweep
+
+        pair_fn = lambda sup_t, xq: _pairwise_query_logp(ssm, sup_t, xq)
     ys_seg = ys_tm[1:].reshape(n_segments, seg_len, batch, -1)
     enc_seg = enc_tm[1:].reshape(n_segments, seg_len, batch, -1)
     ctrl_seg = ctrl_tm[1:].reshape(n_segments, seg_len, batch, ssm.di)
@@ -504,7 +515,16 @@ def _ffbsi_backward_segmented(
         sup_sup = _sg_unless_diff(
             _pairwise_support_terms(ssm, params, xs_sup, ctrl_sup)
         )
-        if ssm.use_pallas_step and pallas_ffbsi.usable(
+        if mesh is not None:
+            # particle-sharded per-segment sweep: same island as the
+            # non-segmented path, accumulators chained through the carry
+            x_q, logp_c, logq_c = carry
+            x_first_seg, logp_c, logq_c, xs_rev = sharded_ffbsi_sweep(
+                mesh, pair_fn, xs_sup, sup_sup, lwn_sup, lg_sup, gum_sup,
+                x_q, logp_c, logq_c,
+            )
+            carry = (x_first_seg, logp_c, logq_c)
+        elif ssm.use_pallas_step and pallas_ffbsi.usable(
             ssm, xs_sup.shape[-1], batch, m
         ):
             # fused sweep per segment: the previous carry is this segment's
@@ -529,10 +549,16 @@ def _ffbsi_backward_segmented(
         _pairwise_support_terms(ssm, params, cache.x0, ctrl_tm[1])
     )
     gum0 = jax.random.gumbel(cat_keys[0], (batch, m, cache.x0.shape[-1]))
-    carry, x0_tilde = body(
-        carry, (cache.x0, sup0, lwn0, lg0, gum0)
-    )
-    x_first, _, logq = carry
+    if mesh is not None:
+        x_first, _, logq, x0_rev = sharded_ffbsi_sweep(
+            mesh, pair_fn, cache.x0[None],
+            jax.tree_util.tree_map(lambda a: a[None], sup0),
+            lwn0[None], lg0[None], gum0[None], *carry,
+        )
+        x0_tilde = x0_rev[0]
+    else:
+        carry, x0_tilde = body(carry, (cache.x0, sup0, lwn0, lg0, gum0))
+        x_first, _, logq = carry
 
     x_tilde = jnp.concatenate(
         [x0_tilde[None], *reversed(pieces), x_tilde_t[None]], axis=0

@@ -153,22 +153,6 @@ def prepare_sharded(ssm, cfg: Config, mesh: Mesh):
     """
     from psvo_tpu.models.ssm import SSM
 
-    if (
-        cfg.mesh.particle > 1
-        and cfg.smc.objective == "psvo"
-        and cfg.smc.ffbsi_segments > 1
-    ):
-        # The segmented long-T sweep interleaves per-segment forward
-        # recomputation with the reverse pass in a Python loop; its gather
-        # structure has no shard_map island yet. (The non-segmented SVO/PSVO
-        # backward DOES shard: anchor + FFBSi sweep run in the
-        # ops/sharded_ffbsi.py island; SVO's remaining K-contact — the ρ_T
-        # predictive mixture — is gather-free reductions GSPMD psums.)
-        raise ValueError(
-            "mesh.particle > 1 does not support the segmented FFBSi path "
-            "(smc.ffbsi_segments > 1): run unsegmented — the particle-"
-            "sharded cache is already per-shard — or use mesh.data only."
-        )
     if mesh.devices.size > 1 and cfg.use_pallas_mlp:
         cfg = dataclasses.replace(cfg, use_pallas_mlp=False)
         ssm = SSM(cfg)

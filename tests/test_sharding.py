@@ -270,19 +270,51 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     context.set_mesh(None)
 
 
-def test_particle_mesh_rejects_segmented_ffbsi():
-    """The segmented long-T FFBSi path has no shard_map island (its
-    per-segment recompute/reverse interleaving runs in Python); a particle
-    mesh must refuse it loudly. Non-segmented SVO/PSVO under particle meshes
-    are supported via ops/sharded_ffbsi.py (equivalence-tested below)."""
+def test_particle_mesh_segmented_ffbsi_matches_single_device():
+    """Segmented long-T PSVO under a particle mesh (the last mesh × feature
+    exclusion, closed round 3): each segment's reverse sweep (and the t=0
+    step, as a length-1 sweep) runs through the ops/sharded_ffbsi.py island
+    with accumulators chained across segments, and the per-segment forward
+    recompute dispatches its resample to the sharded island automatically.
+    Must reproduce the single-device segmented loss and gradients."""
+    from psvo_tpu.objectives import make_objective
+
     cfg = _cfg()  # data=2, particle=4
     cfg = dataclasses.replace(
-        cfg, smc=dataclasses.replace(cfg.smc, objective="psvo", ffbsi_segments=2)
+        cfg,
+        data=dataclasses.replace(cfg.data, t_steps=7),  # T-1 = 6 = 2 segments
+        smc=dataclasses.replace(
+            cfg.smc,
+            objective="psvo",
+            ffbsi_segments=2,
+            n_smoothing_particles=4,
+        ),
     )
-    ssm, _ = init_ssm(cfg, jax.random.key(0))
+    ssm, params = init_ssm(cfg, jax.random.key(0))
+    obj = make_objective(ssm, cfg)
+    ys = jax.random.normal(jax.random.key(1), (4, cfg.data.t_steps, cfg.data.dy))
+    ref_loss, ref_grad = jax.jit(
+        jax.value_and_grad(lambda p, key, y: obj(p, key, y).loss)
+    )(params, jax.random.key(2), ys)
+
     mesh = sharding.make_mesh(cfg)
-    with pytest.raises(ValueError, match="segmented"):
-        sharding.prepare_sharded(ssm, cfg, mesh)
+    ssm_sh, cfg_sh = sharding.prepare_sharded(ssm, cfg, mesh)
+    obj_sh = make_objective(ssm_sh, cfg_sh)
+    context.set_mesh(mesh)
+    ys_sh = jax.device_put(ys, sharding.batch_sharding(mesh))
+    got_loss, got_grad = jax.jit(
+        jax.value_and_grad(lambda p, key, y: obj_sh(p, key, y).loss)
+    )(params, jax.random.key(2), ys_sh)
+    context.set_mesh(None)
+
+    assert np.isfinite(float(ref_loss))
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_grad), jax.tree_util.tree_leaves(got_grad)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-5
+        )
 
 
 @pytest.mark.parametrize("objective,d_data,d_part", [("fivo", 2, 4), ("psvo", 4, 1)])
