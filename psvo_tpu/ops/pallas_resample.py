@@ -56,6 +56,11 @@ _INTERPRET = False  # flipped by tests to run on CPU
 ROW_BLOCK = 8  # batch rows per block (Mosaic sublane constraint on 2-D refs)
 D_TILE = 8  # feature sublanes per grid step of the D axis
 Q = 128  # query/support tile width (lane width)
+
+# Fine-stage chunk budget of the two-level count (bytes of the [R, C, Q']
+# intermediate): 2 MB measured fastest at rb=8/K=1024 round 3; module-level
+# so perf A/Bs can sweep it without editing the formula in two places.
+_FINE_CHUNK_BYTES = 2 * 1024 * 1024
 # Measured ceiling (v5e, 2026-08-17): the static quadratic tile sweep costs
 # O((K/Q)²) tile pairs; at K=1024 that is 0.085 ms/step (vs 0.21 banded-fori
 # and 0.65 jnp) but at K=8192 the 4096 pairs (~2-3 ms) lose to the jnp
@@ -166,7 +171,7 @@ def _two_level_count(vals: jax.Array, queries: jax.Array, k: int) -> jax.Array:
 
     # chunk C so the [R, C, Q'] fine intermediate stays <= ~2 MB (measured
     # sweet spot: 4 MB single-chunk form ran 4 us/call slower at K=1024)
-    c = min(k, max(Q, (2 * 1024 * 1024 // 4) // (r * Q) // Q * Q))
+    c = min(k, max(Q, (_FINE_CHUNK_BYTES // 4) // (r * Q) // Q * Q))
     chunks = []
     for t in range(0, k, c):
         # slice-then-expand: the fused queries[:, None, t:t+c] form lowers
@@ -583,7 +588,7 @@ def _two_level_rank_int(vals_i: jax.Array, k: int) -> jax.Array:
     hi_aug = jnp.concatenate([hi_f, ones_row], axis=1)  # [R, S+1, Q]
     lo_aug = jnp.concatenate([lo_f, ones_row], axis=1)
 
-    c = min(k, max(Q, (2 * 1024 * 1024 // 4) // (r * Q) // Q * Q))
+    c = min(k, max(Q, (_FINE_CHUNK_BYTES // 4) // (r * Q) // Q * Q))
     chunks = []
     for t in range(0, k, c):
         s_i = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1) + t  # [R, C]

@@ -356,6 +356,22 @@ def _onehot_scatter(g, idx, k):
     return acc
 
 
+def _pad_sub(x, pd):
+    """Zero-pad the sublane (channel) axis of [R, D, K] to PD in VMEM.
+
+    The ε stream arrives UNPADDED [·, Dx, K]: padding in-kernel replaced an
+    XLA-level pad that measured 158 µs/step plus ~20 MB/step of pad-row HBM
+    traffic across the two kernels (round-3 profile, fusion `pad.14`). The
+    pad rows are exact zeros, so the fused z_f² − ε² + z_g² sublane sum and
+    the d_xnew·ε fusion-grad reduction stay exact.
+    """
+    d = x.shape[-2]
+    if d == pd:
+        return x
+    zeros = jnp.zeros((*x.shape[:-2], pd - d, x.shape[-1]), x.dtype)
+    return jnp.concatenate([x, zeros], axis=-2)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -375,6 +391,7 @@ def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
     separate in-kernel ½Σε² sum measured +2.4 ms/step on the primary
     config (sublane reductions are the kernel's priciest VPU op class).
     """
+    eps = _pad_sub(eps, x.shape[-2])
     aq = sm[:, :, SM_AQ : SM_AQ + 1]
     cq = sm[:, :, SM_CQ : SM_CQ + 1]
     sq = sm[:, :, SM_SQ : SM_SQ + 1]
@@ -484,6 +501,7 @@ def _bwd_core(
     fusion-coefficient / scale-inverse reductions, and d_absc [R, 1] is the
     α-bias-scalar cotangent Σ_k dα (the ε² part of the bias carries no
     param dependence — ε is raw RNG)."""
+    eps = _pad_sub(eps, x_new.shape[-2])
     cq = sm[:, :, SM_CQ : SM_CQ + 1]
     y = sm[:, :, SM_Y : SM_Y + 1]
     absc = jnp.sum(sm[:, :, SM_AB : SM_AB + 1], axis=1)  # [R, 1]
@@ -678,7 +696,7 @@ def _step_fwd(static, logw, u, x, eps, sm, sconst,
         ((batch, k), True),           # logw
         ((batch, k), True),           # u
         ((batch, pd, k), True),       # x
-        ((batch, pd, k), True),       # eps
+        (eps.shape, True),            # eps (unpadded [B, Dx, K])
         ((batch, pd, _LANES), True),  # sm
         ((pd, _LANES), False),        # sconst
         ((3, ha, pd), False),         # wt1s
@@ -729,7 +747,7 @@ def _step_bwd(static, res, cots):
         ((batch, pd, k), True),       # x_res
         ((batch, pd, k), True),       # x_new
         ((batch, k), True),           # idx
-        ((batch, pd, k), True),       # eps
+        (eps.shape, True),            # eps (unpadded [B, Dx, K])
         ((batch, pd, _LANES), True),  # sm
         ((pd, _LANES), False),        # sconst
         ((3, ha, pd), False),         # wt1s

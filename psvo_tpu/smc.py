@@ -319,7 +319,10 @@ def _forward_filter_fused(
     # kernel's draw regenerates it via aq's pinned row
     x0_p = jnp.pad(x0, ((0, 0), (0, pd - dx), (0, 0)))
     x0_p = x0_p.at[:, pd - 1, :].set(1.0)
-    eps_p = jnp.pad(eps_scan, ((0, 0), (0, 0), (0, pd - dx), (0, 0)))
+    # ε streams UNPADDED [T-1, B, Dx, K]: the kernels pad the Dx sublanes to
+    # PD in VMEM — the XLA-level pad measured 158 µs/step at the primary
+    # config plus ~20 MB/step of pad-row HBM traffic across both kernels
+    # (round-3 profile, fusion `pad.14`)
 
     static = (k, pd, consts["n_mid"], consts["activation"])
     weights = consts["w"]
@@ -330,7 +333,7 @@ def _forward_filter_fused(
         # steps (carry in VMEM scratch, per-step operands streamed by
         # t-indexed BlockSpecs) — no lax.scan glue, 2 launches per train step
         outs = pallas_step._scan_call(
-            static + (cache,), x0_p, alpha0, sm_scan, eps_p, u_scan,
+            static + (cache,), x0_p, alpha0, sm_scan, eps_scan, u_scan,
             sconst, *weights,
         )
         if cache:
@@ -360,7 +363,7 @@ def _forward_filter_fused(
         (x_last, logw_last), outs = jax.lax.scan(
             body,
             (x0_p, alpha0),
-            (sm_scan, eps_p, u_scan),
+            (sm_scan, eps_scan, u_scan),
         )
         if cache:
             xs_scan, alphas, ells, esss, fmeans = outs
