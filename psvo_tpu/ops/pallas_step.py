@@ -83,8 +83,13 @@ Gradient semantics (objective-checked in tests/test_pallas_step.py):
 Eligibility (`usable`): systematic/multinomial resampling with
 ess_threshold ≥ 1 (unconditional), stop-gradient FIVO, Gaussian diag
 emission with constant scales on f and g, q1/f/g relu trunks with one
-uniform hidden width (mult. of 8), max(Dx,Dy) ≤ 7, K ≤ 2048, B % 8 == 0,
-no controls, no bootstrap/known-dynamics, no mesh. Everything else falls
+uniform hidden width (mult. of 8), max(Dx+Di,Dy) ≤ 7, K ≤ 2048, B % 8 == 0,
+no bootstrap/known-dynamics, no mesh. Controls (Di > 0) ride the carry's
+pad rows — constant over K, so the ancestor gather preserves them, the
+q1/f layer-1 augmented weights consume them as ordinary input columns
+(matching ssm._with_control_cm's [x; u] order), and the α math is immune
+because sfi/sgi/ε pad rows are zero; each step's aq channel regenerates
+row block dx:dx+di with u_{t+1} for the NEXT step's trunks (pack_sm). Everything else falls
 back to the unfused scan body (psvo_tpu.smc).
 """
 
@@ -137,8 +142,6 @@ def usable(ssm, cfg, batch: int) -> bool:
         return False
     if cfg.use_bootstrap or ssm.transition_known:
         return False
-    if ssm.di:
-        return False
     if ssm.emission in ("poisson", "dirac"):
         return False
     if ssm.f_tril or ssm.g_tril:
@@ -146,9 +149,10 @@ def usable(ssm, cfg, batch: int) -> bool:
     k = cfg.n_particles
     if k % Q or k > MAX_K or batch % ROW_BLOCK:
         return False
-    if max(ssm.dx, ssm.dy) > 7:
+    if max(ssm.dx + ssm.di, ssm.dy) > 7:
         # the ones-channel needs a free row in the 8-sublane-padded state
-        # (and pd > 8 shapes hit the Mosaic [*, PD>8, 1] crash class)
+        # after the Di control rows (and pd > 8 shapes hit the Mosaic
+        # [*, PD>8, 1] crash class)
         return False
     nets = [ssm.nets[n] for n in ("q1", "f", "g")]
     hidden = nets[0].hidden
@@ -1140,7 +1144,8 @@ def prepare(ssm, params, cfg):
     from psvo_tpu import networks
 
     dx, dy = ssm.dx, ssm.dy
-    pd = _round_up(max(dx, dy) + 1, 8)  # +1: the ones-channel row
+    # rows: [x (dx) | u_t (di, constant over K) | zero pad | ones-channel]
+    pd = _round_up(max(dx + ssm.di, dy) + 1, 8)  # +1: the ones-channel row
     oc = pd - 1  # ones-channel row index
     hidden = ssm.nets["q1"].hidden
     hid = hidden[0]
@@ -1218,16 +1223,24 @@ def prepare(ssm, params, cfg):
     }
 
 
-def pack_sm(aq, cq, sq, y, ab, pd: int):
+def pack_sm(aq, cq, sq, y, ab, pd: int, ctrl_next=None, dx: int = 0):
     """Pack the per-step [T, B, Dx]/[T, B, Dy] vectors as lane-channels of
     one [T, B, PD, 128] tensor (bulk, outside the scan). Row PD−1 of the aq
     channel is pinned to 1 — it regenerates the ones-channel in x_new
     (cq/sq/y rows stay 0 there). ab [T, B] is the K-independent α-bias
-    scalar, riding row 0 of lane SM_AB (the kernel adds the ε² part)."""
+    scalar, riding row 0 of lane SM_AB (the kernel adds the ε² part).
+
+    ctrl_next [T, B, Di] (controls support): placed at aq rows dx:dx+Di, so
+    x_new = cq·m1 + aq + sq·ε regenerates the control rows of the NEXT
+    step's trunk input for free (cq/sq/ε rows are zero there). The `.set`
+    VJPs drop the spurious cotangents these rows accumulate — controls are
+    data, not parameters."""
     def rows(a):
         return _pad_to(a, pd, a.ndim - 1)
 
     aq_p = rows(aq).at[..., pd - 1].set(1.0)
+    if ctrl_next is not None and ctrl_next.shape[-1]:
+        aq_p = aq_p.at[..., dx : dx + ctrl_next.shape[-1]].set(ctrl_next)
     sm = jnp.stack(
         [aq_p, rows(cq), rows(sq), rows(y), rows(ab[..., None])], axis=-1
     )

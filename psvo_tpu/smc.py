@@ -267,11 +267,17 @@ def _forward_filter_fused(
     *,
     cache: bool,
     encoder_inputs: Optional[jax.Array],
+    controls: Optional[jax.Array] = None,
 ) -> FilterResult:
     """Megakernel path: ONE Pallas kernel per scan step (resample + stacked
     q1/f + draw + g + α + ℓ — ops/pallas_step.py) with a recompute custom
     VJP, so no jax.checkpoint wrapping is needed: the kernel's own residuals
     (resampled particles + ancestor indices) ARE the remat policy.
+
+    Controls (Di > 0) ride rows dx:dx+Di of the particle carry — constant
+    over K, preserved by the ancestor gather, consumed by the q1/f trunks
+    as ordinary input columns ([x; u] order matching _with_control_cm);
+    step t's aq channel regenerates them with u_{t+1} (pack_sm).
     """
     from psvo_tpu.ops import pallas_step
     from psvo_tpu.ops.pallas_resample import _round_up
@@ -311,14 +317,28 @@ def _forward_filter_fused(
         - dy * 0.5 * jnp.log(2.0 * jnp.pi)
     )  # [T-1, B]
 
-    # pack every small per-step vector as lane-channels of ONE tensor, in
-    # bulk outside the scan (kernel operand-shape rule: no dim-1 operands)
-    sm_scan = pallas_step.pack_sm(aq[1:], cq[1:], sq[1:], ys_tm[1:], ab_scalar, pd)
     # row pd-1 pinned to 1: the ones-channel carrying the folded biases
     # (pallas_step module docstring) — the gather preserves it, and the
     # kernel's draw regenerates it via aq's pinned row
     x0_p = jnp.pad(x0, ((0, 0), (0, pd - dx), (0, 0)))
     x0_p = x0_p.at[:, pd - 1, :].set(1.0)
+    di = ssm.di
+    ctrl_next = None
+    if di:
+        ctrl_tm = _controls_tm(controls, batch, t_steps, di)  # [T, B, Di]
+        # the carry INTO step t must hold u_t: x0 carries ctrl[1]; the
+        # carry built at step t (x_new) carries ctrl[t+1] (zeros after T-1)
+        x0_p = x0_p.at[:, dx : dx + di, :].set(ctrl_tm[1][:, :, None])
+        ctrl_next = jnp.concatenate(
+            [ctrl_tm[2:], jnp.zeros_like(ctrl_tm[:1])], axis=0
+        )
+
+    # pack every small per-step vector as lane-channels of ONE tensor, in
+    # bulk outside the scan (kernel operand-shape rule: no dim-1 operands)
+    sm_scan = pallas_step.pack_sm(
+        aq[1:], cq[1:], sq[1:], ys_tm[1:], ab_scalar, pd,
+        ctrl_next=ctrl_next, dx=dx,
+    )
     # ε streams UNPADDED [T-1, B, Dx, K]: the kernels pad the Dx sublanes to
     # PD in VMEM — the XLA-level pad measured 158 µs/step at the primary
     # config plus ~20 MB/step of pad-row HBM traffic across both kernels
@@ -418,13 +438,13 @@ def forward_filter(
     scan path (the fused kernel derives its own streams from the key).
     """
     batch, t_steps, _ = ys.shape
-    if controls is None and t_steps >= 2 and ssm.use_pallas_step and noise is None:
+    if t_steps >= 2 and ssm.use_pallas_step and noise is None:
         from psvo_tpu.ops import pallas_step
 
         if pallas_step.usable(ssm, cfg, batch):
             return _forward_filter_fused(
                 ssm, params, key, ys, cfg, cache=cache,
-                encoder_inputs=encoder_inputs,
+                encoder_inputs=encoder_inputs, controls=controls,
             )
     k = cfg.n_particles
     resample_on = cfg.resampling != "none"

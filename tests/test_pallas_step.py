@@ -161,6 +161,55 @@ def test_fused_gradients_match_unfused(use_2q, hidden):
         )
 
 
+def test_fused_controls_match_unfused():
+    """Di > 0 (round 3): controls ride the carry's pad rows (constant over
+    K, preserved by the ancestor gather) and the q1/f layer-1 augmented
+    weights consume them as ordinary input columns. Values AND param grads
+    must match the unfused scan; flipping the controls must change log_z
+    (proves they actually reach the trunks)."""
+    cfg = _cfg(t=5)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, di=2, control_scale=0.5)
+    )
+    ctrl = 0.5 * jax.random.normal(
+        jax.random.key(11), (8, cfg.data.t_steps, 2)
+    )
+
+    def make_loss(fused):
+        run_cfg = dataclasses.replace(cfg, use_pallas_step=fused)
+        ssm, params = init_ssm(run_cfg, jax.random.key(0))
+        assert ssm.di == 2
+        if fused:
+            assert pallas_step.usable(ssm, run_cfg.smc, 8)
+        ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
+
+        def loss(p, u):
+            fwd = forward_filter(
+                ssm, p, jax.random.key(3), ys, run_cfg.smc, controls=u
+            )
+            return jnp.mean(fwd.log_z)
+
+        return params, loss
+
+    params, loss_f = make_loss(True)
+    _, loss_u = make_loss(False)
+    got, want = float(loss_f(params, ctrl)), float(loss_u(params, ctrl))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    # controls must condition the model, not silently drop to zeros
+    assert abs(float(loss_f(params, -ctrl)) - got) > 1e-3
+
+    g_f = jax.grad(loss_f)(params, ctrl)
+    g_u = jax.grad(loss_u)(params, ctrl)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(g_f)[0],
+        jax.tree_util.tree_leaves(g_u),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_fused_cache_gradients_flow_through_logws_and_xs():
     """SVO/PSVO consume the cached xs/logws: their cotangents must flow
     through the kernel (α honored; xs via the chained scatter)."""
