@@ -471,13 +471,16 @@ def _win_scatter_kernel(k, w, idx_ref, anch_ref, g_ref, dx_ref):
     jax.lax.fori_loop(0, nq, body, 0)
 
 
-def _win_pallas_call(kernel, k, w, idx, anch, val):
+def _win_pallas_call(kernel, k, w, idx, anch, val, out_k=None):
     """Shared pallas_call plumbing: grid (row-blocks, D tiles); idx + anchors
-    replicate over the D grid axis; val is x (gather) or g (scatter)."""
+    replicate over the D grid axis; val is x (gather) or g (scatter). The
+    compact-gather branch passes a NARROW source (val width w·Q, all anchors
+    0) with `out_k` restoring the full query width."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    batch, dp = val.shape[0], val.shape[1]
+    batch, dp, vk = val.shape
+    ok = vk if out_k is None else out_k
     nq = k // Q
     return pl.pallas_call(
         functools.partial(kernel, k, w),
@@ -488,16 +491,16 @@ def _win_pallas_call(kernel, k, w, idx, anch, val):
             ),
             pl.BlockSpec((1, nq), lambda b, dd: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (ROW_BLOCK, D_TILE, k),
+                (ROW_BLOCK, D_TILE, vk),
                 lambda b, dd: (b, dd, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (ROW_BLOCK, D_TILE, k), lambda b, dd: (b, dd, 0),
+            (ROW_BLOCK, D_TILE, ok), lambda b, dd: (b, dd, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(val.shape, val.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, dp, ok), val.dtype),
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
     )(idx, anch, val)
@@ -548,17 +551,66 @@ def _pad_rb(a_rb: jax.Array) -> jax.Array:
     )
 
 
+def _compact_gather(idx: jax.Array, c: jax.Array, x_p: jax.Array, k: int):
+    """Degenerate-regime gather: few DISTINCT ancestors (early-training
+    ESS ≈ 1 — BASELINE.md row-5 note) break the window-fit check because one
+    query tile straddles distant ancestors, but the distinct-ancestor count
+    is tiny. Given the dense rank c_q = #{distinct idx values at positions
+    ≤ q} − 1 (monotone, < W·Q by the branch guard), gather the ≤ W·Q
+    distinct source lanes ONCE (an XLA gather K/(W·Q)× smaller than the full
+    fallback's — the fallback's random-address [8, 40, 8192] move measured
+    275 µs ≈ 78 GB/s), then run the SAME windowed kernel in compact index
+    space: every c_q lies in [0, W·Q), so all anchors are 0 and the whole
+    compact source is one window."""
+    w = W_TILES
+    batch = idx.shape[0]
+    nq = k // Q
+    wq = w * Q
+    # first occurrence of rank r sits at position #{q : c_q ≤ r − 1}: the
+    # same two-level rank kernel as the scatter transpose, over c
+    e_c = _rank_of_positions(c, k)  # [B, K]
+    pos = jnp.concatenate(
+        [jnp.zeros((batch, 1), jnp.int32), e_c[:, : wq - 1]], axis=1
+    )  # [B, wq]; rows past n_distinct hold K — clamp, never selected
+    dist = jnp.take_along_axis(idx, jnp.minimum(pos, k - 1), axis=1)
+    xc = jnp.take_along_axis(x_p, dist[:, None, :], axis=-1)  # [B, DP, wq]
+    zero_anch = jnp.zeros((batch // ROW_BLOCK, nq), jnp.int32)
+    return _win_pallas_call(_win_gather_kernel, k, w, c, zero_anch, xc, out_k=k)
+
+
 def _win_gather(idx: jax.Array, x: jax.Array, k: int) -> jax.Array:
-    """Windowed gather with runtime XLA fallback when a window overflows."""
+    """Windowed gather; on window overflow, a compact (distinct-ancestor)
+    branch covers the degenerate-weights regime, with the XLA dynamic gather
+    only when BOTH structures fail (> W·Q distinct ancestors AND a straddling
+    query tile — e.g. a long zero-offspring run at healthy ESS)."""
     w = W_TILES
     d = x.shape[-2]
     dp = _round_up(d, D_TILE)
     x_p = jnp.pad(x, ((0, 0), (0, dp - d), (0, 0))) if dp != d else x
     anch, ok = _gather_meta(idx, k, w)
+
+    def _overflow(i, a, v):
+        del a
+        # dense rank of the monotone indices; cheap [B, K] cumsum — the
+        # expensive pieces (rank kernel + compact source gather) trace into
+        # the compact branch only
+        flags = (i[:, 1:] != i[:, :-1]).astype(jnp.int32)
+        c = jnp.cumsum(
+            jnp.concatenate([jnp.zeros((i.shape[0], 1), jnp.int32), flags], 1),
+            axis=1,
+        )
+        ok_c = jnp.all(c[:, -1] < w * Q)  # n_distinct = c[:, -1] + 1 ≤ W·Q
+        return jax.lax.cond(
+            ok_c,
+            lambda ii, cc, vv: _compact_gather(ii, cc, vv, k),
+            lambda ii, cc, vv: jnp_resampling.gather_particles(vv, ii),
+            i, c, v,
+        )
+
     out = jax.lax.cond(
         ok,
         lambda i, a, v: _win_pallas_call(_win_gather_kernel, k, w, i, a, v),
-        lambda i, a, v: jnp_resampling.gather_particles(v, i),
+        _overflow,
         idx, anch, x_p,
     )
     return out[:, :d, :] if dp != d else out

@@ -233,6 +233,49 @@ def test_windowed_gather_scatter_large_k():
     check(many, atol=3e-4)
 
 
+def test_compact_gather_degenerate_regime():
+    """Window overflow with FEW distinct ancestors (the early-training
+    ESS ≈ 1 regime, BASELINE.md row-5 note) takes the compact branch —
+    distinct-lane gather + windowed kernel in compact index space — and is
+    exact; > W·Q distinct ancestors AND a straddling tile falls through to
+    the XLA gather. Both asserted against the dense gather."""
+    rng = np.random.default_rng(11)
+    batch, d, k = 8, 5, 2 * pallas_resample.MAX_K
+    w = pallas_resample.W_TILES
+    x = jnp.asarray(rng.standard_normal((batch, d, k)).astype(np.float32))
+
+    def run_and_check(idx_np):
+        idx = jnp.asarray(idx_np, jnp.int32)
+        got = pallas_resample._win_gather(idx, x, k)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(resampling.gather_particles(x, idx))
+        )
+        _, ok_win = pallas_resample._gather_meta(idx, k, w)
+        n_dist = (np.diff(idx_np, axis=-1) != 0).sum(axis=-1) + 1
+        return bool(ok_win), int(n_dist.max())
+
+    # two spikes far apart: the straddling tile overflows any W-window but
+    # n_distinct = 2 — compact branch territory
+    spikes = np.where(np.arange(k) < k // 2 + 37, 10, k - 20)
+    spikes = np.broadcast_to(spikes, (batch, k)).copy()
+    ok_win, n_dist = run_and_check(spikes)
+    assert not ok_win and n_dist <= w * pallas_resample.Q
+
+    # a handful of scattered ancestors (realistic ESS ≈ 5): still compact
+    anc = np.sort(rng.integers(0, k, size=6))
+    few = np.sort(rng.choice(anc, size=(batch, k)), axis=-1)
+    ok_win, n_dist = run_and_check(few)
+    assert not ok_win and n_dist <= w * pallas_resample.Q
+
+    # both structures fail: near-identity indices (every ancestor distinct)
+    # with one > W-window jump mid-tile — the XLA fallback branch
+    jump = np.arange(k, dtype=np.int64).copy()
+    jump[: k // 2 + 64] = np.arange(k // 2 + 64) // 2
+    both = np.broadcast_to(np.clip(jump, 0, k - 1), (batch, k)).copy()
+    ok_win, n_dist = run_and_check(both)
+    assert not ok_win and n_dist > w * pallas_resample.Q
+
+
 def test_large_k_gradient_is_exact_scatter():
     """resample_and_gather's VJP above MAX_K (windowed scatter kernel)."""
     rng = np.random.default_rng(10)
