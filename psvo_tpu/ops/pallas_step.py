@@ -381,9 +381,11 @@ def _pad_sub(x, pd):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
-    """The whole filtering step as pure array math (shared by the per-step
-    and whole-scan kernels). Returns (x_new, alpha, idx, x_res, fm, ell, ess).
+def _propose_weight_core(net, x_res, eps, sm, sconst):
+    """Trunks + reparameterized draw + α as pure array math: everything in
+    the filtering step body AFTER the resample. Shared by the per-step /
+    whole-scan megakernels and the K-tiled large-PD trunk kernel
+    (ops/pallas_trunk.py). Returns (x_new, alpha).
 
     The α bias is built IN-KERNEL from ε (its only K-dependent term is
     ½Σ_d ε², and ε is already a kernel operand) plus the K-independent
@@ -395,7 +397,7 @@ def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
     separate in-kernel ½Σε² sum measured +2.4 ms/step on the primary
     config (sublane reductions are the kernel's priciest VPU op class).
     """
-    eps = _pad_sub(eps, x.shape[-2])
+    eps = _pad_sub(eps, x_res.shape[-2])
     aq = sm[:, :, SM_AQ : SM_AQ + 1]
     cq = sm[:, :, SM_CQ : SM_CQ + 1]
     sq = sm[:, :, SM_SQ : SM_SQ + 1]
@@ -404,18 +406,6 @@ def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
     absc = jnp.sum(sm[:, :, SM_AB : SM_AB + 1], axis=1)  # [R, 1]
     sfi = _col3(sconst, SM_SFI)  # [1, PD, 1]
     sgi = _col3(sconst, SM_SGI)
-
-    # ESS of the incoming weights: (Σw)²/Σw² with max-shifted w
-    m = jnp.max(logw, axis=-1, keepdims=True)
-    w_in = jnp.exp(logw - m)
-    s1 = _lane_sum(w_in)
-    s2 = _lane_sum(w_in * w_in)
-    ess = s1 * s1 / jnp.maximum(s2, 1e-30)  # [R, 1]
-
-    # resample: two-level O(K) indices + hardware lane gather (preserves the
-    # pinned ones-channel row)
-    idx = _two_level_indices(logw, u, k)
-    x_res = _gather_particles(x, idx, k)
 
     # q1 / f trunks on the resampled particles
     m1, _ = _trunk(x_res, *net(_Q1))
@@ -434,6 +424,26 @@ def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
     # finiteness floor (distributions._MIN_LOGP rationale): a diverged mean
     # must yield an astronomically-negative finite α, not -inf
     alpha = jnp.maximum(alpha, -3e30)
+    return x_new, alpha
+
+
+def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
+    """The whole filtering step as pure array math (shared by the per-step
+    and whole-scan kernels). Returns (x_new, alpha, idx, x_res, fm, ell, ess).
+    """
+    # ESS of the incoming weights: (Σw)²/Σw² with max-shifted w
+    m = jnp.max(logw, axis=-1, keepdims=True)
+    w_in = jnp.exp(logw - m)
+    s1 = _lane_sum(w_in)
+    s2 = _lane_sum(w_in * w_in)
+    ess = s1 * s1 / jnp.maximum(s2, 1e-30)  # [R, 1]
+
+    # resample: two-level O(K) indices + hardware lane gather (preserves the
+    # pinned ones-channel row)
+    idx = _two_level_indices(logw, u, k)
+    x_res = _gather_particles(x, idx, k)
+
+    x_new, alpha = _propose_weight_core(net, x_res, eps, sm, sconst)
 
     # ℓ = lse(α) − log K; filtered mean under the new weights
     amax = jnp.max(alpha, axis=-1, keepdims=True)
@@ -494,17 +504,20 @@ def _fwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_core(
-    k, net, netw, x_res, x_new, idx, eps, sm, sconst,
-    d_xnew_in, d_alpha_in, d_stats,
+def _propose_weight_bwd_core(
+    net, netw, x_res, x_new, eps, sm, sconst, d_xnew_in, d_alpha_in,
+    d_stats=None,
 ):
-    """Recompute-style step backward as pure array math (shared by the
-    per-step and whole-scan kernels). Returns
-    (d_x, d_absc, sm_sums, dsfg, dws) where dws is
+    """Recompute-style backward of _propose_weight_core as pure array math.
+    Returns (d_xres, d_absc, sm_sums, dsfg, dws) where dws is
     [(dw1, dwm_list, dw3) for q1, f, g], sm_sums/dsfg are the packed
     fusion-coefficient / scale-inverse reductions, and d_absc [R, 1] is the
     α-bias-scalar cotangent Σ_k dα (the ε² part of the bias carries no
-    param dependence — ε is raw RNG)."""
+    param dependence — ε is raw RNG). α is rebuilt HERE, on the same f/g
+    trunk pass the backprop reuses — when `d_stats` is given (megakernel:
+    ℓ = lse(α) computed in-kernel) its ℓ cotangent flows through the
+    softmax; the K-tiled trunk kernel leaves lse to XLA and passes None.
+    The caller scatters d_xres through the ancestor choice itself."""
     eps = _pad_sub(eps, x_new.shape[-2])
     cq = sm[:, :, SM_CQ : SM_CQ + 1]
     y = sm[:, :, SM_Y : SM_Y + 1]
@@ -520,16 +533,18 @@ def _bwd_core(
     z_g = (y - m_g) * sgi
     alpha = -0.5 * jnp.sum(z_f * z_f - eps * eps + z_g * z_g, axis=-2) + absc
     floored = alpha < -3e30  # grad cut where the forward floor clamped
-    alpha = jnp.maximum(alpha, -3e30)
 
-    # ---- α cotangent: direct + through ℓ = lse(α) − log K
-    amax = jnp.max(alpha, axis=-1, keepdims=True)
-    w_new = jnp.exp(alpha - amax)
-    soft = w_new / _lane_sum(w_new)
-    # ℓ rides stats[:, 0, 1]; its cotangent is zero on rows > 0, so the
-    # sublane sum is exact and avoids a [R, 1, 1] ref load
-    d_ell = jnp.sum(d_stats[:, :, 1:2], axis=1)  # [R, 1]
-    d_alpha = d_alpha_in + d_ell * soft
+    # ---- α cotangent: direct (+ through ℓ = lse(α) − log K in-kernel)
+    d_alpha = d_alpha_in
+    if d_stats is not None:
+        alpha = jnp.maximum(alpha, -3e30)
+        amax = jnp.max(alpha, axis=-1, keepdims=True)
+        w_new = jnp.exp(alpha - amax)
+        soft = w_new / _lane_sum(w_new)
+        # ℓ rides stats[:, 0, 1]; its cotangent is zero on rows > 0, so the
+        # sublane sum is exact and avoids a [R, 1, 1] ref load
+        d_ell = jnp.sum(d_stats[:, :, 1:2], axis=1)  # [R, 1]
+        d_alpha = d_alpha + d_ell * soft
     d_alpha = jnp.where(floored, 0.0, d_alpha)
 
     # ---- z-paths
@@ -566,11 +581,26 @@ def _bwd_core(
     # ---- f trunk backprop (activations kept from the top)
     d_xr_f, dw1_f, dwm_f, dw3_f = _trunk_bwd(x_res, hs_f, d_mf, *netw(_F))
 
-    # ---- scatter particle grads back through the ancestor choice
-    d_x = _onehot_scatter(d_xr_q + d_xr_f, idx, k)
-
     dws = [(dw1_q, dwm_q, dw3_q), (dw1_f, dwm_f, dw3_f), (dw1_g, dwm_g, dw3_g)]
-    return d_x, _lane_sum(d_alpha), sm_sums, dsfg, dws
+    return d_xr_q + d_xr_f, _lane_sum(d_alpha), sm_sums, dsfg, dws
+
+
+def _bwd_core(
+    k, net, netw, x_res, x_new, idx, eps, sm, sconst,
+    d_xnew_in, d_alpha_in, d_stats,
+):
+    """Recompute-style step backward (per-step and whole-scan megakernels):
+    the shared propose+weight backward (α + lse/softmax path rebuilt on its
+    single f/g trunk pass), then scatter the particle grads back through
+    the ancestor choice. Returns (d_x, d_absc, sm_sums, dsfg, dws)."""
+    d_xres, d_absc, sm_sums, dsfg, dws = _propose_weight_bwd_core(
+        net, netw, x_res, x_new, eps, sm, sconst,
+        d_xnew_in, d_alpha_in, d_stats,
+    )
+
+    # ---- scatter particle grads back through the ancestor choice
+    d_x = _onehot_scatter(d_xres, idx, k)
+    return d_x, d_absc, sm_sums, dsfg, dws
 
 
 def _write_dsm(dsm_ref, sm_sums, d_absc, pd):

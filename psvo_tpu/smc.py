@@ -258,29 +258,18 @@ def _q2_tm(ssm: SSM, params, cfg: SMCConfig, enc_tm):
     return z, z
 
 
-def _forward_filter_fused(
-    ssm: SSM,
-    params,
-    key: jax.Array,
-    ys: jax.Array,
-    cfg: SMCConfig,
-    *,
-    cache: bool,
-    encoder_inputs: Optional[jax.Array],
-    controls: Optional[jax.Array] = None,
-) -> FilterResult:
-    """Megakernel path: ONE Pallas kernel per scan step (resample + stacked
-    q1/f + draw + g + α + ℓ — ops/pallas_step.py) with a recompute custom
-    VJP, so no jax.checkpoint wrapping is needed: the kernel's own residuals
-    (resampled particles + ancestor indices) ARE the remat policy.
+def _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls):
+    """Shared preamble of the megakernel (_forward_filter_fused) and the
+    K-tiled trunk-kernel (_forward_filter_trunk) paths: augmented/stacked
+    weights, fusion coefficients, bulk RNG streams, the t=0 proposal, the
+    packed per-step sm channels, and the ones-channel / control-row carry
+    padding. Returns a dict of everything both scan drivers consume.
 
     Controls (Di > 0) ride rows dx:dx+Di of the particle carry — constant
     over K, preserved by the ancestor gather, consumed by the q1/f trunks
     as ordinary input columns ([x; u] order matching _with_control_cm);
-    step t's aq channel regenerates them with u_{t+1} (pack_sm).
-    """
+    step t's aq channel regenerates them with u_{t+1} (pack_sm)."""
     from psvo_tpu.ops import pallas_step
-    from psvo_tpu.ops.pallas_resample import _round_up
 
     batch, t_steps, _ = ys.shape
     k = cfg.n_particles
@@ -300,7 +289,12 @@ def _forward_filter_fused(
     k0, k_prop, k_res = jax.random.split(key, 3)
     eps0 = jax.random.normal(k0, (batch, dx, k))
     eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, dx, k))
-    u_scan = resampling.bulk_positions(k_res, t_steps - 1, batch, k, cfg.resampling)
+    if cfg.resampling != "none":
+        u_scan = resampling.bulk_positions(
+            k_res, t_steps - 1, batch, k, cfg.resampling
+        )
+    else:  # trunk path only — the megakernel requires resampling
+        u_scan = jnp.zeros((t_steps - 1, batch, 1))
 
     x0, alpha0 = _init_t0(ssm, params, eps0, ys_tm[0], enc_tm[0])
     ell0 = _lse(alpha0) - jnp.log(float(k))
@@ -343,10 +337,51 @@ def _forward_filter_fused(
     # PD in VMEM — the XLA-level pad measured 158 µs/step at the primary
     # config plus ~20 MB/step of pad-row HBM traffic across both kernels
     # (round-3 profile, fusion `pad.14`)
+    return {
+        "pd": pd,
+        "n_mid": consts["n_mid"],
+        "activation": consts["activation"],
+        "weights": consts["w"],
+        "sconst": consts["sconst"],
+        "x0": x0,
+        "x0_p": x0_p,
+        "alpha0": alpha0,
+        "ell0": ell0,
+        "sm_scan": sm_scan,
+        "eps_scan": eps_scan,
+        "u_scan": u_scan,
+    }
 
-    static = (k, pd, consts["n_mid"], consts["activation"])
-    weights = consts["w"]
-    sconst = consts["sconst"]
+
+def _forward_filter_fused(
+    ssm: SSM,
+    params,
+    key: jax.Array,
+    ys: jax.Array,
+    cfg: SMCConfig,
+    *,
+    cache: bool,
+    encoder_inputs: Optional[jax.Array],
+    controls: Optional[jax.Array] = None,
+) -> FilterResult:
+    """Megakernel path: ONE Pallas kernel per scan step (resample + stacked
+    q1/f + draw + g + α + ℓ — ops/pallas_step.py) with a recompute custom
+    VJP, so no jax.checkpoint wrapping is needed: the kernel's own residuals
+    (resampled particles + ancestor indices) ARE the remat policy.
+    """
+    from psvo_tpu.ops import pallas_step
+
+    k = cfg.n_particles
+    dx = ssm.dx
+
+    pre = _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls)
+    pd = pre["pd"]
+    x0, x0_p, alpha0, ell0 = pre["x0"], pre["x0_p"], pre["alpha0"], pre["ell0"]
+    sm_scan, eps_scan, u_scan = pre["sm_scan"], pre["eps_scan"], pre["u_scan"]
+
+    static = (k, pd, pre["n_mid"], pre["activation"])
+    weights = pre["weights"]
+    sconst = pre["sconst"]
 
     if pallas_step.SCAN_FUSED:
         # whole-scan megakernel: ONE pallas_call per direction for all T-1
@@ -413,6 +448,115 @@ def _forward_filter_fused(
     )
 
 
+def _forward_filter_trunk(
+    ssm: SSM,
+    params,
+    key: jax.Array,
+    ys: jax.Array,
+    cfg: SMCConfig,
+    *,
+    cache: bool,
+    encoder_inputs: Optional[jax.Array],
+    controls: Optional[jax.Array] = None,
+) -> FilterResult:
+    """K-tiled trunk-kernel path (ops/pallas_trunk.py): the scan stays in
+    XLA — resample via the existing large-K kernels (ops/pallas_resample),
+    lse/softmax/metrics as cheap [B, K] XLA ops — while the trunk MLPs +
+    draw + α fuse into ONE Pallas kernel per direction per step. Serves the
+    configs the whole-step megakernel's shape box excludes (PD > 8 states
+    like Lorenz-96, K > 2048), where the plain body's per-fusion HBM trips
+    held the MLP math to ~8 TFLOP/s (BASELINE.md row 5, round 3).
+
+    NOT wrapped in jax.checkpoint: the trunk kernel's custom VJP keeps
+    (x_res, x_new) as residuals and replays nothing, so the backward runs
+    pure transpose+weight-grad dots. The O(2·T·B·PD·K·4) bytes of residuals
+    this parks in HBM is gated by usable()'s shape box (≤ ~2.6 GB at
+    BASELINE row 5; 16 GB HBM on v5e).
+    """
+    from psvo_tpu.ops import pallas_trunk
+
+    k = cfg.n_particles
+    dx = ssm.dx
+    resample_on = cfg.resampling != "none"
+
+    pre = _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls)
+    pd = pre["pd"]
+    x0, x0_p, alpha0, ell0 = pre["x0"], pre["x0_p"], pre["alpha0"], pre["ell0"]
+
+    static = (pd, pre["n_mid"])
+    weights = pre["weights"]
+    sconst = pre["sconst"]
+
+    def body(carry, inputs):
+        x, logw = carry
+        sm_t, eps_t, u_t = inputs
+
+        score = jnp.zeros(logw.shape[0])
+        if resample_on:
+            logw_pre = logw
+            with jax.named_scope("resample"):
+                # the ones-channel / control rows are constant over K, so
+                # the ancestor gather preserves them
+                x, logw, did, ess, idx = resampling.maybe_resample(
+                    u_t, logw, x,
+                    method=cfg.resampling,
+                    ess_threshold=cfg.ess_threshold,
+                    use_pallas=ssm.use_pallas_resample,
+                )
+            if not cfg.use_stop_gradient:
+                # score-function term for the resampling distribution (the
+                # full FIVO gradient) — see _make_step_body
+                logw_norm, _ = log_normalize(logw_pre, axis=-1)
+                picked = jnp.take_along_axis(logw_norm, idx, axis=-1)
+                score = jnp.where(did, jnp.sum(picked, axis=-1), 0.0)
+        else:
+            ess = effective_sample_size(logw, axis=-1)
+
+        with jax.named_scope("trunk_kernel"):
+            x_new, alpha = pallas_trunk.trunk_call(
+                static, x, eps_t, sm_t, sconst, *weights
+            )
+        logw_new = constrain(logw + alpha)
+        ell = _lse(logw_new) - _lse(logw)
+        w_norm = jax.nn.softmax(logw_new, axis=-1)
+        fmean = jnp.einsum("bk,bdk->bd", w_norm, x_new[:, :dx, :])
+
+        big = (x_new, logw_new) if cache else ()
+        return (x_new, logw_new), big + (ell, ess, score, fmean)
+
+    (x_last, logw_last), outs = jax.lax.scan(
+        body, (x0_p, alpha0), (pre["sm_scan"], pre["eps_scan"], pre["u_scan"])
+    )
+    if cache:
+        xs_scan, logws_scan, ells, esss, scores, fmeans = outs
+    else:
+        xs_scan = logws_scan = None
+        ells, esss, scores, fmeans = outs
+
+    increments = jnp.concatenate([ell0[None], ells], axis=0)
+    ess_all = jnp.concatenate(
+        [effective_sample_size(alpha0, axis=-1)[None], esss], axis=0
+    )
+    xs = logws = None
+    if cache:
+        xs = jnp.concatenate([x0[None], xs_scan[:, :, :dx, :]], axis=0)
+        logws = jnp.concatenate([alpha0[None], logws_scan], axis=0)
+    fmean0 = jnp.einsum("bk,bdk->bd", jax.nn.softmax(alpha0, axis=-1), x0)
+    return FilterResult(
+        log_z=jnp.sum(increments, axis=0),
+        increments=increments,
+        ess=ess_all,
+        x_last=x_last[:, :dx, :],
+        logw_last=logw_last,
+        xs=xs,
+        logws=logws,
+        filtered_means=jnp.concatenate([fmean0[None], fmeans], axis=0),
+        score_surrogate=(
+            None if cfg.use_stop_gradient else _score_surrogate(ells, scores)
+        ),
+    )
+
+
 def forward_filter(
     ssm: SSM,
     params,
@@ -439,10 +583,17 @@ def forward_filter(
     """
     batch, t_steps, _ = ys.shape
     if t_steps >= 2 and ssm.use_pallas_step and noise is None:
-        from psvo_tpu.ops import pallas_step
+        from psvo_tpu.ops import pallas_step, pallas_trunk
 
         if pallas_step.usable(ssm, cfg, batch):
             return _forward_filter_fused(
+                ssm, params, key, ys, cfg, cache=cache,
+                encoder_inputs=encoder_inputs, controls=controls,
+            )
+        if pallas_trunk.usable(ssm, cfg, batch):
+            # outside the megakernel's shape box (PD > 8 / K > 2048) the
+            # trunk MLPs + draw + α still fuse; resample/lse stay in XLA
+            return _forward_filter_trunk(
                 ssm, params, key, ys, cfg, cache=cache,
                 encoder_inputs=encoder_inputs, controls=controls,
             )
