@@ -16,6 +16,28 @@ if __name__ == "__main__":
         help="measure every BASELINE config; write BENCH_ALL.json",
     )
     a = ap.parse_args()
+
+    from psvo_tpu.benchmark import device_preflight
+
+    err = device_preflight()
+    if err is not None:
+        # Honest bounded failure instead of an unkillable hang: the driver
+        # records this line; a healthy device is never masked (the probe
+        # only fails after repeated timeouts of a trivial matmul roundtrip).
+        import json
+
+        print(
+            json.dumps(
+                {
+                    "metric": "train_steps_per_sec_fhn_fivo_k1024_bench",
+                    "value": 0,
+                    "unit": "steps/s",
+                    "vs_baseline": None,
+                    "error": f"accelerator unreachable: {err}",
+                }
+            )
+        )
+        sys.exit(1)
     if a.all:
         from psvo_tpu.benchmark import main_all
 

@@ -25,6 +25,50 @@ import numpy as np
 from psvo_tpu.utils.rng import run_key
 
 
+def device_preflight(timeout_s: float = 180.0, retries: int = 3) -> str | None:
+    """Bounded liveness check of the attached accelerator.
+
+    The TPU here is reached through a stdio relay (tunneled PJRT); a wedged
+    relay makes the FIRST device execution block forever — uninterruptible
+    from inside this process, which would hang the driver's end-of-round
+    bench indefinitely (observed 2026-08-20: `jax.devices()` answered while
+    a 128×128 matmul never returned). Probe with a tiny roundtrip in a
+    killable subprocess before committing to the real measurement; retry a
+    few times so a transient relay hiccup doesn't fail the bench. Returns
+    None when healthy, else a short diagnostic string.
+    """
+    import subprocess
+    import os
+
+    src = (
+        "import jax, jax.numpy as jnp\n"
+        "y = float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum())\n"
+        "print('PREFLIGHT_OK', y)\n"
+    )
+    err = "unknown"
+    for attempt in range(retries):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", src],
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+                env=dict(os.environ),
+            )
+            if "PREFLIGHT_OK" in p.stdout:
+                return None
+            err = f"probe rc={p.returncode}: {p.stderr.strip()[-200:]}"
+        except subprocess.TimeoutExpired:
+            err = f"device roundtrip exceeded {timeout_s:.0f}s (relay wedged?)"
+        print(
+            f"# preflight attempt {attempt + 1}/{retries} failed: {err}",
+            file=sys.stderr,
+        )
+        if attempt + 1 < retries:
+            time.sleep(60)
+    return err
+
+
 def _time_loop(fn, n: int) -> float:
     """Time n chained calls ending in a REAL value fetch.
 
