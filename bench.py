@@ -15,9 +15,20 @@ if __name__ == "__main__":
         action="store_true",
         help="measure every BASELINE config; write BENCH_ALL.json",
     )
+    ap.add_argument(
+        "--to-target",
+        action="store_true",
+        help="train the primary preset to a fixed test ELBO; report seconds",
+    )
+    ap.add_argument("--target-elbo", type=float, default=-15.0)
+    ap.add_argument(
+        "--no-equiv",
+        action="store_true",
+        help="skip the on-device fused-vs-unfused correctness smoke",
+    )
     a = ap.parse_args()
 
-    from psvo_tpu.benchmark import device_preflight
+    from psvo_tpu.benchmark import device_preflight, run_metadata
 
     err = device_preflight()
     if err is not None:
@@ -26,20 +37,29 @@ if __name__ == "__main__":
         # only fails after repeated timeouts of a trivial matmul roundtrip).
         import json
 
-        print(
-            json.dumps(
-                {
-                    "metric": "train_steps_per_sec_fhn_fivo_k1024_bench",
-                    "value": 0,
-                    "unit": "steps/s",
-                    "vs_baseline": None,
-                    "error": f"accelerator unreachable: {err}",
-                }
-            )
-        )
+        fail = {
+            # --all ends by printing the primary row, so its failure carries
+            # the primary metric name; --preset failures name that preset
+            # (ADVICE r3: a hardcoded name was wrong for both cases)
+            "metric": "train_steps_per_sec_"
+            + ("fhn_fivo_k1024_bench" if a.all else a.preset),
+            "value": 0,
+            "unit": "steps/s",
+            "vs_baseline": None,
+            "error": f"accelerator unreachable: {err}",
+            **run_metadata(),
+        }
+        if a.all:
+            with open("BENCH_ALL.json", "w") as f:
+                json.dump({"partial": True, "rows": {}, **fail}, f, indent=1)
+        print(json.dumps(fail))
         sys.exit(1)
+    if a.to_target:
+        from psvo_tpu.benchmark import main_to_target
+
+        sys.exit(main_to_target(a.preset, target_elbo=a.target_elbo))
     if a.all:
         from psvo_tpu.benchmark import main_all
 
-        sys.exit(main_all(a.steps))
-    sys.exit(main(a.preset, a.steps))
+        sys.exit(main_all(a.steps, equiv=not a.no_equiv))
+    sys.exit(main(a.preset, a.steps, equiv=not a.no_equiv))

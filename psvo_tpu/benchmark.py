@@ -9,12 +9,33 @@ in our favor's *disfavor*: the baseline times only the forward pass while our
 number includes gradients and the optimizer update.
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N, ...}
+
+Round-4 hardening (VERDICT r3 missing #1/#2, weak #4/#5, ADVICE r3):
+- preflight is 2 bounded attempts (90 s then 60 s — a healthy-but-cold relay
+  measured 70.7 s for its first matmul on 2026-08-20, so the first window
+  must cover a cold start; a wedged relay costs ≤ ~2.6 min total, not 11);
+- the probe subprocess runs in its own session and is killed as a process
+  GROUP on timeout, with a bounded pipe drain (a stdio-relay grandchild
+  inheriting our pipes can no longer wedge the preflight itself);
+- the probe reports WHICH platform ran it: a silent CPU-fallback JAX init is
+  a preflight failure unless PSVO_TPU_ALLOW_CPU_BENCH is set;
+- every blob carries {git_sha, timestamp}; every row carries a timestamp
+  (and a regime label where the measured kernel branch depends on it);
+- `bench --all` writes a crash-safe partial BENCH_ALL.json after EVERY row —
+  rows already measured survive a later hang;
+- an on-device fused-vs-unfused equivalence smoke (losses + grad norms over
+  a few real train steps) runs before timing and lands in the blob as
+  `device_equiv_ok` — the CPU-only test suite cannot catch Mosaic lowering
+  regressions (commit f289740 precedent);
+- `bench --to-target` reproduces the second half of the BASELINE.json metric
+  (wall-clock to a fixed test ELBO) every round.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,8 +45,59 @@ import numpy as np
 
 from psvo_tpu.utils.rng import run_key
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_L96_CKPT = os.path.join(_REPO_ROOT, "checkpoints", "l96_pretrained.npz")
 
-def device_preflight(timeout_s: float = 180.0, retries: int = 3) -> str | None:
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp\n"
+    "y = float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum())\n"
+    "print('PREFLIGHT_OK', jax.devices()[0].platform, y)\n"
+)
+
+
+def _run_probe(src: str, timeout_s: float):
+    """Run the probe in a killable process GROUP with bounded pipe drains.
+
+    subprocess.run's kill-then-read on timeout blocks forever when a
+    grandchild (the PJRT stdio relay) inherited our pipes and outlives the
+    child — the exact wedged-relay scenario this probe exists to detect
+    (ADVICE r3 medium). Popen(start_new_session=True) + killpg reaps the
+    whole group; if something still holds the pipes, the second drain is
+    bounded and we abandon it.
+
+    Returns (rc | None, stdout, stderr, timed_out).
+    """
+    import signal
+    import subprocess
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+        env=dict(os.environ),
+    )
+    try:
+        out, err = p.communicate(timeout=timeout_s)
+        return p.returncode, out, err, False
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            p.kill()
+        try:
+            out, err = p.communicate(timeout=5.0)
+        except subprocess.TimeoutExpired:
+            out, err = "", ""  # an escaped pipe-holder: abandon the drain
+        return None, out, err, True
+
+
+def device_preflight(
+    timeouts: tuple[float, ...] = (90.0, 60.0),
+    probe_src: str | None = None,
+    allow_cpu: bool | None = None,
+) -> str | None:
     """Bounded liveness check of the attached accelerator.
 
     The TPU here is reached through a stdio relay (tunneled PJRT); a wedged
@@ -33,40 +105,68 @@ def device_preflight(timeout_s: float = 180.0, retries: int = 3) -> str | None:
     from inside this process, which would hang the driver's end-of-round
     bench indefinitely (observed 2026-08-20: `jax.devices()` answered while
     a 128×128 matmul never returned). Probe with a tiny roundtrip in a
-    killable subprocess before committing to the real measurement; retry a
-    few times so a transient relay hiccup doesn't fail the bench. Returns
-    None when healthy, else a short diagnostic string.
-    """
-    import subprocess
-    import os
+    killable subprocess before committing to the real measurement.
 
-    src = (
-        "import jax, jax.numpy as jnp\n"
-        "y = float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum())\n"
-        "print('PREFLIGHT_OK', y)\n"
-    )
+    Two attempts: 90 s (covers a measured 70.7 s relay cold start) then 60 s
+    after a 5 s pause — worst case ~2.6 min, vs round 3's 11-minute envelope
+    that consumed the driver's whole budget on a wedged relay (VERDICT r3
+    missing #1). A transient error (e.g. the one-off FAILED_PRECONDITION
+    observed right after relay recovery) is retried; a probe that ran on CPU
+    when an accelerator was expected is a hard failure (ADVICE r3 low) unless
+    PSVO_TPU_ALLOW_CPU_BENCH=1. Returns None when healthy, else a short
+    diagnostic string.
+    """
+    if allow_cpu is None:
+        allow_cpu = bool(os.environ.get("PSVO_TPU_ALLOW_CPU_BENCH"))
+    src = probe_src if probe_src is not None else _PROBE_SRC
     err = "unknown"
-    for attempt in range(retries):
-        try:
-            p = subprocess.run(
-                [sys.executable, "-c", src],
-                timeout=timeout_s,
-                capture_output=True,
-                text=True,
-                env=dict(os.environ),
-            )
-            if "PREFLIGHT_OK" in p.stdout:
-                return None
-            err = f"probe rc={p.returncode}: {p.stderr.strip()[-200:]}"
-        except subprocess.TimeoutExpired:
-            err = f"device roundtrip exceeded {timeout_s:.0f}s (relay wedged?)"
+    for attempt, t in enumerate(timeouts):
+        rc, out, errtxt, timed_out = _run_probe(src, t)
+        if timed_out:
+            err = f"device roundtrip exceeded {t:.0f}s (relay wedged?)"
+        elif "PREFLIGHT_OK" in out:
+            platform = out.split("PREFLIGHT_OK", 1)[1].split()[0]
+            if platform == "cpu" and not allow_cpu:
+                # not retryable: the backend initialized, just on the wrong
+                # device — a retry would measure CPU again
+                return (
+                    "probe ran on platform 'cpu' (accelerator expected; "
+                    "set PSVO_TPU_ALLOW_CPU_BENCH=1 to bench CPU deliberately)"
+                )
+            return None
+        else:
+            err = f"probe rc={rc}: {errtxt.strip()[-200:]}"
         print(
-            f"# preflight attempt {attempt + 1}/{retries} failed: {err}",
+            f"# preflight attempt {attempt + 1}/{len(timeouts)} failed: {err}",
             file=sys.stderr,
         )
-        if attempt + 1 < retries:
-            time.sleep(60)
+        if attempt + 1 < len(timeouts):
+            time.sleep(5)
     return err
+
+
+def run_metadata() -> dict:
+    """{git_sha, timestamp} provenance stamped into every blob (VERDICT r3
+    weak #5: the canonical evidence must say when/at which commit it was
+    taken, now that driver capture can fail and partial blobs survive)."""
+    import subprocess
+
+    sha = "unknown"
+    try:
+        r = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=_REPO_ROOT,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        sha = r.stdout.strip() or "unknown"
+    except Exception:
+        pass
+    return {
+        "git_sha": sha,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
 
 
 def _time_loop(fn, n: int) -> float:
@@ -123,20 +223,27 @@ def analytic_cost(cfg) -> tuple[float, float]:
     return flops / 1e9, gbytes
 
 
-def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
+def measure(
+    cfg, steps: int = 30, adaptive: bool = False, params=None, regime: str | None = None
+) -> dict:
     """Measure one config's jitted train-step throughput.
 
     Returns the machine-readable row: median + per-window steps/s, step
-    time, analytic FLOP/s and GB/s. With adaptive=True the window length is
+    time, analytic FLOP/s and GB/s, timestamp (+ regime label when given —
+    e.g. the K=8192 row's kernel branch depends on the weight regime,
+    VERDICT r3 missing #5). With adaptive=True the window length is
     re-chosen from a short probe so every row gets ~2 s windows regardless
-    of its per-step cost (K=8192 vs K=16 differ by ~100×).
+    of its per-step cost (K=8192 vs K=16 differ by ~100×). `params`
+    overrides the fresh initialization (trained-regime rows).
     """
     from psvo_tpu.data import generate_dataset
     from psvo_tpu.models.ssm import init_ssm
     from psvo_tpu.train import make_optimizer, make_train_step
 
     dataset = generate_dataset(cfg.data, cfg.seed)
-    ssm, params = init_ssm(cfg, run_key(cfg))
+    ssm, init_params = init_ssm(cfg, run_key(cfg))
+    if params is None:
+        params = init_params
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     train_step = make_train_step(ssm, cfg, optimizer)
@@ -162,13 +269,14 @@ def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
         p, s, m = train_step(p, s, _key(i), batch)
     float(m["loss"])  # real fetch: forces compile + warmup execution
 
-    state = {"p": p, "s": s, "i": 3}
+    state = {"p": p, "s": s, "i": 3, "m": m}
 
     def one_step():
         state["p"], state["s"], m = train_step(
             state["p"], state["s"], _key(state["i"]), batch
         )
         state["i"] += 1
+        state["m"] = m
         return m["loss"]
 
     if adaptive:
@@ -190,7 +298,15 @@ def measure(cfg, steps: int = 30, adaptive: bool = False) -> dict:
         "achieved_gflops_per_sec": round(gflop / step_time, 2),
         "gbytes_per_step": round(gbyte, 3),
         "achieved_gbytes_per_sec": round(gbyte / step_time, 2),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    if regime is not None:
+        row["regime"] = regime
+    if "ess_mean" in state["m"]:
+        # the measured kernel branch at large K depends on the weight regime
+        # (degenerate-init → compact-gather; trained → windowed fast path) —
+        # record the evidence next to the label
+        row["ess_mean"] = round(float(state["m"]["ess_mean"]), 2)
     device = jax.devices()[0]
     print(
         f"# device={device.platform}:{device.device_kind} "
@@ -235,16 +351,197 @@ def _strip(row: dict) -> dict:
     return {k: v for k, v in row.items() if not k.startswith("_")}
 
 
-def main(preset_name: str = "fhn_fivo_k1024_bench", steps: int = 30) -> int:
+# ---------------------------------------------------------------------------
+# On-device correctness smoke (VERDICT r3 missing #2)
+# ---------------------------------------------------------------------------
+
+
+def device_equiv_check(
+    preset_name: str = "fhn_fivo_k1024_bench", n_steps: int = 3
+) -> tuple[bool, str]:
+    """Fused-vs-unfused equivalence ON THE ATTACHED DEVICE.
+
+    The test suite forces CPU (tests/conftest.py) and runs the Pallas kernels
+    in interpret mode, which does not catch Mosaic lowering breaks (commit
+    f289740 precedent). This smoke runs a few REAL train steps of the primary
+    config twice — whole-scan megakernel + resample kernel on, then the pure
+    jnp scan — and compares per-step losses (= logZ path) and gradient norms.
+    Both paths consume identical noise streams by construction, so tolerances
+    are ordinary f32 accumulation-order slack (the CPU equivalence tests pass
+    at loss rtol 2e-4 / grad rtol 5e-3; device tolerances are one notch
+    looser to absorb MXU-vs-VPU reduction orders).
+
+    Returns (ok, detail).
+    """
+    import dataclasses
+
+    from psvo_tpu.config import preset
+    from psvo_tpu.data import generate_dataset
+    from psvo_tpu.models.ssm import init_ssm
+    from psvo_tpu.train import make_optimizer, make_train_step
+
+    base = preset(preset_name)
+    base = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, steps_per_call=1)
+    )
+    out: dict[bool, tuple[list[float], list[float]]] = {}
+    for fused in (True, False):
+        cfg = dataclasses.replace(
+            base,
+            name=f"{base.name}_equiv_{'fused' if fused else 'unfused'}",
+            use_pallas=fused,
+            use_pallas_step=fused,
+            use_pallas_resample=fused,
+        )
+        dataset = generate_dataset(cfg.data, cfg.seed)
+        ssm, params = init_ssm(cfg, run_key(cfg))
+        optimizer = make_optimizer(cfg)
+        opt_state = optimizer.init(params)
+        step = make_train_step(ssm, cfg, optimizer)
+        batch = jnp.asarray(dataset.obs_train[: cfg.train.batch_size])
+        key = run_key(cfg, 1)
+        losses, gnorms = [], []
+        for i in range(n_steps):
+            params, opt_state, m = step(
+                params, opt_state, jax.random.fold_in(key, i), batch
+            )
+            losses.append(float(m["loss"]))
+            gnorms.append(float(m["grad_norm"]))
+        out[fused] = (losses, gnorms)
+    lf, gf = out[True]
+    lu, gu = out[False]
+    loss_ok = bool(np.allclose(lf, lu, rtol=1e-3, atol=1e-3))
+    grad_ok = bool(np.allclose(gf, gu, rtol=5e-2, atol=1e-3))
+    detail = (
+        f"loss fused={[round(v, 4) for v in lf]} unfused={[round(v, 4) for v in lu]} "
+        f"grad_norm fused={[round(v, 4) for v in gf]} unfused={[round(v, 4) for v in gu]}"
+    )
+    ok = loss_ok and grad_ok
+    print(f"# device_equiv {'OK' if ok else 'MISMATCH'}: {detail}", file=sys.stderr)
+    if not ok:
+        print(
+            "# DEVICE EQUIVALENCE FAILURE: the fused Pallas path disagrees "
+            "with the unfused scan ON THIS DEVICE — a Mosaic lowering "
+            "regression the CPU suite cannot see. The throughput numbers "
+            "below time a kernel that computes the wrong thing.",
+            file=sys.stderr,
+        )
+    return ok, detail
+
+
+# ---------------------------------------------------------------------------
+# Trained-regime params for the K=8192 row (VERDICT r3 missing #5)
+# ---------------------------------------------------------------------------
+
+
+def save_params_npz(params, path: str) -> None:
+    """Flat .npz snapshot of a params pytree (keyed by tree path)."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    leaves, _ = tree_flatten_with_path(params)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, **{keystr(kp): np.asarray(v) for kp, v in leaves})
+
+
+def load_params_npz(params_template, path: str):
+    """Rebuild a params pytree from a flat .npz against a same-structure
+    template (shapes must match — it's a snapshot, not a checkpoint)."""
+    from jax.tree_util import keystr, tree_flatten_with_path, tree_unflatten
+
+    data = np.load(path)
+    leaves, treedef = tree_flatten_with_path(params_template)
+    new = []
+    for kp, leaf in leaves:
+        arr = data[keystr(kp)]
+        if arr.shape != np.shape(leaf):
+            raise ValueError(
+                f"{path}: leaf {keystr(kp)} has shape {arr.shape}, "
+                f"template wants {np.shape(leaf)}"
+            )
+        new.append(jnp.asarray(arr))
+    return tree_unflatten(treedef, new)
+
+
+def l96_trained_params(cfg, pretrain_steps: int = 300):
+    """Params for the trained-regime K=8192 row.
+
+    Fresh-init weights put the L96 filter at mean ESS ≈ 1.3, so the fresh
+    row 5 measures the compact-gather branch built for that pathology — not
+    the windowed fast path real training exercises after warm-up. Loads the
+    committed snapshot (checkpoints/l96_pretrained.npz) when present; else
+    pretrains briefly at K=512 (params are K-independent — only net shapes
+    matter) and saves the snapshot for future rounds.
+    """
+    import dataclasses
+
+    from psvo_tpu.models.ssm import init_ssm
+    from psvo_tpu.train import make_optimizer, make_train_step
+    from psvo_tpu.data import generate_dataset
+
+    _, template = init_ssm(cfg, run_key(cfg))
+    if os.path.exists(_L96_CKPT):
+        try:
+            return load_params_npz(template, _L96_CKPT)
+        except Exception as e:  # shape drift after a config change: retrain
+            print(f"# l96 snapshot unusable ({e}); pretraining", file=sys.stderr)
+
+    pre = dataclasses.replace(
+        cfg,
+        name="l96_pretrain",
+        smc=dataclasses.replace(cfg.smc, n_particles=512),
+        mesh=dataclasses.replace(cfg.mesh, data=1, particle=1),
+        train=dataclasses.replace(cfg.train, steps_per_call=1),
+    )
+    dataset = generate_dataset(pre.data, pre.seed)
+    ssm, params = init_ssm(pre, run_key(pre))
+    optimizer = make_optimizer(pre)
+    opt_state = optimizer.init(params)
+    step = make_train_step(ssm, pre, optimizer)
+    batch = jnp.asarray(dataset.obs_train[: pre.train.batch_size])
+    key = run_key(pre, 1)
+    t0 = time.perf_counter()
+    for i in range(pretrain_steps):
+        params, opt_state, m = step(params, opt_state, jax.random.fold_in(key, i), batch)
+    print(
+        f"# l96 pretrain: {pretrain_steps} steps K=512 in "
+        f"{time.perf_counter()-t0:.1f}s (loss {float(m['loss']):.1f})",
+        file=sys.stderr,
+    )
+    try:
+        save_params_npz(params, _L96_CKPT)
+        print(f"# wrote {_L96_CKPT}", file=sys.stderr)
+    except OSError as e:
+        print(f"# could not save l96 snapshot: {e}", file=sys.stderr)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+
+def main(
+    preset_name: str = "fhn_fivo_k1024_bench",
+    steps: int = 30,
+    equiv: bool = True,
+) -> int:
     from psvo_tpu.config import preset
 
     cfg = preset(preset_name)
+    equiv_ok, equiv_detail = (None, None)
+    if equiv:
+        equiv_ok, equiv_detail = device_equiv_check(preset_name)
     row = measure(cfg, steps)
     base_sps = _numpy_baseline(row, cfg)
     out = _strip(row)
     out["vs_baseline"] = (
         round(row["value"] / base_sps, 2) if base_sps else None
     )
+    out.update(run_metadata())
+    if equiv_ok is not None:
+        out["device_equiv_ok"] = equiv_ok
+        if not equiv_ok:
+            out["device_equiv_detail"] = equiv_detail
     print(json.dumps(out))
     return 0
 
@@ -260,15 +557,28 @@ ALL_ROWS = (
 )
 
 
-def main_all(steps: int = 30, out_path: str = "BENCH_ALL.json") -> int:
+def main_all(
+    steps: int = 30, out_path: str = "BENCH_ALL.json", equiv: bool = True
+) -> int:
     """Measure every BASELINE row in one invocation (VERDICT r2 #8): one
     machine-readable blob per round, so the BASELINE.md table is
     reproducible and per-round regressions are visible. Runs a throwaway
     warmup config first (the first config in a fresh process carries a
-    one-off relay warm-up penalty — BASELINE.md methodology note)."""
+    one-off relay warm-up penalty — BASELINE.md methodology note).
+
+    Crash-safe: the blob is rewritten after every row with partial=true —
+    a mid-run hang or kill leaves the rows already measured on disk
+    (VERDICT r3 missing #1)."""
     import dataclasses
 
     from psvo_tpu.config import preset
+
+    meta = run_metadata()
+    blob: dict = {"partial": True, "rows": {}, **meta}
+
+    def _flush():
+        with open(out_path, "w") as f:
+            json.dump(blob, f, indent=1)
 
     warm = dataclasses.replace(
         preset("fhn_fivo_k128"),
@@ -277,15 +587,38 @@ def main_all(steps: int = 30, out_path: str = "BENCH_ALL.json") -> int:
     print("# warmup (discarded)", file=sys.stderr)
     measure(warm, steps=3)
 
-    rows = {}
+    if equiv:
+        equiv_ok, equiv_detail = device_equiv_check()
+        blob["device_equiv_ok"] = equiv_ok
+        if not equiv_ok:
+            blob["device_equiv_detail"] = equiv_detail
+        _flush()
+
     primary_vs = None
     for name in ALL_ROWS:
         cfg = preset(name)
-        row = measure(cfg, steps, adaptive=True)
+        regime = "degenerate-init" if name == "lorenz96_fivo_k8192_sharded" else None
+        row = measure(cfg, steps, adaptive=True, regime=regime)
         if name == "fhn_fivo_k1024_bench":
             base = _numpy_baseline(row, cfg)
             primary_vs = round(row["value"] / base, 2) if base else None
-        rows[name] = _strip(row)
+        blob["rows"][name] = _strip(row)
+        print(f"#row {json.dumps(blob['rows'][name])}", file=sys.stderr)
+        _flush()
+
+    # trained-regime K=8192 row: realistic ESS exercises the windowed fast
+    # path instead of the degenerate-init compact-gather branch
+    cfg5 = preset("lorenz96_fivo_k8192_sharded")
+    trained = l96_trained_params(cfg5)
+    cfg5t = dataclasses.replace(cfg5, name="lorenz96_fivo_k8192_trained")
+    blob["rows"]["lorenz96_fivo_k8192_trained"] = _strip(
+        measure(cfg5t, steps, adaptive=True, params=trained, regime="trained")
+    )
+    print(
+        f"#row {json.dumps(blob['rows']['lorenz96_fivo_k8192_trained'])}",
+        file=sys.stderr,
+    )
+    _flush()
 
     # the B=128 batch-scaling row (BASELINE.md tracks traj-steps/s here)
     b128 = dataclasses.replace(
@@ -296,19 +629,112 @@ def main_all(steps: int = 30, out_path: str = "BENCH_ALL.json") -> int:
         train=dataclasses.replace(b128.train, batch_size=128),
         data=dataclasses.replace(b128.data, n_train=256),
     )
-    rows["fhn_fivo_k1024_b128"] = _strip(measure(b128, steps, adaptive=True))
+    blob["rows"]["fhn_fivo_k1024_b128"] = _strip(measure(b128, steps, adaptive=True))
+    print(f"#row {json.dumps(blob['rows']['fhn_fivo_k1024_b128'])}", file=sys.stderr)
 
     device = jax.devices()[0]
-    blob = {
-        "device": f"{device.platform}:{device.device_kind}",
-        "rows": rows,
-        "primary": "fhn_fivo_k1024_bench",
-        "vs_baseline": primary_vs,
-    }
-    with open(out_path, "w") as f:
-        json.dump(blob, f, indent=1)
+    blob["device"] = f"{device.platform}:{device.device_kind}"
+    blob["primary"] = "fhn_fivo_k1024_bench"
+    blob["vs_baseline"] = primary_vs
+    blob["partial"] = False
+    _flush()
     print(f"# wrote {out_path}", file=sys.stderr)
-    primary = dict(rows["fhn_fivo_k1024_bench"])
+    primary = dict(blob["rows"]["fhn_fivo_k1024_bench"])
     primary["vs_baseline"] = primary_vs
+    primary.update(meta)
+    if "device_equiv_ok" in blob:
+        primary["device_equiv_ok"] = blob["device_equiv_ok"]
     print(json.dumps(primary))
     return 0
+
+
+def main_to_target(
+    preset_name: str = "fhn_fivo_k1024_bench",
+    target_elbo: float = -15.0,
+    max_steps: int = 3000,
+    eval_every: int = 50,
+) -> int:
+    """`bench --to-target`: the second half of the BASELINE.json metric —
+    wall-clock (and steps) to reach a fixed held-out ELBO on the primary
+    config, from scratch at a fixed seed (VERDICT r3 missing #4; last
+    measured in round 2). Reports both total seconds (incl. compile) and
+    steady-state seconds (post-first-step, what the reference-CPU ratio
+    should be taken against — the reference had no compile stage and the
+    compile cache amortizes ours across runs)."""
+    import dataclasses
+
+    from psvo_tpu.config import preset
+    from psvo_tpu.data import generate_dataset
+    from psvo_tpu.models.ssm import init_ssm
+    from psvo_tpu.train import make_eval_step, make_optimizer, make_train_step
+
+    cfg = preset(preset_name)
+    spc = max(int(cfg.train.steps_per_call), 1)
+    if eval_every % spc:
+        eval_every = -(-eval_every // spc) * spc
+
+    dataset = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, run_key(cfg))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(ssm, cfg, optimizer)
+    eval_step = make_eval_step(ssm, cfg)
+
+    obs_train = jnp.asarray(dataset.obs_train)
+    obs_test = jnp.asarray(dataset.obs_test)
+    n_train = obs_train.shape[0]
+    bsz = min(cfg.train.batch_size, n_train)
+    rng = np.random.default_rng(cfg.seed + 2)
+    key = run_key(cfg, 1)
+
+    def next_batch():
+        idx = jnp.asarray(rng.choice(n_train, size=bsz, replace=False))
+        return jnp.take(obs_train, idx, axis=0)
+
+    t0 = time.perf_counter()
+    t_first = None
+    step = 0
+    reached = None
+    ki = 0
+
+    def _key():
+        nonlocal ki
+        k = jax.random.fold_in(key, ki)
+        ki += 1
+        return jax.random.split(k, spc) if spc > 1 else k
+
+    while step < max_steps:
+        batch = next_batch()
+        if spc > 1:
+            batch = jnp.stack([batch] * spc)
+        params, opt_state, m = train_step(params, opt_state, _key(), batch)
+        step += spc
+        if t_first is None:
+            float(m["loss"])  # force compile + first execution
+            t_first = time.perf_counter()
+        if step % eval_every == 0:
+            ev = eval_step(params, jax.random.fold_in(key, 10_000 + step), obs_test)
+            elbo = float(ev["elbo"])
+            print(
+                f"# to-target step {step}: test_elbo {elbo:.2f} "
+                f"({time.perf_counter()-t0:.1f}s)",
+                file=sys.stderr,
+            )
+            if elbo >= target_elbo:
+                reached = elbo
+                break
+
+    t_end = time.perf_counter()
+    out = {
+        "metric": f"seconds_to_test_elbo_{target_elbo:g}_{cfg.name}",
+        "value": round(t_end - t0, 2),
+        "unit": "s",
+        "seconds_steady": round(t_end - (t_first or t0), 2),
+        "steps": step,
+        "test_elbo": reached,
+        "reached": reached is not None,
+        "eval_every": eval_every,
+        **run_metadata(),
+    }
+    print(json.dumps(out))
+    return 0 if reached is not None else 1

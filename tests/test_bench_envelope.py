@@ -1,0 +1,179 @@
+"""Bench envelope hardening tests (VERDICT r3 missing #1, ADVICE r3).
+
+The round-3 driver bench produced a null blob because a wedged TPU relay
+hung the capture and the recovery path ate the budget. These tests pin the
+round-4 guarantees WITHOUT a device: the preflight gives up within its
+bounded envelope even when a grandchild inherits its pipes (the exact wedge
+scenario), a CPU-fallback probe is a failure rather than a silently wrong
+measurement, and `bench --all` leaves measured rows on disk when a later
+row dies.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psvo_tpu import benchmark
+
+pytestmark = pytest.mark.fast
+
+
+# --- device_preflight ------------------------------------------------------
+
+
+def test_preflight_simulated_wedge_bounded():
+    """A probe that never answers — and leaves a grandchild holding our
+    stdout pipe — must fail within the envelope, not hang the drain."""
+    wedge = (
+        "import subprocess, sys, time\n"
+        # grandchild in its own session, inheriting stdout/stderr: survives
+        # the child's killpg and holds the pipes open (ADVICE r3 medium)
+        "subprocess.Popen([sys.executable, '-c', 'import time; time.sleep(60)'],\n"
+        "                 start_new_session=True)\n"
+        "time.sleep(60)\n"
+    )
+    t0 = time.perf_counter()
+    err = benchmark.device_preflight(timeouts=(1.0, 1.0), probe_src=wedge)
+    elapsed = time.perf_counter() - t0
+    assert err is not None and "exceeded" in err
+    # 2 × (1 s timeout + ≤5 s drain) + 5 s sleep + slack
+    assert elapsed < 25.0, f"preflight took {elapsed:.1f}s on a wedged probe"
+
+
+def test_preflight_cpu_fallback_is_failure():
+    """A probe that ran on CPU when an accelerator was expected must fail
+    (a silent CPU-fallback JAX init would otherwise bench the wrong device,
+    ADVICE r3 low) — and pass when CPU is explicitly allowed."""
+    fake_cpu = "print('PREFLIGHT_OK cpu 1.0')\n"
+    err = benchmark.device_preflight(
+        timeouts=(5.0,), probe_src=fake_cpu, allow_cpu=False
+    )
+    assert err is not None and "cpu" in err
+    ok = benchmark.device_preflight(
+        timeouts=(5.0,), probe_src=fake_cpu, allow_cpu=True
+    )
+    assert ok is None
+
+
+def test_preflight_healthy_probe_passes():
+    err = benchmark.device_preflight(
+        timeouts=(10.0,), probe_src="print('PREFLIGHT_OK tpu 2.0')\n"
+    )
+    assert err is None
+
+
+def test_preflight_error_rc_reported():
+    err = benchmark.device_preflight(
+        timeouts=(5.0, 5.0),
+        probe_src="import sys; print('boom', file=sys.stderr); sys.exit(3)\n",
+    )
+    assert err is not None and "rc=3" in err and "boom" in err
+
+
+# --- params snapshot roundtrip --------------------------------------------
+
+
+def test_params_npz_roundtrip(tmp_path):
+    params = {
+        "f": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))},
+        "scales": (jnp.float32(2.0), jnp.zeros((4,))),
+    }
+    path = str(tmp_path / "snap.npz")
+    benchmark.save_params_npz(params, path)
+    template = jax.tree_util.tree_map(jnp.zeros_like, params)
+    back = benchmark.load_params_npz(template, path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        back,
+    )
+
+
+def test_params_npz_shape_mismatch_raises(tmp_path):
+    params = {"w": jnp.ones((2, 3))}
+    path = str(tmp_path / "snap.npz")
+    benchmark.save_params_npz(params, path)
+    with pytest.raises(ValueError, match="shape"):
+        benchmark.load_params_npz({"w": jnp.ones((4, 3))}, path)
+
+
+# --- crash-safe partial BENCH_ALL blob ------------------------------------
+
+
+def test_main_all_partial_blob_survives_crash(tmp_path, monkeypatch):
+    """If a row dies mid-run, the rows already measured are on disk with
+    partial=true and provenance metadata."""
+    calls = {"n": 0}
+
+    def fake_measure(cfg, steps=30, adaptive=False, params=None, regime=None):
+        calls["n"] += 1
+        if calls["n"] >= 4:  # warmup + 2 rows succeed, 3rd row dies
+            raise RuntimeError("relay wedged mid-row")
+        row = {
+            "metric": f"train_steps_per_sec_{cfg.name}",
+            "value": 1.0,
+            "unit": "steps/s",
+            "timestamp": "t",
+            "_final_params": None,
+            "_ssm": None,
+            "_batch": None,
+        }
+        if regime is not None:
+            row["regime"] = regime
+        return row
+
+    monkeypatch.setattr(benchmark, "measure", fake_measure)
+    monkeypatch.setattr(benchmark, "device_equiv_check", lambda *a, **k: (True, ""))
+    monkeypatch.setattr(benchmark, "_numpy_baseline", lambda row, cfg: None)
+    out = str(tmp_path / "BENCH_ALL.json")
+    with pytest.raises(RuntimeError, match="wedged"):
+        benchmark.main_all(steps=3, out_path=out)
+    blob = json.load(open(out))
+    assert blob["partial"] is True
+    assert blob["device_equiv_ok"] is True
+    assert "git_sha" in blob and "timestamp" in blob
+    # warmup isn't recorded; the two completed rows are
+    assert list(blob["rows"]) == list(benchmark.ALL_ROWS[:2])
+
+
+def test_main_all_complete_blob(tmp_path, monkeypatch):
+    """A full run flips partial=false, labels the K=8192 regimes, and
+    carries the trained-regime row."""
+
+    def fake_measure(cfg, steps=30, adaptive=False, params=None, regime=None):
+        row = {
+            "metric": f"train_steps_per_sec_{cfg.name}",
+            "value": 2.0,
+            "unit": "steps/s",
+            "timestamp": "t",
+            "_final_params": None,
+            "_ssm": None,
+            "_batch": None,
+        }
+        if regime is not None:
+            row["regime"] = regime
+        if params is not None:
+            row["used_params_override"] = True
+        return row
+
+    monkeypatch.setattr(benchmark, "measure", fake_measure)
+    monkeypatch.setattr(benchmark, "device_equiv_check", lambda *a, **k: (True, ""))
+    monkeypatch.setattr(benchmark, "_numpy_baseline", lambda row, cfg: 0.5)
+    monkeypatch.setattr(benchmark, "l96_trained_params", lambda cfg: {"dummy": 1})
+    out = str(tmp_path / "BENCH_ALL.json")
+    rc = benchmark.main_all(steps=3, out_path=out)
+    assert rc == 0
+    blob = json.load(open(out))
+    assert blob["partial"] is False
+    rows = blob["rows"]
+    assert rows["lorenz96_fivo_k8192_sharded"]["regime"] == "degenerate-init"
+    assert rows["lorenz96_fivo_k8192_trained"]["regime"] == "trained"
+    assert rows["lorenz96_fivo_k8192_trained"]["used_params_override"] is True
+    assert "fhn_fivo_k1024_b128" in rows
+    assert blob["vs_baseline"] == 4.0  # 2.0 steps/s vs 0.5 baseline
