@@ -382,7 +382,13 @@ def device_equiv_check(
 
     base = preset(preset_name)
     base = dataclasses.replace(
-        base, train=dataclasses.replace(base.train, steps_per_call=1)
+        base,
+        train=dataclasses.replace(base.train, steps_per_call=1),
+        # kernel_rng draws different streams than the jnp path by
+        # construction — pin it off so fused-vs-unfused is bit-comparable;
+        # the kernel_rng path has its own replay-based check
+        # (kernel_rng_equiv_check), run alongside when the preset uses it
+        smc=dataclasses.replace(base.smc, kernel_rng=False),
     )
     out: dict[bool, tuple[list[float], list[float]]] = {}
     for fused in (True, False):
@@ -426,6 +432,106 @@ def device_equiv_check(
             "below time a kernel that computes the wrong thing.",
             file=sys.stderr,
         )
+    return ok, detail
+
+
+def kernel_rng_equiv_check(
+    preset_name: str = "fhn_fivo_k1024_bench",
+) -> tuple[bool, str]:
+    """On-device equivalence of the in-kernel-RNG megakernel (TPU only).
+
+    cfg.smc.kernel_rng draws ε/u from the hardware PRNG inside the kernels,
+    so its streams cannot bit-match the jnp path. Instead the check replays
+    the KERNEL'S OWN streams through the unfused jnp scan: the extractor
+    kernel (pallas_step.generate_stream_noise — same helpers, same grid
+    blocking, same draw order) materializes (ε, u), forward_filter's noise
+    hook consumes them, and logZ + the full gradient tree must agree. This
+    closes the only untested link of the kernel_rng path — that the
+    backward kernel regenerates the forward's ε exactly.
+
+    Returns (ok, detail).
+    """
+    import dataclasses
+
+    from psvo_tpu.config import preset
+    from psvo_tpu.data import generate_dataset
+    from psvo_tpu.models.ssm import init_ssm
+    from psvo_tpu.ops import pallas_step
+    from psvo_tpu.smc import forward_filter
+
+    base = preset(preset_name)
+    cfg = dataclasses.replace(
+        base, smc=dataclasses.replace(base.smc, kernel_rng=True)
+    )
+    dataset = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, run_key(cfg))
+    cfg_u = dataclasses.replace(cfg, use_pallas=False, use_pallas_step=False,
+                                use_pallas_resample=False)
+    ssm_u, _ = init_ssm(cfg_u, run_key(cfg))
+    ys = jnp.asarray(dataset.obs_train[: cfg.train.batch_size])
+    key = run_key(cfg, 1)
+
+    def loss_fused(p):
+        fr = forward_filter(ssm, p, key, ys, cfg.smc, cache=False)
+        return jnp.mean(fr.log_z)
+
+    lf, gf = jax.jit(jax.value_and_grad(loss_fused))(params)
+
+    # replay the kernel's streams: SAME seed derivation as _fused_preamble
+    batch, t_steps, _ = ys.shape
+    k, dx = cfg.smc.n_particles, ssm.dx
+    k0, k_prop, _k_res = jax.random.split(key, 3)
+    seeds = jax.random.randint(k_prop, (1, 2), 0, 1 << 24).astype(jnp.float32)
+    pd = pallas_step._round_up(max(dx + ssm.di, ssm.dy) + 1, 8)
+    eps_pd, u = pallas_step.generate_stream_noise(
+        seeds, t_steps - 1, batch, pd, k, dx
+    )
+    noise = (
+        jax.random.normal(k0, (batch, dx, k)),
+        eps_pd[:, :, :dx, :],
+        u,
+    )
+
+    def loss_ref(p):
+        fr = forward_filter(
+            ssm_u, p, key, ys, cfg.smc, cache=False, noise=noise
+        )
+        return jnp.mean(fr.log_z)
+
+    lu, gu = jax.jit(jax.value_and_grad(loss_ref))(params)
+
+    # Tolerance calibration (v5e 2026-08-20): even the NON-rng fused kernel
+    # vs the unfused scan WITH IDENTICAL streams shows logZ diffs ~0.05 and
+    # large relative errors on a few gradient entries at the primary config
+    # — occasional resample-index flips where a u lands within f32 rounding
+    # of a CDF boundary (tri-matmul cumsum vs jnp cumsum), whose downstream
+    # trajectories then diverge. Per-leaf allclose is therefore the wrong
+    # assertion for ANY device-level fused-vs-unfused comparison at K=1024
+    # ·T=100; the meaningful invariants are logZ, the gradient norm, and
+    # the gradient DIRECTION (cosine) — an ε-regeneration bug would wreck
+    # all three, an index flip none of them.
+    lf, lu = float(lf), float(lu)
+    fa = np.concatenate(
+        [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(gf)]
+    )
+    ua = np.concatenate(
+        [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(gu)]
+    )
+    nf, nu = float(np.linalg.norm(fa)), float(np.linalg.norm(ua))
+    cos = float(fa @ ua / max(nf * nu, 1e-30))
+    ok = (
+        bool(np.allclose(lf, lu, rtol=1e-3, atol=1e-3))
+        and abs(nf - nu) <= 1e-2 * max(nf, nu) + 1e-3
+        and cos >= 0.99
+    )
+    detail = (
+        f"logZ kernel_rng={lf:.4f} replayed={lu:.4f} "
+        f"grad_norm {nf:.4f} vs {nu:.4f} cosine={cos:.6f}"
+    )
+    print(
+        f"# kernel_rng_equiv {'OK' if ok else 'MISMATCH'}: {detail}",
+        file=sys.stderr,
+    )
     return ok, detail
 
 
@@ -529,8 +635,11 @@ def main(
 
     cfg = preset(preset_name)
     equiv_ok, equiv_detail = (None, None)
+    krng_ok, krng_detail = (None, None)
     if equiv:
         equiv_ok, equiv_detail = device_equiv_check(preset_name)
+        if cfg.smc.kernel_rng:
+            krng_ok, krng_detail = kernel_rng_equiv_check(preset_name)
     row = measure(cfg, steps)
     base_sps = _numpy_baseline(row, cfg)
     out = _strip(row)
@@ -542,6 +651,10 @@ def main(
         out["device_equiv_ok"] = equiv_ok
         if not equiv_ok:
             out["device_equiv_detail"] = equiv_detail
+    if krng_ok is not None:
+        out["kernel_rng_equiv_ok"] = krng_ok
+        if not krng_ok:
+            out["kernel_rng_equiv_detail"] = krng_detail
     print(json.dumps(out))
     return 0
 
@@ -592,6 +705,11 @@ def main_all(
         blob["device_equiv_ok"] = equiv_ok
         if not equiv_ok:
             blob["device_equiv_detail"] = equiv_detail
+        if preset("fhn_fivo_k1024_bench").smc.kernel_rng:
+            krng_ok, krng_detail = kernel_rng_equiv_check()
+            blob["kernel_rng_equiv_ok"] = krng_ok
+            if not krng_ok:
+                blob["kernel_rng_equiv_detail"] = krng_detail
         _flush()
 
     primary_vs = None

@@ -105,11 +105,27 @@ class SMCConfig:
     # see objectives.py for its support-size-offset caveat). Both always
     # report the `elbo_psvo_direct` metric.
     psvo_bound: str = "forward"
+    # SVO backward proposal architecture (SURVEY.md §2-A tags the
+    # reference's q_b as "MLP/RNN-parameterized" [M]): False = MLP on
+    # [x_{t+1}, y_t]; True = additionally condition on h_t, a backward-GRU
+    # summary of y_{t:T} (the RNN parameterization — the recurrence runs
+    # per-trajectory [B, ·], outside the M-path bulk math). SVO only; PSVO's
+    # FFBSi draws over the discrete forward support and has no q_b network.
+    qb_rnn: bool = False
     transition: str = "mlp"  # "mlp" | "known": f's mean is the TRUE dynamics
     # stepper (FHN/Lorenz/LGSSM from data.datatype) with a learned noise
     # scale — the learn-proposals-only ablation the reference's bootstrap
     # mode gestures at (models/dynamics.py role 2).
     ess_threshold: float = 1.0  # resample when ESS/K < threshold; 1.0 = always
+    # In-kernel RNG for the whole-scan megakernel (systematic resampling
+    # only): each grid step draws its ε/u from the TPU hardware PRNG instead
+    # of streaming bulk threefry/rbg noise tensors through HBM (~0.1 GB/step
+    # of pure noise traffic at the primary config + the bits→normal
+    # transform). Streams are distributionally identical but DIFFERENT from
+    # the jnp path, so runs are not bit-comparable across the toggle; the
+    # fused-vs-unfused equivalence is still exact via the stream extractor
+    # (pallas_step.generate_stream_noise + forward_filter's noise hook).
+    kernel_rng: bool = False
     use_2q: bool = True  # fuse q1(x|x_prev) with encoder q2(x|y)
     remat: bool = True  # rematerialize the scan body in backprop (SURVEY.md §5):
     # without it the T-step scan stores every MLP activation ([B*K, hidden] ×
@@ -313,10 +329,18 @@ PRESETS: dict[str, Config] = {
         train=TrainConfig(steps_per_call=10),
     ),
     # 2. "FIVO/AESMC filtering with systematic resampling, FHN, K=128, batched"
+    # kernel_rng per preset is MEASURED (v5e A/B 2026-08-20): the megakernel
+    # draws ε/u from the hardware PRNG (pair-form Box-Muller, dx rows only)
+    # instead of streaming bulk noise — K=128 2.99→2.90 ms, SVO K=256
+    # 7.46→6.67, primary K=1024 14.73→14.48, B=128 59.1→58.6; PSVO K=1024 a
+    # wash (21.66→21.65 — FFBSi dominates), left off there.
     "fhn_fivo_k128": Config(
         name="fhn_fivo_k128",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
-        smc=SMCConfig(objective="fivo", n_particles=128, resampling="systematic"),
+        smc=SMCConfig(
+            objective="fivo", n_particles=128, resampling="systematic",
+            kernel_rng=True,
+        ),
         train=TrainConfig(steps_per_call=10),
     ),
     # 3. "SVO smoothing with learned backward proposal, Lorenz-63 3D latent, K=256"
@@ -328,6 +352,7 @@ PRESETS: dict[str, Config] = {
             n_particles=256,
             n_smoothing_particles=16,
             resampling="systematic",
+            kernel_rng=True,  # measured: 7.46 -> 6.67 ms (see k128 note)
         ),
         train=TrainConfig(steps_per_call=10),
     ),
@@ -386,8 +411,15 @@ PRESETS: dict[str, Config] = {
     "fhn_fivo_k1024_bench": Config(
         name="fhn_fivo_k1024_bench",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
-        smc=SMCConfig(objective="fivo", n_particles=1024, resampling="systematic"),
-        train=TrainConfig(rng_impl="rbg", steps_per_call=10),
+        smc=SMCConfig(
+            objective="fivo", n_particles=1024, resampling="systematic",
+            kernel_rng=True,  # measured: 14.73 -> 14.48 ms (see k128 note)
+        ),
+        # rbg's only win was the bulk noise streams, which kernel_rng moved
+        # into the kernels (rbg-vs-threefry measured EQUAL under kernel_rng:
+        # 16.38 vs 16.35 ms on the pre-pair-form build, 2026-08-20) — so the
+        # root key returns to the cross-backend-reproducible default.
+        train=TrainConfig(steps_per_call=10),
     ),
 }
 

@@ -57,6 +57,10 @@ class SSM:
         # q_uses_true_X debug flag: the encoder head q2 (and q0) see the true
         # latents, so their input dimension is Dx instead of Dy.
         self.enc_dim = cfg.data.dx if cfg.smc.q_uses_true_x else cfg.data.dy
+        # SVO backward proposal RNN option (SURVEY.md §2-A q_b
+        # "MLP/RNN-parameterized" [M]): a backward GRU over the observations
+        # summarizes y_{t:T} into h_t; q_b conditions on [x_{t+1}, y_t, h_t].
+        self.qb_rnn = cfg.smc.qb_rnn
         self.nets = {k: v for k, v in cfg.nets}
         self.use_pallas_mlp = cfg.use_pallas and cfg.use_pallas_mlp
         self.use_pallas_resample = cfg.use_pallas and cfg.use_pallas_resample
@@ -124,19 +128,25 @@ class SSM:
         else:
             f_params = head(keys[3], self.nets["f"], dx + di, dx)
 
-        return {
+        qb_in = dx + dy
+        params = {
             "q0": head(keys[0], self.nets["q0"], self.enc_dim, dx),
             "q1": head(keys[1], self.nets["q1"], dx + di, dx),
             "q2": head(keys[2], self.nets["q2"], self.enc_dim, dx),
             "f": f_params,
             "g": head(keys[4], self.nets["g"], dx, dy, cov=g_cov),
-            "qb": head(keys[5], self.nets["qb"], dx + dy, dx),
             # learned initial prior p(x_0) = N(mu0, diag(scale0^2))
             "prior": {
                 "mean": jnp.zeros((dx,), jnp.float32),
                 "raw_scale": jnp.zeros((dx,), jnp.float32),  # softplus(0)+min ~ 0.69
             },
         }
+        if self.qb_rnn:
+            h = self.qb_rnn_dim
+            params["qb_rnn"] = networks.init_gru(keys[6], dy, h)
+            qb_in += h
+        params["qb"] = head(keys[5], self.nets["qb"], qb_in, dx)
+        return params
 
     # -- net application (routes to fused Pallas kernel when enabled) --------
 
@@ -239,11 +249,48 @@ class SSM:
         m2, s2 = self._mean_scale(params["q2"], self.nets["q2"], y_t)
         return dist.mvn_product(m1, s1, m2, s2)
 
-    def backward_propose(self, params: Params, x_next: jax.Array, y_t: jax.Array):
-        """SVO's learned backward proposal q_b(x_t | x_{t+1}, y_t) (SURVEY.md §3.3)."""
-        inp = jnp.concatenate(
-            [x_next, jnp.broadcast_to(y_t, (*x_next.shape[:-1], self.dy))], axis=-1
-        )
+    @property
+    def qb_rnn_dim(self) -> int:
+        """GRU state width for the qb RNN option: the qb trunk's first
+        hidden size (one knob fewer; same order as the MLP capacity)."""
+        return self.nets["qb"].hidden[0]
+
+    def backward_rnn_summaries(self, params: Params, ys_tm: jax.Array):
+        """h_t = GRU(h_{t+1}, y_t) run BACKWARD over the observations:
+        h_t summarizes y_{t:T}. ys_tm [T, B, Dy] -> [T, B, H].
+
+        TPU shape note: the recurrence is a [B, ·]-sized reverse lax.scan —
+        K- and M-independent, so its cost is negligible next to the
+        particle math; the per-(M-path) work stays in the bulk MLP heads.
+        """
+        gru = params["qb_rnn"]
+        b = ys_tm.shape[1]
+        h_last = jnp.zeros((b, self.qb_rnn_dim), jnp.float32)
+
+        def body(h, y_t):
+            h = networks.gru_step(gru, h, y_t)
+            return h, h
+
+        _, hs = jax.lax.scan(body, h_last, ys_tm, reverse=True)
+        return hs  # [T, B, H]; hs[t] has consumed y_{t:T}
+
+    def backward_propose(
+        self, params: Params, x_next: jax.Array, y_t: jax.Array, h_t=None
+    ):
+        """SVO's learned backward proposal q_b(x_t | x_{t+1}, y_t)
+        (SURVEY.md §3.3) — with the RNN option (smc.qb_rnn) additionally
+        conditioned on the backward-GRU summary h_t of y_{t:T}."""
+        parts = [x_next, jnp.broadcast_to(y_t, (*x_next.shape[:-1], self.dy))]
+        if self.qb_rnn:
+            if h_t is None:
+                raise ValueError(
+                    "smc.qb_rnn=True: backward_propose needs the h_t summary "
+                    "(ssm.backward_rnn_summaries)"
+                )
+            parts.append(
+                jnp.broadcast_to(h_t, (*x_next.shape[:-1], self.qb_rnn_dim))
+            )
+        inp = jnp.concatenate(parts, axis=-1)
         return self._mean_scale(params["qb"], self.nets["qb"], inp)
 
     # -- channel-major variants (the forward filter's hot path) ---------------

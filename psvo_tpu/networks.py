@@ -105,6 +105,32 @@ def init_mlp_head(
     return params
 
 
+def init_gru(key: jax.Array, din: int, dh: int) -> Params:
+    """GRU cell parameters: update z, reset r, candidate h̃ gates, each a
+    dense map on [x; h]. Used by the SVO backward proposal's RNN option
+    (SURVEY.md §2-A tags the reference's q_b as "MLP/RNN-parameterized"):
+    a backward recurrence over observations summarizes y_{t:T} into h_t.
+    """
+    kz, kr, kh = jax.random.split(key, 3)
+    return {
+        "z": _init_dense(kz, din + dh, dh),
+        "r": _init_dense(kr, din + dh, dh),
+        "h": _init_dense(kh, din + dh, dh),
+    }
+
+
+def gru_step(params: Params, h: jax.Array, x: jax.Array) -> jax.Array:
+    """One GRU update h' = (1−z)·h + z·h̃. h [..., H], x [..., Din]."""
+    hx = jnp.concatenate([x, h], axis=-1)
+    wz, bz = params["z"]
+    wr, br = params["r"]
+    wh, bh = params["h"]
+    z = jax.nn.sigmoid(hx @ wz + bz)
+    r = jax.nn.sigmoid(hx @ wr + br)
+    h_cand = jnp.tanh(jnp.concatenate([x, r * h], axis=-1) @ wh + bh)
+    return (1.0 - z) * h + z * h_cand
+
+
 def scale_from_raw(raw: jax.Array, sigma_min: float) -> jax.Array:
     """softplus + floor, the reference's sigma_min clamp (SURVEY.md §2-A mvn)."""
     return jax.nn.softplus(raw) + sigma_min

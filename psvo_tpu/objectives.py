@@ -268,10 +268,21 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: i
     logp = log_g_t
     logq = log_rho_t
 
+    # RNN option (smc.qb_rnn): backward-GRU summaries h_t of y_{t:T},
+    # computed for ALL t in one cheap [B, ·] reverse scan outside the
+    # M-path math; zero-width placeholder keeps the scan structure static
+    if ssm.qb_rnn:
+        h_scan = ssm.backward_rnn_summaries(params, ys_tm)[:-1]  # [T-1, B, H]
+    else:
+        h_scan = jnp.zeros((t_steps - 1, batch, 0), jnp.float32)
+
     def body(carry, inputs):
         x_next, logp, logq = carry
-        y_t, u_next, eps_t = inputs  # u_next: control at t+1 (into x_next)
-        mean_b, scale_b = ssm.backward_propose(params, x_next, y_t[:, None, :])
+        y_t, u_next, eps_t, h_t = inputs  # u_next: control at t+1 (into x_next)
+        mean_b, scale_b = ssm.backward_propose(
+            params, x_next, y_t[:, None, :],
+            h_t[:, None, :] if ssm.qb_rnn else None,
+        )
         x_t = mean_b + scale_b * eps_t  # [B, M, Dx] reparameterized draw
         logp = (
             logp
@@ -285,7 +296,7 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: i
     (x_first, logp, logq), xs_rev = jax.lax.scan(
         body,
         (x_tilde_t, logp, logq),
-        (ys_tm[:-1], ctrl_tm[1:], eps_scan),
+        (ys_tm[:-1], ctrl_tm[1:], eps_scan, h_scan),
         reverse=True,
     )
     logp = logp + ssm.prior_log_prob(params, x_first)

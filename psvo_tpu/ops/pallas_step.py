@@ -178,7 +178,11 @@ def _row_block(batch: int, k: int) -> int:
     scales with rb·K: rb=32 at K=1024 needs 77 MiB (> the 64 MiB grant, and
     granting 100 MiB measured SLOWER than rb=16 — VMEM pressure kills the
     stream double-buffering), so rb=16 is gated to K ≤ 1024 where it fits
-    with the same headroom as the proven rb=8 K=2048 ceiling."""
+    with the same headroom as the proven rb=8 K=2048 ceiling. The SAVE_ACTS
+    A/B adds 6 double-buffered [rb, HA, K] streams to the forward (66.8 MiB
+    at rb=16 — over the grant, measured 2026-08-20), so it drops to rb=8."""
+    if SAVE_ACTS:
+        return ROW_BLOCK
     return 16 if (batch % 16 == 0 and k <= 1024) else ROW_BLOCK
 
 
@@ -377,11 +381,137 @@ def _pad_sub(x, pd):
 
 
 # ---------------------------------------------------------------------------
+# In-kernel RNG (cfg.smc.kernel_rng): the hardware PRNG replaces the bulk
+# noise streams. The jnp path materializes eps [T−1, B, Dx, K] and u
+# [T−1, B, K] in HBM (written once by the RNG fusion, ε read by BOTH scan
+# kernels, u by the forward) — ~0.1 GB/step of pure noise traffic at the
+# primary config plus the bits→normal transform (0.28 ms/step) and, on the
+# rbg presets, the generator's fixed dispatch overhead. Here each grid step
+# seeds the per-core PRNG with (seed, b, t) and draws its own noise; the
+# backward re-seeds identically and REGENERATES the same ε (draw order: the
+# two ε bit-tensors first, then u — the backward stops after two).
+#
+# Streams differ from the threefry/rbg jnp path by construction, so
+# bit-equivalence testing is impossible; instead `generate_stream_noise`
+# materializes the EXACT kernel streams with the same helper + grid layout,
+# and the equivalence check feeds them to the unfused jnp path via
+# forward_filter's noise hook (same logZ + same grads — benchmark.py
+# kernel_rng_equiv_check, TPU only: interpret mode has no prng_seed
+# lowering on CPU, verified 2026-08-20).
+#
+# Seeds ride a [1, 2] float32 SMEM operand (values < 2²⁴ so the f32 carry
+# is exact): custom_vjp integer primals would demand float0 cotangents.
+# ---------------------------------------------------------------------------
+
+
+def _rng_seed(seed_ref, b, t):
+    """Seed the per-core PRNG for grid cell (b, t). Mosaic accepts at most
+    TWO seed values (v5e 2026-08-20), so (b, t) folds into the second with
+    a large odd stride — distinct per cell for any t < 1000003, wrapping
+    int32 overflow is deterministic."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(
+        seed_ref[0, 0].astype(jnp.int32),
+        seed_ref[0, 1].astype(jnp.int32)
+        + b * jnp.int32(1000003)
+        + t,
+    )
+
+
+def _rng_unit_bits(shape):
+    """Top-24-bit uniforms from the hardware PRNG: returns f32 in [0, 1).
+
+    Bit plumbing is Mosaic-constrained: uint32→f32 casts don't lower
+    ("Unsupported cast", v5e 2026-08-20), so the bits BITCAST to int32, the
+    logical shift clears the sign bit (top ∈ [0, 2²⁴)), and the int32→f32
+    cast is exact."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = pltpu.prng_random_bits(shape)
+    bits_i = jax.lax.bitcast_convert_type(bits, jnp.int32)
+    top = jax.lax.shift_right_logical(bits_i, jnp.int32(8))
+    return top.astype(jnp.float32) * (2.0**-24)
+
+
+def _rng_eps(shape, dx):
+    """Standard normals [R, PD, K] with sublane rows ≥ dx exactly ZERO (the
+    α math and the ones-channel/control rows rely on exact-zero ε pads).
+
+    Box-Muller PAIR form on the dx live rows only: one (log, sqrt, cos,
+    sin) quadruple yields TWO normals, and the dead PD−dx rows are zeros by
+    construction instead of generated-then-masked. The first measured
+    variant (3 transcendentals per element over all PD rows) cost the
+    primary config +1.6 ms/step (14.74 → 16.38, v5e 2026-08-20) — the
+    kernel is op-count-bound and VPU transcendentals are its priciest op
+    class; this form runs 6× fewer of them. u1 ∈ (0, 1] (1 − top24·2⁻²⁴ —
+    safe under log), u2 ∈ [0, 1). Distributionally exact standard normals,
+    just a different stream than threefry — see module comment above.
+    """
+    r, pd, k = shape
+    half = (r, dx, k // 2)
+    u1 = 1.0 - _rng_unit_bits(half)
+    u2 = _rng_unit_bits(half)
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = (2.0 * math.pi) * u2
+    z = jnp.concatenate([rad * jnp.cos(ang), rad * jnp.sin(ang)], axis=-1)
+    return jnp.concatenate(
+        [z, jnp.zeros((r, pd - dx, k), jnp.float32)], axis=-2
+    )
+
+
+def _rng_sys_u(rows, k):
+    """Systematic resampling positions (i + u0)/K, one u0 ~ U[0, 1) per
+    batch row (resampling.quantile_positions_from_raw semantics)."""
+    u0 = _rng_unit_bits((rows, _LANES))[:, 0:1]  # lane 0 of a cheap full tile
+    # int iota + cast: a float tpu.iota doesn't lower (v5e 2026-08-20)
+    i = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1).astype(jnp.float32)
+    return (i + u0) * (1.0 / k)
+
+
+def generate_stream_noise(seeds, t_len, batch, pd, k, dx):
+    """TPU-only diagnostic: materialize the exact (eps, u) streams the
+    kernel_rng megakernels generate internally — same helpers, same grid
+    blocking, same draw order — so the unfused jnp path can replay them
+    (noise hook) and the fused kernel_rng path can be equivalence-checked
+    on-device (benchmark.kernel_rng_equiv_check). Returns
+    (eps [T, B, PD, K] — slice [:, :, :dx] for the jnp path, u [T, B, K]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rb = _row_block(batch, k)
+
+    def kern(seed_ref, eps_ref, u_ref):
+        _rng_seed(seed_ref, pl.program_id(0), pl.program_id(1))
+        eps_ref[:] = _rng_eps((rb, pd, k), dx)[None]
+        u_ref[:] = _rng_sys_u(rb, k)[None]
+
+    return pl.pallas_call(
+        kern,
+        grid=(batch // rb, t_len),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM)
+        ],
+        out_specs=[
+            _res_spec((t_len, batch, pd, k), rb),
+            _res_spec((t_len, batch, k), rb),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, batch, pd, k), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, batch, k), jnp.float32),
+        ],
+        compiler_params=_vmem_params(),
+        interpret=_INTERPRET,
+    )(seeds)
+
+
+# ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
 
-def _propose_weight_core(net, x_res, eps, sm, sconst):
+def _propose_weight_core(net, x_res, eps, sm, sconst, want_hs: bool = False):
     """Trunks + reparameterized draw + α as pure array math: everything in
     the filtering step body AFTER the resample. Shared by the per-step /
     whole-scan megakernels and the K-tiled large-PD trunk kernel
@@ -408,8 +538,8 @@ def _propose_weight_core(net, x_res, eps, sm, sconst):
     sgi = _col3(sconst, SM_SGI)
 
     # q1 / f trunks on the resampled particles
-    m1, _ = _trunk(x_res, *net(_Q1))
-    m_f, _ = _trunk(x_res, *net(_F))
+    m1, hs_q = _trunk(x_res, *net(_Q1))
+    m_f, hs_f = _trunk(x_res, *net(_F))
 
     # fused proposal + reparameterized draw; row OC: aq=1, cq=sq=0 keeps
     # the ones-channel alive in x_new
@@ -417,19 +547,22 @@ def _propose_weight_core(net, x_res, eps, sm, sconst):
 
     # emission trunk + α (ε's pad rows are zero, so the fused full-PD
     # sublane sum of z_f² − ε² + z_g² is exact)
-    m_g, _ = _trunk(x_new, *net(_G))
+    m_g, hs_g = _trunk(x_new, *net(_G))
     z_f = (x_new - m_f) * sfi
     z_g = (y - m_g) * sgi
     alpha = -0.5 * jnp.sum(z_f * z_f - eps * eps + z_g * z_g, axis=-2) + absc
     # finiteness floor (distributions._MIN_LOGP rationale): a diverged mean
     # must yield an astronomically-negative finite α, not -inf
     alpha = jnp.maximum(alpha, -3e30)
+    if want_hs:  # SAVE_ACTS A/B: the backward streams these instead of
+        return x_new, alpha, (hs_q, hs_f, hs_g)  # recomputing the trunks
     return x_new, alpha
 
 
-def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
+def _fwd_core(k, net, logw, u, x, eps, sm, sconst, want_hs: bool = False):
     """The whole filtering step as pure array math (shared by the per-step
-    and whole-scan kernels). Returns (x_new, alpha, idx, x_res, fm, ell, ess).
+    and whole-scan kernels). Returns (x_new, alpha, idx, x_res, fm, ell, ess)
+    — with want_hs (SAVE_ACTS) an extra trailing (hs_q, hs_f, hs_g) tuple.
     """
     # ESS of the incoming weights: (Σw)²/Σw² with max-shifted w
     m = jnp.max(logw, axis=-1, keepdims=True)
@@ -443,7 +576,8 @@ def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
     idx = _two_level_indices(logw, u, k)
     x_res = _gather_particles(x, idx, k)
 
-    x_new, alpha = _propose_weight_core(net, x_res, eps, sm, sconst)
+    out = _propose_weight_core(net, x_res, eps, sm, sconst, want_hs=want_hs)
+    x_new, alpha = out[0], out[1]
 
     # ℓ = lse(α) − log K; filtered mean under the new weights
     amax = jnp.max(alpha, axis=-1, keepdims=True)
@@ -455,6 +589,8 @@ def _fwd_core(k, net, logw, u, x, eps, sm, sconst):
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) / sw[:, :, None]  # [R, PD, 1]
+    if want_hs:
+        return x_new, alpha, idx, x_res, fm, ell, ess, out[2]
     return x_new, alpha, idx, x_res, fm, ell, ess
 
 
@@ -506,7 +642,7 @@ def _fwd_kernel(
 
 def _propose_weight_bwd_core(
     net, netw, x_res, x_new, eps, sm, sconst, d_xnew_in, d_alpha_in,
-    d_stats=None,
+    d_stats=None, saved_hs=None,
 ):
     """Recompute-style backward of _propose_weight_core as pure array math.
     Returns (d_xres, d_absc, sm_sums, dsfg, dws) where dws is
@@ -526,9 +662,16 @@ def _propose_weight_bwd_core(
     sgi = _col3(sconst, SM_SGI)
 
     # ---- recompute: f and g trunks keep their activations through the α
-    # rebuild; q1 runs later so its hidden stack never overlaps g's
-    m_f, hs_f = _trunk(x_res, *net(_F))
-    m_g, hs_g = _trunk(x_new, *net(_G))
+    # rebuild; q1 runs later so its hidden stack never overlaps g's.
+    # SAVE_ACTS A/B: saved_hs streams the forward's hidden stacks from HBM
+    # and only the cheap final denses rebuild the means.
+    if saved_hs is None:
+        m_f, hs_f = _trunk(x_res, *net(_F))
+        m_g, hs_g = _trunk(x_new, *net(_G))
+    else:
+        hs_q_saved, hs_f, hs_g = saved_hs
+        m_f = _dense(hs_f[-1], net(_F)[2])
+        m_g = _dense(hs_g[-1], net(_G)[2])
     z_f = (x_new - m_f) * sfi
     z_g = (y - m_g) * sgi
     alpha = -0.5 * jnp.sum(z_f * z_f - eps * eps + z_g * z_g, axis=-2) + absc
@@ -570,7 +713,11 @@ def _propose_weight_bwd_core(
     d_m1 = cq * d_meanq
 
     # ---- q1 trunk backprop (third trunk pass; also yields m1 for dcq)
-    m1, hs_q = _trunk(x_res, *net(_Q1))
+    if saved_hs is None:
+        m1, hs_q = _trunk(x_res, *net(_Q1))
+    else:
+        hs_q = hs_q_saved
+        m1 = _dense(hs_q[-1], net(_Q1)[2])
     d_xr_q, dw1_q, dwm_q, dw3_q = _trunk_bwd(x_res, hs_q, d_m1, *netw(_Q1))
 
     # one fused lane-sum for the three per-step fusion-coefficient grads
@@ -587,15 +734,16 @@ def _propose_weight_bwd_core(
 
 def _bwd_core(
     k, net, netw, x_res, x_new, idx, eps, sm, sconst,
-    d_xnew_in, d_alpha_in, d_stats,
+    d_xnew_in, d_alpha_in, d_stats, saved_hs=None,
 ):
     """Recompute-style step backward (per-step and whole-scan megakernels):
     the shared propose+weight backward (α + lse/softmax path rebuilt on its
-    single f/g trunk pass), then scatter the particle grads back through
-    the ancestor choice. Returns (d_x, d_absc, sm_sums, dsfg, dws)."""
+    single f/g trunk pass — or read from the SAVE_ACTS streams), then
+    scatter the particle grads back through the ancestor choice. Returns
+    (d_x, d_absc, sm_sums, dsfg, dws)."""
     d_xres, d_absc, sm_sums, dsfg, dws = _propose_weight_bwd_core(
         net, netw, x_res, x_new, eps, sm, sconst,
-        d_xnew_in, d_alpha_in, d_stats,
+        d_xnew_in, d_alpha_in, d_stats, saved_hs=saved_hs,
     )
 
     # ---- scatter particle grads back through the ancestor choice
@@ -856,11 +1004,34 @@ _step_call.defvjp(_step_fwd, _step_bwd)
 
 SCAN_FUSED = True  # flip False to A/B the per-step _step_call path
 
+# A/B toggle (ROADMAP #1 / VERDICT r3 #3a): save the three trunks' hidden
+# stacks to HBM in the forward whole-scan kernel and stream them back into
+# the backward instead of recomputing — n_mid == 1 configs only. Roofline
+# arithmetic says this LOSES (6 × [R, HA, K] streams ≈ 56 MB/timestep of new
+# traffic at the primary config vs ~30 µs/timestep of MXU recompute saved);
+# the flag exists so the answer is MEASURED, not estimated.
+#
+# MEASURED (v5e 2026-08-20, primary config): recompute rb=16 14.76 ms/step;
+# save-acts 17.51 ms (the 6 double-buffered streams also blow the 64 MiB
+# scoped-VMEM grant at rb=16 — 66.8 MiB — forcing rb=8); recompute rb=8
+# control 15.30 ms. At matched rb the streams cost +2.2 ms (+14%) against
+# ~0 saved — the recompute VJP is the right design; dead end recorded, the
+# toggle stays for auditability (equivalence test:
+# test_pallas_step.test_save_acts_matches_recompute).
+SAVE_ACTS = False
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _scan_call(static, x0, alpha0, sm, eps, u, sconst,
                wt1s, wtms, wt3s, w1s, wms, w3s):
-    """static = (k, pd, n_mid, activation, cache). Streams are [T-1, ...].
+    """static = (k, pd, n_mid, activation, rng_dx, cache). Streams are
+    [T-1, ...].
+
+    rng_dx = None: eps/u are the materialized HBM noise streams.
+    rng_dx = Dx (kernel_rng): `eps` is the [1, 2] f32 SEED operand, the
+    kernels draw their own noise (see the in-kernel RNG comment block), and
+    `u` degrades to a [T-1, B, 1] shape-carrier that is never read (t_len
+    and batch come off it; it never enters the pallas_call).
 
     Returns (x_last, alpha_last, stats) — plus (x_new_all, alpha_all) when
     `cache` (the SVO/PSVO history; FIVO skips the two big stream outputs'
@@ -871,13 +1042,27 @@ def _scan_call(static, x0, alpha0, sm, eps, u, sconst,
 
 
 def _scan_fwd_kernel(
-    k, n_mid, t_len,
-    x0_ref, a0_ref, sm_ref, eps_ref, u_ref, sconst_ref,
-    wt1s_ref, wtms_ref, wt3s_ref,
-    xnew_ref, alpha_ref, stats_ref, idx_ref, xres_ref, xlast_ref, alast_ref,
-    x_c, lw_c,
+    k, n_mid, t_len, rng_dx, save_acts,
+    *refs,
 ):
     from jax.experimental import pallas as pl
+
+    it = list(refs)
+    if rng_dx is None:
+        (x0_ref, a0_ref, sm_ref, eps_ref, u_ref, sconst_ref,
+         wt1s_ref, wtms_ref, wt3s_ref) = it[:9]
+        it = it[9:]
+    else:
+        (x0_ref, a0_ref, sm_ref, seed_ref, sconst_ref,
+         wt1s_ref, wtms_ref, wt3s_ref) = it[:8]
+        it = it[8:]
+    xnew_ref, alpha_ref, stats_ref, idx_ref, xres_ref = it[:5]
+    it = it[5:]
+    hs_refs = None
+    if save_acts:
+        hs_refs = it[:6]  # q1 h1/h2, f h1/h2, g h1/h2
+        it = it[6:]
+    xlast_ref, alast_ref, x_c, lw_c = it
 
     t = pl.program_id(1)
     net = _mk_net(wt1s_ref, wtms_ref, wt3s_ref, n_mid)
@@ -887,10 +1072,23 @@ def _scan_fwd_kernel(
         x_c[:] = x0_ref[:]
         lw_c[:] = a0_ref[:]
 
-    x_new, alpha, idx, x_res, fm, ell, ess = _fwd_core(
-        k, net, lw_c[:], u_ref[0], x_c[:], eps_ref[0],
-        sm_ref[0], sconst_ref[:],
+    if rng_dx is None:
+        eps_t, u_t = eps_ref[0], u_ref[0]
+    else:
+        _rng_seed(seed_ref, pl.program_id(0), t)
+        rb, pd = x_c.shape[0], x_c.shape[1]
+        eps_t = _rng_eps((rb, pd, k), rng_dx)
+        u_t = _rng_sys_u(rb, k)
+
+    out = _fwd_core(
+        k, net, lw_c[:], u_t, x_c[:], eps_t,
+        sm_ref[0], sconst_ref[:], want_hs=save_acts,
     )
+    x_new, alpha, idx, x_res, fm, ell, ess = out[:7]
+    if save_acts:
+        hs_q, hs_f, hs_g = out[7]
+        for ref, h in zip(hs_refs, (*hs_q, *hs_f, *hs_g)):
+            ref[:] = h[None]
     idx_ref[:] = idx[None]
     xres_ref[:] = x_res[None]
     xnew_ref[:] = x_new[None]
@@ -909,8 +1107,9 @@ def _scan_fwd_kernel(
 
 
 def _scan_bwd_kernel(
-    k, n_mid, t_len, has_cot,
-    # residuals (streamed reversed) + constants
+    k, n_mid, t_len, rng_dx, save_acts, has_cot,
+    # residuals (streamed reversed) + constants; with rng_dx the eps slot
+    # carries the [1, 2] SMEM seed instead of the stream
     xres_ref, xnew_ref, idx_ref, eps_ref, sm_ref, sconst_ref,
     wt1s_ref, wtms_ref, wt3s_ref, w1s_ref, wms_ref, w3s_ref,
     *rest,
@@ -918,6 +1117,14 @@ def _scan_bwd_kernel(
     from jax.experimental import pallas as pl
 
     it = iter(rest)
+    saved_hs = None
+    if save_acts:
+        hs6 = [next(it) for _ in range(6)]
+        saved_hs = (
+            [hs6[0][0], hs6[1][0]],
+            [hs6[2][0], hs6[3][0]],
+            [hs6[4][0], hs6[5][0]],
+        )
     dxnew_s = next(it) if has_cot else None
     dalpha_s = next(it) if has_cot else None
     dstats_s, dxlast_ref, dalast_ref = next(it), next(it), next(it)
@@ -942,10 +1149,20 @@ def _scan_bwd_kernel(
         d_xnew_in = d_xnew_in + dxnew_s[0]
         d_alpha_in = d_alpha_in + dalpha_s[0]
 
+    if rng_dx is None:
+        eps_t = eps_ref[0]
+    else:
+        # regenerate the forward's ε: same (seed, b, t) seeding, and the
+        # forward drew its two ε bit-tensors FIRST (u after), so stopping
+        # after two draws reproduces it exactly
+        rb = dxc.shape[0]
+        _rng_seed(eps_ref, b, t_len - 1 - tr)
+        eps_t = _rng_eps((rb, pd, k), rng_dx)
+
     d_x, d_absc, sm_sums, dsfg, dws = _bwd_core(
-        k, net, netw, xres_ref[0], xnew_ref[0], idx_ref[0], eps_ref[0],
+        k, net, netw, xres_ref[0], xnew_ref[0], idx_ref[0], eps_t,
         sm_ref[0], sconst_ref[:],
-        d_xnew_in, d_alpha_in, dstats_s[0],
+        d_xnew_in, d_alpha_in, dstats_s[0], saved_hs=saved_hs,
     )
     dsm_ref[:] = jnp.zeros_like(dsm_ref)
     # slice FIRST, newaxis after: `v[None, :, :pd]` (newaxis mixed with a
@@ -1005,29 +1222,36 @@ def _scan_fwd(static, x0, alpha0, sm, eps, u, sconst,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    k, pd, n_mid, _activation, cache = static
+    k, pd, n_mid, _activation, rng_dx, cache = static
     t_len, batch = u.shape[0], u.shape[1]
     rb = _row_block(batch, k)
 
+    if rng_dx is None:
+        noise_specs = [_res_spec(eps.shape, rb), _res_spec(u.shape, rb)]
+        noise_ops = [eps, u]
+    else:  # eps carries the [1, 2] f32 seed; u never enters the kernel
+        noise_specs = [
+            pl.BlockSpec((1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM)
+        ]
+        noise_ops = [eps]
     in_specs = [
         _const_spec(x0.shape, rb, batched_rows=True),
         _const_spec(alpha0.shape, rb, batched_rows=True),
         _res_spec(sm.shape, rb),
-        _res_spec(eps.shape, rb),
-        _res_spec(u.shape, rb),
+        *noise_specs,
         _const_spec(sconst.shape),
         _const_spec(wt1s.shape),
         _const_spec(wtms.shape),
         _const_spec(wt3s.shape),
     ]
+    save_acts = SAVE_ACTS and n_mid == 1
+    ha = wt1s.shape[1]
     out_specs = [
         _res_spec((t_len, batch, pd, k), rb),      # x_new
         _res_spec((t_len, batch, k), rb),          # alpha
         _res_spec((t_len, batch, pd, _LANES), rb), # stats
         _res_spec((t_len, batch, k), rb),          # idx
         _res_spec((t_len, batch, pd, k), rb),      # x_res
-        _const_spec((batch, pd, k), rb, batched_rows=True),  # x_last
-        _const_spec((batch, k), rb, batched_rows=True),      # alpha_last
     ]
     out_shape = [
         jax.ShapeDtypeStruct((t_len, batch, pd, k), jnp.float32),
@@ -1035,11 +1259,22 @@ def _scan_fwd(static, x0, alpha0, sm, eps, u, sconst,
         jax.ShapeDtypeStruct((t_len, batch, pd, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((t_len, batch, k), jnp.int32),
         jax.ShapeDtypeStruct((t_len, batch, pd, k), jnp.float32),
+    ]
+    if save_acts:  # 6 × [T, B, HA, K] hidden-stack streams
+        out_specs += [_res_spec((t_len, batch, ha, k), rb)] * 6
+        out_shape += [
+            jax.ShapeDtypeStruct((t_len, batch, ha, k), jnp.float32)
+        ] * 6
+    out_specs += [
+        _const_spec((batch, pd, k), rb, batched_rows=True),  # x_last
+        _const_spec((batch, k), rb, batched_rows=True),      # alpha_last
+    ]
+    out_shape += [
         jax.ShapeDtypeStruct((batch, pd, k), jnp.float32),
         jax.ShapeDtypeStruct((batch, k), jnp.float32),
     ]
-    xnew, alpha, stats, idx, xres, x_last, a_last = pl.pallas_call(
-        functools.partial(_scan_fwd_kernel, k, n_mid, t_len),
+    outs = pl.pallas_call(
+        functools.partial(_scan_fwd_kernel, k, n_mid, t_len, rng_dx, save_acts),
         grid=(batch // rb, t_len),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1050,9 +1285,12 @@ def _scan_fwd(static, x0, alpha0, sm, eps, u, sconst,
         ],
         compiler_params=_vmem_params(),
         interpret=_INTERPRET,
-    )(x0, alpha0, sm, eps, u, sconst, wt1s, wtms, wt3s)
+    )(x0, alpha0, sm, *noise_ops, sconst, wt1s, wtms, wt3s)
+    xnew, alpha, stats, idx, xres = outs[:5]
+    hs_streams = tuple(outs[5:11]) if save_acts else None
+    x_last, a_last = outs[-2:]
     res = (xres, xnew, idx, eps, u, sm, sconst,
-           wt1s, wtms, wt3s, w1s, wms, w3s)
+           wt1s, wtms, wt3s, w1s, wms, w3s, hs_streams)
     if cache:
         return (x_last, a_last, stats, xnew, alpha), res
     return (x_last, a_last, stats), res
@@ -1062,9 +1300,10 @@ def _scan_bwd(static, res, cots):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    k, pd, n_mid, _activation, cache = static
+    k, pd, n_mid, _activation, rng_dx, cache = static
     (xres, xnew, idx, eps, u, sm, sconst,
-     wt1s, wtms, wt3s, w1s, wms, w3s) = res
+     wt1s, wtms, wt3s, w1s, wms, w3s, hs_streams) = res
+    save_acts = hs_streams is not None
     if cache:
         d_xlast, d_alast, d_stats, d_xnew_s, d_alpha_s = cots
     else:
@@ -1076,11 +1315,17 @@ def _scan_bwd(static, res, cots):
     rb = _row_block(batch, k)
 
     rev = t_len
+    if rng_dx is None:
+        eps_spec = _res_spec(eps.shape, rb, reverse_t_len=rev)
+    else:  # the eps slot carries the SMEM seed; ε regenerates in-kernel
+        eps_spec = pl.BlockSpec(
+            (1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+        )
     in_specs = [
         _res_spec(xres.shape, rb, reverse_t_len=rev),
         _res_spec(xnew.shape, rb, reverse_t_len=rev),
         _res_spec(idx.shape, rb, reverse_t_len=rev),
-        _res_spec(eps.shape, rb, reverse_t_len=rev),
+        eps_spec,
         _res_spec(sm.shape, rb, reverse_t_len=rev),
         _const_spec(sconst.shape),
         _const_spec(wt1s.shape),
@@ -1092,6 +1337,11 @@ def _scan_bwd(static, res, cots):
     ]
     operands = [xres, xnew, idx, eps, sm, sconst,
                 wt1s, wtms, wt3s, w1s, wms, w3s]
+    if save_acts:
+        in_specs += [
+            _res_spec(h.shape, rb, reverse_t_len=rev) for h in hs_streams
+        ]
+        operands += list(hs_streams)
     if cache:
         in_specs += [
             _res_spec(d_xnew_s.shape, rb, reverse_t_len=rev),
@@ -1122,7 +1372,9 @@ def _scan_bwd(static, res, cots):
         jax.ShapeDtypeStruct((3, ha, pd), jnp.float32),
     ]
     (d_x0, d_sm, d_sconst, d_w1s, d_wms, d_w3s) = pl.pallas_call(
-        functools.partial(_scan_bwd_kernel, k, n_mid, t_len, cache),
+        functools.partial(
+            _scan_bwd_kernel, k, n_mid, t_len, rng_dx, save_acts, cache
+        ),
         grid=(batch // rb, t_len),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1135,9 +1387,11 @@ def _scan_bwd(static, res, cots):
     zeros = jnp.zeros_like
     return (
         d_x0,
-        zeros(u[0]),    # d alpha0: consumed only via stop-grad resampling/ESS
+        # d alpha0: consumed only via stop-grad resampling/ESS (explicit
+        # shape — u degrades to a [T-1, B, 1] carrier under kernel_rng)
+        jnp.zeros((batch, k), jnp.float32),
         d_sm,
-        zeros(eps),     # ε is raw RNG — no param dependence
+        zeros(eps),     # ε is raw RNG (or the RNG seed) — no param dependence
         zeros(u),       # d u
         d_sconst,
         zeros(wt1s), zeros(wtms), zeros(wt3s),

@@ -258,7 +258,8 @@ def _q2_tm(ssm: SSM, params, cfg: SMCConfig, enc_tm):
     return z, z
 
 
-def _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls):
+def _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls,
+                    kernel_rng: bool = False):
     """Shared preamble of the megakernel (_forward_filter_fused) and the
     K-tiled trunk-kernel (_forward_filter_trunk) paths: augmented/stacked
     weights, fusion coefficients, bulk RNG streams, the t=0 proposal, the
@@ -288,13 +289,24 @@ def _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls):
 
     k0, k_prop, k_res = jax.random.split(key, 3)
     eps0 = jax.random.normal(k0, (batch, dx, k))
-    eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, dx, k))
-    if cfg.resampling != "none":
-        u_scan = resampling.bulk_positions(
-            k_res, t_steps - 1, batch, k, cfg.resampling
-        )
-    else:  # trunk path only — the megakernel requires resampling
+    if kernel_rng:
+        # cfg.kernel_rng megakernel path: no bulk noise streams — the scan
+        # kernels draw their own ε/u from the hardware PRNG (pallas_step
+        # in-kernel RNG comment block). The [1, 2] f32 seed rides the eps
+        # slot (< 2²⁴ so the float carry is exact); u degrades to a
+        # [T−1, B, 1] shape-carrier the kernel never reads.
+        eps_scan = jax.random.randint(
+            k_prop, (1, 2), 0, 1 << 24
+        ).astype(jnp.float32)
         u_scan = jnp.zeros((t_steps - 1, batch, 1))
+    else:
+        eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, dx, k))
+        if cfg.resampling != "none":
+            u_scan = resampling.bulk_positions(
+                k_res, t_steps - 1, batch, k, cfg.resampling
+            )
+        else:  # trunk path only — the megakernel requires resampling
+            u_scan = jnp.zeros((t_steps - 1, batch, 1))
 
     x0, alpha0 = _init_t0(ssm, params, eps0, ys_tm[0], enc_tm[0])
     ell0 = _lse(alpha0) - jnp.log(float(k))
@@ -374,7 +386,21 @@ def _forward_filter_fused(
     k = cfg.n_particles
     dx = ssm.dx
 
-    pre = _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls)
+    # in-kernel RNG: whole-scan systematic megakernel only (multinomial's
+    # sorted iid positions would need an in-kernel sort; the per-step A/B
+    # path and the trunk/unfused paths keep the streams). Interpret mode is
+    # excluded — prng_seed has no CPU lowering (JAX 0.9.0, verified
+    # 2026-08-20), so CPU tests of kernel_rng presets silently keep streams.
+    kernel_rng = (
+        cfg.kernel_rng
+        and pallas_step.SCAN_FUSED
+        and cfg.resampling == "systematic"
+        and not pallas_step._INTERPRET
+    )
+    pre = _fused_preamble(
+        ssm, params, key, ys, cfg, encoder_inputs, controls,
+        kernel_rng=kernel_rng,
+    )
     pd = pre["pd"]
     x0, x0_p, alpha0, ell0 = pre["x0"], pre["x0_p"], pre["alpha0"], pre["ell0"]
     sm_scan, eps_scan, u_scan = pre["sm_scan"], pre["eps_scan"], pre["u_scan"]
@@ -387,8 +413,9 @@ def _forward_filter_fused(
         # whole-scan megakernel: ONE pallas_call per direction for all T-1
         # steps (carry in VMEM scratch, per-step operands streamed by
         # t-indexed BlockSpecs) — no lax.scan glue, 2 launches per train step
+        rng_dx = dx if kernel_rng else None
         outs = pallas_step._scan_call(
-            static + (cache,), x0_p, alpha0, sm_scan, eps_scan, u_scan,
+            static + (rng_dx, cache), x0_p, alpha0, sm_scan, eps_scan, u_scan,
             sconst, *weights,
         )
         if cache:

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.fast  # <2 min verification subset (VERDICT r3 #7)
 import scipy.stats
 
 from psvo_tpu import distributions as dist

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+_FAST = pytest.mark.fast  # <2 min verification subset (VERDICT r3 #7)
+
 from psvo_tpu.objectives import make_objective
 from tests import helpers
 from tests.reference_numpy import kalman_filter, rts_smoother
@@ -50,6 +52,7 @@ def _run(lgssm, objective, k, resampling="systematic", m=16, seed=0):
     return jax.jit(obj)(params, jax.random.key(seed), jnp.asarray(lgssm["ys"]))
 
 
+@_FAST
 def test_fivo_logz_matches_kalman(lgssm):
     """Bootstrap FIVO with K=4096 must sit within a fraction of a nat of KF."""
     outs = [np.asarray(_run(lgssm, "fivo", 4096, seed=s).elbo) for s in range(4)]
@@ -60,6 +63,7 @@ def test_fivo_logz_matches_kalman(lgssm):
     assert np.mean(err) < 0.1
 
 
+@_FAST
 def test_iwae_logz_matches_kalman_short_horizon(lgssm):
     """IWAE (no resampling) degenerates in T, so test a short prefix."""
     t_short = 8
@@ -106,6 +110,7 @@ def test_psvo_elbo_equals_forward_bound_and_matches_kalman(lgssm):
     assert np.all(np.abs(err) < 0.6), err
 
 
+@_FAST
 def test_ffbsi_smoothed_means_match_rts(lgssm):
     """PSVO's FFBSi trajectories average to the RTS smoothed means."""
     outs = [_run(lgssm, "psvo", 2048, m=64, seed=s).smoothed for s in range(3)]

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+_FAST = pytest.mark.fast  # <2 min verification subset (VERDICT r3 #7)
+
 from psvo_tpu import networks
 from psvo_tpu.ops import pallas_mlp, pallas_resample, resampling
 
@@ -72,6 +74,7 @@ def _oracle_idx(logw, u):
 
 @pytest.mark.parametrize("method", ["systematic", "multinomial"])
 @pytest.mark.parametrize("k,d", [(128, 3), (256, 2), (1024, 11)])
+@_FAST
 def test_fused_resample_and_gather_matches_oracle(method, k, d):
     """d=11 exercises the D-tiling grid (two D_TILE=8 steps with padding)."""
     rng = np.random.default_rng(5)
@@ -98,6 +101,7 @@ def test_fused_resample_and_gather_matches_oracle(method, k, d):
     )
 
 
+@_FAST
 def test_fused_resample_degenerate_weights():
     """ESS=1 corner: all mass on one particle — the band is a single tile."""
     batch, d, k = 8, 2, 256

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+_FAST = pytest.mark.fast  # <2 min verification subset (VERDICT r3 #7)
+
 from psvo_tpu.config import Config, DataConfig, NetConfig, SMCConfig
 from psvo_tpu.models.ssm import init_ssm
 from psvo_tpu.objectives import make_objective
@@ -58,6 +60,7 @@ def _loss_fn(cfg, fused: bool, monkeypatch):
 
 
 @pytest.mark.parametrize("bound", ["forward", "direct"])
+@_FAST
 def test_ffbsi_kernel_matches_scan(bound, monkeypatch):
     cfg = _cfg(psvo_bound=bound)
     params, loss_f = _loss_fn(cfg, True, monkeypatch)

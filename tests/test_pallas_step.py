@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+_FAST = pytest.mark.fast  # <2 min verification subset (VERDICT r3 #7)
+
 from psvo_tpu.config import Config, DataConfig, NetConfig, SMCConfig
 from psvo_tpu.models.ssm import init_ssm
 from psvo_tpu.ops import pallas_resample, pallas_step
@@ -53,6 +55,7 @@ def _run(cfg, fused: bool, cache=False, key=7):
 
 
 @pytest.mark.parametrize("scan_fused", [True, False])
+@_FAST
 def test_fused_forward_matches_unfused(scan_fused, monkeypatch):
     monkeypatch.setattr(pallas_step, "SCAN_FUSED", scan_fused)
     cfg = _cfg()
@@ -122,6 +125,34 @@ def test_fused_row_block_16():
     g_u = jax.tree_util.tree_leaves(jax.grad(loss_u)(params))
     for a, b in zip(g_f, g_u):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
+def test_save_acts_matches_recompute(monkeypatch):
+    """SAVE_ACTS A/B (ROADMAP #1 activation-saving backward): streaming the
+    forward's hidden stacks into the backward must reproduce the recompute
+    path's values and gradients exactly — the toggle is a pure performance
+    A/B, never a numerics change."""
+    cfg = _cfg(t=5)
+
+    def run(save_acts):
+        monkeypatch.setattr(pallas_step, "SAVE_ACTS", save_acts)
+        run_cfg = dataclasses.replace(cfg, use_pallas_step=True)
+        ssm, params = init_ssm(run_cfg, jax.random.key(0))
+        ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
+
+        def loss(p):
+            fwd = forward_filter(ssm, p, jax.random.key(3), ys, run_cfg.smc)
+            return jnp.mean(fwd.log_z)
+
+        return float(loss(params)), jax.tree_util.tree_leaves(
+            jax.grad(loss)(params)
+        )
+
+    l_save, g_save = run(True)
+    l_rec, g_rec = run(False)
+    np.testing.assert_allclose(l_save, l_rec, rtol=1e-5)
+    for a, b in zip(g_save, g_rec):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
 @pytest.mark.parametrize("use_2q", [True, False])

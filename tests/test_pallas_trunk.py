@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+_FAST = pytest.mark.fast  # <2 min verification subset (VERDICT r3 #7)
+
 from psvo_tpu.config import Config, DataConfig, NetConfig, SMCConfig
 from psvo_tpu.models.ssm import init_ssm
 from psvo_tpu.ops import pallas_resample, pallas_step, pallas_trunk
@@ -80,6 +82,7 @@ def _assert_filter_close(got, want, rtol=2e-4, atol=2e-4):
 
 
 @pytest.mark.parametrize("resampling", ["systematic", "multinomial", "none"])
+@_FAST
 def test_trunk_forward_matches_plain(resampling):
     cfg = _cfg(
         objective="iwae" if resampling == "none" else "fivo",

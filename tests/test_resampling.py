@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # <2 min verification subset (VERDICT r3 #7)
+
 from psvo_tpu.ops import resampling
 
 

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from psvo_tpu.config import Config, DataConfig, SMCConfig
 from psvo_tpu.models.ssm import init_ssm
@@ -297,3 +298,60 @@ def test_encoder_inputs_override():
         ssm, params, jax.random.key(2), ys, cfg.smc, encoder_inputs=ys * 0.5
     )
     assert not np.allclose(np.asarray(f1.log_z), np.asarray(f2.log_z))
+
+
+def test_svo_qb_rnn_backward_proposal():
+    """SVO's RNN-parameterized backward proposal (smc.qb_rnn — SURVEY.md
+    §2-A q_b "MLP/RNN-parameterized"): the GRU summary must change the
+    objective, carry gradients into the GRU parameters, and the vjp/jvp
+    consistency that guards every estimator must hold."""
+    cfg, ssm, params, ys = _setup(objective="svo")
+    cfg_rnn = dataclasses.replace(
+        cfg, smc=dataclasses.replace(cfg.smc, qb_rnn=True)
+    )
+    ssm_rnn, params_rnn = init_ssm(cfg_rnn, jax.random.key(0))
+    assert "qb_rnn" in params_rnn and "qb_rnn" not in params
+
+    # the summary pass has the right shape and consumes the observations
+    hs = ssm_rnn.backward_rnn_summaries(params_rnn, jnp.swapaxes(ys, 0, 1))
+    assert hs.shape == (cfg.data.t_steps, ys.shape[0], ssm_rnn.qb_rnn_dim)
+    ys2 = ys.at[:, -1].add(1.0)  # h_t summarizes y_{t:T}: last obs affects all t
+    hs2 = ssm_rnn.backward_rnn_summaries(params_rnn, jnp.swapaxes(ys2, 0, 1))
+    assert not np.allclose(np.asarray(hs), np.asarray(hs2))
+
+    obj = make_objective(ssm_rnn, cfg_rnn)
+    key = jax.random.key(3)
+
+    def loss(p):
+        return obj(p, key, ys).loss
+
+    val, grads = jax.value_and_grad(loss)(params_rnn)
+    assert np.isfinite(float(val))
+    gru_norm = sum(
+        float(jnp.sum(jnp.abs(g)))
+        for g in jax.tree_util.tree_leaves(grads["qb_rnn"])
+    )
+    assert gru_norm > 0.0  # the GRU is in the gradient path
+
+    # vjp-vs-jvp consistency (the estimator safety net, as in
+    # test_grad_reverse_matches_forward_mode)
+    direction = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.default_rng(0).standard_normal(a.shape), a.dtype
+        ),
+        params_rnn,
+    )
+    _, jvp_val = jax.jvp(loss, (params_rnn,), (direction,))
+    vjp_dot = sum(
+        jnp.vdot(g, d)
+        for g, d in zip(
+            jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(direction)
+        )
+    )
+    np.testing.assert_allclose(float(jvp_val), float(vjp_dot), rtol=2e-3)
+
+    # missing-summary misuse fails loudly
+    with pytest.raises(ValueError, match="qb_rnn"):
+        ssm_rnn.backward_propose(
+            params_rnn, jnp.zeros((3, 4, 2)), jnp.zeros((3, 1, 2))
+        )

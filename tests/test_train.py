@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+_FAST = pytest.mark.fast  # <2 min verification subset (VERDICT r3 #7)
+
 from psvo_tpu.config import Config, DataConfig, SMCConfig, TrainConfig
 from psvo_tpu.data import generate_dataset
 from psvo_tpu.models.ssm import init_ssm
@@ -31,7 +33,10 @@ def _cfg(objective="fivo", k=32, steps=40):
     )
 
 
-@pytest.mark.parametrize("objective", ["fivo", "svo", "psvo"])
+@pytest.mark.parametrize(
+    "objective",
+    [pytest.param("fivo", marks=_FAST), "svo", "psvo"],  # fast: one smoke
+)
 def test_short_training_improves_elbo(objective):
     cfg = _cfg(objective, steps=30 if objective != "fivo" else 40)
     ds = generate_dataset(cfg.data, cfg.seed)
@@ -195,6 +200,7 @@ def test_cli_presets_and_config_roundtrip(capsys):
     assert cfg2.config_hash() == cfg.config_hash()
 
 
+@_FAST
 def test_cli_eval_prints_both_psvo_bounds(capsys):
     """`cli eval` on a PSVO config must surface BOTH bound forms — the
     reported forward (Rao-Blackwellized) `elbo` and the reference-form
