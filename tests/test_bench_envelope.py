@@ -131,6 +131,7 @@ def test_main_all_partial_blob_survives_crash(tmp_path, monkeypatch):
     monkeypatch.setattr(benchmark, "measure", fake_measure)
     monkeypatch.setattr(benchmark, "device_equiv_check", lambda *a, **k: (True, ""))
     monkeypatch.setattr(benchmark, "kernel_rng_equiv_check", lambda *a, **k: (True, ""))
+    monkeypatch.setattr(benchmark, "measure_to_target", lambda *a, **k: {"value": 1.0, "reached": True})
     monkeypatch.setattr(benchmark, "_numpy_baseline", lambda row, cfg: None)
     out = str(tmp_path / "BENCH_ALL.json")
     with pytest.raises(RuntimeError, match="wedged"):
@@ -166,6 +167,7 @@ def test_main_all_complete_blob(tmp_path, monkeypatch):
     monkeypatch.setattr(benchmark, "measure", fake_measure)
     monkeypatch.setattr(benchmark, "device_equiv_check", lambda *a, **k: (True, ""))
     monkeypatch.setattr(benchmark, "kernel_rng_equiv_check", lambda *a, **k: (True, ""))
+    monkeypatch.setattr(benchmark, "measure_to_target", lambda *a, **k: {"value": 1.0, "reached": True})
     monkeypatch.setattr(benchmark, "_numpy_baseline", lambda row, cfg: 0.5)
     monkeypatch.setattr(benchmark, "l96_trained_params", lambda cfg: {"dummy": 1})
     out = str(tmp_path / "BENCH_ALL.json")
@@ -178,4 +180,6 @@ def test_main_all_complete_blob(tmp_path, monkeypatch):
     assert rows["lorenz96_fivo_k8192_trained"]["regime"] == "trained"
     assert rows["lorenz96_fivo_k8192_trained"]["used_params_override"] is True
     assert "fhn_fivo_k1024_b128" in rows
+    assert rows["lorenz63_fivo_k8192"]["regime"] == "windowed-healthy-ess"
+    assert blob["to_target"]["reached"] is True
     assert blob["vs_baseline"] == 4.0  # 2.0 steps/s vs 0.5 baseline
