@@ -268,6 +268,25 @@ def _svo_backward(ssm: SSM, params, key, ys_tm, ctrl_tm, fwd: FilterResult, m: i
     logp = log_g_t
     logq = log_rho_t
 
+    # Fused whole-sweep kernel (ops/pallas_svo.py): the per-step q_b/f/g
+    # MLPs were the last per-step-MLP scan in the system — measured 37% of
+    # the SVO step at M=16, growing with M (v5e 2026-08-20). The kernel's
+    # cost is flat in M (128-lane pad), so it serves M ≥ pallas_svo.MIN_M
+    # (measured crossover; −19% at M=64) and this scan body keeps the
+    # smaller-M presets. Same contract either way: identical ε stream,
+    # identical per-term density floors; anchor terms above and the prior
+    # below stay outside.
+    from psvo_tpu.ops import pallas_svo
+
+    if pallas_svo.usable(ssm, batch, m):
+        x_first, lp_sweep, lq_sweep, xs_rev = pallas_svo.run_svo_sweep(
+            ssm, params, ys_tm, ctrl_tm, eps_scan, x_tilde_t, m
+        )
+        logp = logp + lp_sweep + ssm.prior_log_prob(params, x_first)
+        logq = logq + lq_sweep
+        x_tilde = jnp.concatenate([xs_rev, x_tilde_t[None]], axis=0)
+        return logp - logq, x_tilde
+
     # RNN option (smc.qb_rnn): backward-GRU summaries h_t of y_{t:T},
     # computed for ALL t in one cheap [B, ·] reverse scan outside the
     # M-path math; zero-width placeholder keeps the scan structure static

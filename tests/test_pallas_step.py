@@ -311,3 +311,24 @@ def test_usable_gates():
     cfg_mixed = cfg.with_nets(g=NetConfig(hidden=(24, 24)))
     ssm_mixed, _ = init_ssm(cfg_mixed, jax.random.key(0))
     assert not pallas_step.usable(ssm_mixed, cfg_mixed.smc, 8)
+
+
+def test_kernel_rng_interpret_falls_back_to_streams():
+    """cfg.smc.kernel_rng must be INERT in interpret mode (prng_seed has no
+    CPU lowering — JAX 0.9.0): the fused path silently keeps the stream
+    noise, so a kernel_rng preset run on CPU is bit-identical to the same
+    preset with the flag off."""
+    cfg = _cfg()
+
+    def run(kernel_rng):
+        run_cfg = dataclasses.replace(
+            cfg,
+            use_pallas_step=True,
+            smc=dataclasses.replace(cfg.smc, kernel_rng=kernel_rng),
+        )
+        ssm, params = init_ssm(run_cfg, jax.random.key(0))
+        ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
+        fwd = forward_filter(ssm, params, jax.random.key(5), ys, run_cfg.smc)
+        return np.asarray(fwd.log_z)
+
+    np.testing.assert_array_equal(run(True), run(False))
