@@ -535,6 +535,112 @@ def kernel_rng_equiv_check(
     return ok, detail
 
 
+def trunk_rng_equiv_check(
+    preset_name: str = "lorenz96_fivo_k8192_sharded",
+    k: int = 2048,
+    t_steps: int = 20,
+) -> tuple[bool, str]:
+    """On-device equivalence of the in-kernel-RNG trunk path (TPU only):
+    the extractor kernel (pallas_trunk.generate_trunk_noise) materializes
+    the exact per-tile ε draws and the unfused jnp scan replays them via
+    forward_filter's noise hook — logZ, grad norm, and gradient cosine
+    must agree (the kernel_rng_equiv_check contract; per-leaf allclose is
+    the wrong assertion on device — see that function's calibration note).
+
+    Runs at reduced K/T by default: the kernel code is shape-generic
+    (same tile math at every grid size — K=2048 still spans 2 K-tiles at
+    PD=48), and the full-size UNFUSED replay compile killed the remote
+    compile server (broken pipe after ~20 min, v5e 2026-08-20).
+    """
+    import dataclasses
+
+    from psvo_tpu.config import preset
+    from psvo_tpu.data import generate_dataset
+    from psvo_tpu.models.ssm import init_ssm
+    from psvo_tpu.ops import pallas_trunk
+    from psvo_tpu.ops import resampling as resampling_mod
+    from psvo_tpu.smc import forward_filter
+
+    base = preset(preset_name)
+    cfg = dataclasses.replace(
+        base,
+        smc=dataclasses.replace(base.smc, kernel_rng=True, n_particles=k),
+        data=dataclasses.replace(
+            base.data, t_steps=t_steps, n_train=16, n_test=8
+        ),
+        mesh=dataclasses.replace(base.mesh, data=1, particle=1),
+    )
+    dataset = generate_dataset(cfg.data, cfg.seed)
+    ssm, params = init_ssm(cfg, run_key(cfg))
+    cfg_u = dataclasses.replace(cfg, use_pallas=False, use_pallas_step=False,
+                                use_pallas_resample=False)
+    ssm_u, _ = init_ssm(cfg_u, run_key(cfg))
+    ys = jnp.asarray(dataset.obs_train[: cfg.train.batch_size])
+    key = run_key(cfg, 1)
+
+    def loss_fused(p):
+        return jnp.mean(forward_filter(ssm, p, key, ys, cfg.smc, cache=False).log_z)
+
+    lf, gf = jax.jit(jax.value_and_grad(loss_fused))(params)
+
+    # replay: SAME seed/stream derivation as _fused_preamble("trunk")
+    batch, t_steps, _ = ys.shape
+    k, dx = cfg.smc.n_particles, ssm.dx
+    k0, k_prop, k_res = jax.random.split(key, 3)
+    seeds = jax.random.randint(k_prop, (2,), 0, 1 << 24).astype(jnp.float32)
+    ts = jnp.arange(t_steps - 1, dtype=jnp.float32)
+    seeds_t = jnp.concatenate(
+        [
+            jnp.broadcast_to(seeds[None], (t_steps - 1, 2)),
+            ts[:, None],
+            jnp.zeros((t_steps - 1, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    from psvo_tpu.ops.pallas_resample import _round_up
+
+    pd = _round_up(max(dx + ssm.di, ssm.dy) + 1, 8)
+    eps_pd = pallas_trunk.generate_trunk_noise(seeds_t, batch, pd, k, dx)
+    noise = (
+        jax.random.normal(k0, (batch, dx, k)),
+        eps_pd[:, :, :dx, :],
+        resampling_mod.bulk_positions(
+            k_res, t_steps - 1, batch, k, cfg.smc.resampling
+        ),
+    )
+
+    def loss_ref(p):
+        return jnp.mean(
+            forward_filter(ssm_u, p, key, ys, cfg.smc, cache=False, noise=noise).log_z
+        )
+
+    lu, gu = jax.jit(jax.value_and_grad(loss_ref))(params)
+
+    lf, lu = float(lf), float(lu)
+    fa = np.concatenate(
+        [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(gf)]
+    )
+    ua = np.concatenate(
+        [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(gu)]
+    )
+    nf, nu = float(np.linalg.norm(fa)), float(np.linalg.norm(ua))
+    cos = float(fa @ ua / max(nf * nu, 1e-30))
+    ok = (
+        bool(np.allclose(lf, lu, rtol=1e-3, atol=1e-3))
+        and abs(nf - nu) <= 1e-2 * max(nf, nu) + 1e-3
+        and cos >= 0.99
+    )
+    detail = (
+        f"logZ kernel_rng={lf:.4f} replayed={lu:.4f} "
+        f"grad_norm {nf:.4f} vs {nu:.4f} cosine={cos:.6f}"
+    )
+    print(
+        f"# trunk_rng_equiv {'OK' if ok else 'MISMATCH'}: {detail}",
+        file=sys.stderr,
+    )
+    return ok, detail
+
+
 # ---------------------------------------------------------------------------
 # Trained-regime params for the K=8192 row (VERDICT r3 missing #5)
 # ---------------------------------------------------------------------------
@@ -710,6 +816,11 @@ def main_all(
             blob["kernel_rng_equiv_ok"] = krng_ok
             if not krng_ok:
                 blob["kernel_rng_equiv_detail"] = krng_detail
+        if preset("lorenz96_fivo_k8192_sharded").smc.kernel_rng:
+            trng_ok, trng_detail = trunk_rng_equiv_check()
+            blob["trunk_rng_equiv_ok"] = trng_ok
+            if not trng_ok:
+                blob["trunk_rng_equiv_detail"] = trng_detail
         _flush()
 
     primary_vs = None
@@ -767,6 +878,25 @@ def main_all(
     )
     print(
         f"#row {json.dumps(blob['rows']['lorenz63_fivo_k8192'])}",
+        file=sys.stderr,
+    )
+    _flush()
+
+    # informational row: SVO at M=64 — the fused whole-sweep kernel's
+    # regime (ops/pallas_svo.py is flat in M and gated to M ≥ 32; the
+    # M=16 preset row above keeps the measured-faster scan path)
+    svo64 = dataclasses.replace(
+        preset("lorenz63_svo_k256"),
+        name="lorenz63_svo_k256_m64",
+        smc=dataclasses.replace(
+            preset("lorenz63_svo_k256").smc, n_smoothing_particles=64
+        ),
+    )
+    blob["rows"]["lorenz63_svo_k256_m64"] = _strip(
+        measure(svo64, steps, adaptive=True, regime="fused-sweep")
+    )
+    print(
+        f"#row {json.dumps(blob['rows']['lorenz63_svo_k256_m64'])}",
         file=sys.stderr,
     )
     _flush()

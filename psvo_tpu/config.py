@@ -374,9 +374,16 @@ PRESETS: dict[str, Config] = {
         data=DataConfig(
             datatype="lorenz96", dx=40, dy=40, t_steps=100, obs_scale=0.5
         ),
-        smc=SMCConfig(objective="fivo", n_particles=8192, resampling="systematic"),
+        smc=SMCConfig(
+            objective="fivo", n_particles=8192, resampling="systematic",
+            # trunk-path in-kernel RNG (per-tile hardware draws replace the
+            # ~1 GB/step eps stream): 153.9 -> 152.3 ms measured, and
+            # rbg-vs-threefry root measured equal under it (152.34 vs
+            # 152.46) — so rbg's last preset use is gone
+            kernel_rng=True,
+        ),
         mesh=MeshConfig(data=1, particle=8),
-        train=TrainConfig(batch_size=8, rng_impl="rbg"),
+        train=TrainConfig(batch_size=8),
     ),
     # --- reference capability-parity modes (round 2) ---
     # exogenous control inputs (reference `Di`). control_scale 0.5: FHN's

@@ -57,6 +57,7 @@ from psvo_tpu.ops.pallas_step import (
     _mk_net,
     _propose_weight_bwd_core,
     _propose_weight_core,
+    _rng_eps,
 )
 
 _INTERPRET = False  # flipped by tests to run on CPU
@@ -107,21 +108,102 @@ def usable(ssm, cfg, batch: int) -> bool:
     return True
 
 
+def _seed_scalars(s0, s1, t, b, ktile):
+    """Seed the per-core PRNG from scalar values for grid cell (b, ktile)
+    at scan step t (in-kernel RNG, cfg.smc.kernel_rng — see pallas_step's
+    RNG comment block; Mosaic accepts ≤2 seed values, so (b, ktile, t)
+    fold into the second with odd strides: injective for t < 1000003,
+    deterministic int32 wrap). Shared by the production kernels and the
+    extractor so the combine can never drift."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(
+        s0.astype(jnp.int32),
+        s1.astype(jnp.int32)
+        + (b * jnp.int32(64) + ktile) * jnp.int32(1000003)
+        + t.astype(jnp.int32),
+    )
+
+
+def _rng_seed_tile(seed_ref, b, ktile):
+    """Production read: the [1, 4] SMEM row (seed0, seed1, t, 0)."""
+    _seed_scalars(
+        seed_ref[0, 0], seed_ref[0, 1], seed_ref[0, 2], b, ktile
+    )
+
+
+def _tile_eps(rng_dx, eps_ref, xres_ref, b, ktile):
+    """This tile's ε: streamed from HBM, or drawn from the hardware PRNG
+    (the eps slot then carries the [1, 4] f32 (seed0, seed1, t, 0) row)."""
+    if rng_dx is None:
+        return eps_ref[:]
+    _rng_seed_tile(eps_ref, b, ktile)
+    rb, pd, kt = xres_ref.shape
+    return _rng_eps((rb, pd, kt), rng_dx)
+
+
+def generate_trunk_noise(seeds_t, batch: int, pd: int, k: int, dx: int):
+    """TPU-only diagnostic: materialize the exact ε the kernel_rng trunk
+    kernels draw — same seeding helper, same tile blocking, same draw
+    order — so the unfused jnp path can replay them (forward_filter's
+    noise hook) and the fused path be equivalence-checked on-device
+    (benchmark.trunk_rng_equiv_check). seeds_t [T, 4] f32 rows
+    (seed0, seed1, t, 0). Returns eps [T, B, PD, K] (slice [:, :, :dx])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_len = seeds_t.shape[0]
+    kt = _tile(k, pd)
+    rb = ROW_BLOCK
+    # t-blocked specs need their last two dims (8, ·)-divisible-or-equal;
+    # pad the [T, 4] rows into [T, 8, 8] blocks (row 0 carries the values —
+    # _rng_seed_tile's [0, i] reads hold on the [8, 8] slice)
+    seeds_blk = jnp.zeros((t_len, 8, 8), jnp.float32).at[:, 0, :4].set(seeds_t)
+
+    def kern(seed_ref, eps_ref):
+        _seed_scalars(
+            seed_ref[0, 0, 0], seed_ref[0, 0, 1], seed_ref[0, 0, 2],
+            pl.program_id(0), pl.program_id(2),
+        )
+        eps_ref[:] = _rng_eps((rb, pd, kt), dx)[None]
+
+    return pl.pallas_call(
+        kern,
+        grid=(batch // rb, t_len, k // kt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, 8), lambda b, t, s: (t, 0, 0), memory_space=pltpu.SMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rb, pd, kt),
+            lambda b, t, s: (t, b, 0, s),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_len, batch, pd, k), jnp.float32),
+        compiler_params=_vmem_params(),
+        interpret=_INTERPRET,
+    )(seeds_blk)
+
+
 def _tr_fwd_kernel(
-    n_mid,
+    n_mid, rng_dx,
     xres_ref, eps_ref, sm_ref, sconst_ref, wt1s_ref, wtms_ref, wt3s_ref,
     xnew_ref, alpha_ref,
 ):
+    from jax.experimental import pallas as pl
+
     net = _mk_net(wt1s_ref, wtms_ref, wt3s_ref, n_mid)
+    eps = _tile_eps(rng_dx, eps_ref, xres_ref, pl.program_id(0), pl.program_id(1))
     x_new, alpha = _propose_weight_core(
-        net, xres_ref[:], eps_ref[:], sm_ref[:], sconst_ref[:]
+        net, xres_ref[:], eps, sm_ref[:], sconst_ref[:]
     )
     xnew_ref[:] = x_new
     alpha_ref[:] = alpha
 
 
 def _tr_bwd_kernel(
-    n_mid,
+    n_mid, rng_dx,
     # residuals (wt* transposed for recompute dots, w* for _dense_t)
     xres_ref, xnew_ref, eps_ref, sm_ref, sconst_ref,
     wt1s_ref, wtms_ref, wt3s_ref, w1s_ref, wms_ref, w3s_ref,
@@ -136,9 +218,11 @@ def _tr_bwd_kernel(
     netw = _mk_net(w1s_ref, wms_ref, w3s_ref, n_mid)
     pd = xnew_ref.shape[-2]
     b, kt = pl.program_id(0), pl.program_id(1)
+    # regenerated ε is exact: same (seed, b, ktile, t), same two draws
+    eps = _tile_eps(rng_dx, eps_ref, xres_ref, b, kt)
 
     d_xres, d_absc, sm_sums, dsfg, dws = _propose_weight_bwd_core(
-        net, netw, xres_ref[:], xnew_ref[:], eps_ref[:],
+        net, netw, xres_ref[:], xnew_ref[:], eps,
         sm_ref[:], sconst_ref[:], dxnew_ref[:], dalpha_ref[:], None,
     )
     dxres_ref[:] = d_xres
@@ -172,10 +256,14 @@ def _tile(k: int, pd: int) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def trunk_call(static, x_res, eps, sm, sconst, wt1s, wtms, wt3s, w1s, wms, w3s):
-    """static = (pd, n_mid). x_res [B, PD, K] (ones-channel row pd−1 pinned,
-    optional control rows dx:dx+Di), eps [B, Dx, K] unpadded, sm [B, PD, 128]
-    packed per-step channels, sconst [PD, 128]; weights in both orientations
-    (pallas_step.prepare). Returns (x_new [B, PD, K], alpha [B, K]).
+    """static = (pd, n_mid, rng_dx). x_res [B, PD, K] (ones-channel row pd−1
+    pinned, optional control rows dx:dx+Di), eps [B, Dx, K] unpadded — OR,
+    with rng_dx set (cfg.smc.kernel_rng), the [1, 4] f32 (seed0, seed1, t,
+    0) row: both kernels then draw this step's ε from the hardware PRNG
+    per (b, ktile) tile instead of streaming it (the backward regenerates
+    it exactly) — sm [B, PD, 128] packed per-step channels, sconst
+    [PD, 128]; weights in both orientations (pallas_step.prepare).
+    Returns (x_new [B, PD, K], alpha [B, K]).
 
     Gradient semantics: d/d eps = 0 (raw RNG); d/d x_res is the exact trunk
     transpose (the resample VJP outside scatters it through the ancestor
@@ -186,13 +274,29 @@ def trunk_call(static, x_res, eps, sm, sconst, wt1s, wtms, wt3s, w1s, wms, w3s):
     return out
 
 
+def _eps_spec(eps, rng_dx, kt):
+    """BlockSpec for the eps slot: a K-tiled VMEM stream, or the SMEM
+    seed row under in-kernel RNG."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if rng_dx is None:
+        return pl.BlockSpec(
+            (ROW_BLOCK, eps.shape[1], kt),
+            lambda b, t: (b, 0, t),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (1, 4), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+    )
+
+
 def _tr_fwd(static, x_res, eps, sm, sconst, wt1s, wtms, wt3s, w1s, wms, w3s):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pd, n_mid = static
+    pd, n_mid, rng_dx = static
     batch, _, k = x_res.shape
-    dx = eps.shape[1]
     kt = _tile(k, pd)
     rb = ROW_BLOCK
 
@@ -201,7 +305,7 @@ def _tr_fwd(static, x_res, eps, sm, sconst, wt1s, wtms, wt3s, w1s, wms, w3s):
 
     in_specs = [
         vm((rb, pd, kt), lambda b, t: (b, 0, t)),       # x_res
-        vm((rb, dx, kt), lambda b, t: (b, 0, t)),       # eps
+        _eps_spec(eps, rng_dx, kt),
         vm((rb, pd, _LANES), lambda b, t: (b, 0, 0)),   # sm
         vm(sconst.shape, lambda b, t: (0, 0)),
         vm(wt1s.shape, lambda b, t: (0, 0, 0)),
@@ -213,7 +317,7 @@ def _tr_fwd(static, x_res, eps, sm, sconst, wt1s, wtms, wt3s, w1s, wms, w3s):
         vm((rb, kt), lambda b, t: (b, t)),              # alpha
     ]
     x_new, alpha = pl.pallas_call(
-        functools.partial(_tr_fwd_kernel, n_mid),
+        functools.partial(_tr_fwd_kernel, n_mid, rng_dx),
         grid=(batch // rb, k // kt),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -232,11 +336,10 @@ def _tr_bwd(static, res, cots):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pd, n_mid = static
+    pd, n_mid, rng_dx = static
     (x_res, x_new, eps, sm, sconst, wt1s, wtms, wt3s, w1s, wms, w3s) = res
     d_xnew, d_alpha = cots
     batch, _, k = x_res.shape
-    dx = eps.shape[1]
     ha = wt1s.shape[1]
     n_wm = wms.shape[0] // 3
     kt = _tile(k, pd)
@@ -248,7 +351,7 @@ def _tr_bwd(static, res, cots):
     in_specs = [
         vm((rb, pd, kt), lambda b, t: (b, 0, t)),       # x_res
         vm((rb, pd, kt), lambda b, t: (b, 0, t)),       # x_new
-        vm((rb, dx, kt), lambda b, t: (b, 0, t)),       # eps
+        _eps_spec(eps, rng_dx, kt),
         vm((rb, pd, _LANES), lambda b, t: (b, 0, 0)),   # sm
         vm(sconst.shape, lambda b, t: (0, 0)),
         vm(wt1s.shape, lambda b, t: (0, 0, 0)),
@@ -277,7 +380,7 @@ def _tr_bwd(static, res, cots):
         jax.ShapeDtypeStruct((3, ha, pd), jnp.float32),
     ]
     d_xres, d_sm, d_sconst, d_w1s, d_wms, d_w3s = pl.pallas_call(
-        functools.partial(_tr_bwd_kernel, n_mid),
+        functools.partial(_tr_bwd_kernel, n_mid, rng_dx),
         grid=(batch // rb, k // kt),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -259,7 +259,7 @@ def _q2_tm(ssm: SSM, params, cfg: SMCConfig, enc_tm):
 
 
 def _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls,
-                    kernel_rng: bool = False):
+                    kernel_rng: str = "none"):
     """Shared preamble of the megakernel (_forward_filter_fused) and the
     K-tiled trunk-kernel (_forward_filter_trunk) paths: augmented/stacked
     weights, fusion coefficients, bulk RNG streams, the t=0 proposal, the
@@ -289,7 +289,7 @@ def _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls,
 
     k0, k_prop, k_res = jax.random.split(key, 3)
     eps0 = jax.random.normal(k0, (batch, dx, k))
-    if kernel_rng:
+    if kernel_rng == "scan":
         # cfg.kernel_rng megakernel path: no bulk noise streams — the scan
         # kernels draw their own ε/u from the hardware PRNG (pallas_step
         # in-kernel RNG comment block). The [1, 2] f32 seed rides the eps
@@ -300,7 +300,26 @@ def _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls,
         ).astype(jnp.float32)
         u_scan = jnp.zeros((t_steps - 1, batch, 1))
     else:
-        eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, dx, k))
+        if kernel_rng == "trunk":
+            # cfg.kernel_rng trunk path: the per-STEP kernel draws its own ε
+            # per (b, ktile) tile; the eps slot carries [T−1, 1, 4] f32
+            # (seed0, seed1, t, 0) rows sliced by the XLA scan (t < 2²⁴ so
+            # the float carry is exact). u stays a REAL stream — resampling
+            # runs outside this kernel.
+            seeds = jax.random.randint(k_prop, (2,), 0, 1 << 24).astype(
+                jnp.float32
+            )
+            ts = jnp.arange(t_steps - 1, dtype=jnp.float32)
+            eps_scan = jnp.concatenate(
+                [
+                    jnp.broadcast_to(seeds[None], (t_steps - 1, 2)),
+                    ts[:, None],
+                    jnp.zeros((t_steps - 1, 1), jnp.float32),
+                ],
+                axis=1,
+            )[:, None, :]  # [T-1, 1, 4]
+        else:
+            eps_scan = jax.random.normal(k_prop, (t_steps - 1, batch, dx, k))
         if cfg.resampling != "none":
             u_scan = resampling.bulk_positions(
                 k_res, t_steps - 1, batch, k, cfg.resampling
@@ -399,7 +418,7 @@ def _forward_filter_fused(
     )
     pre = _fused_preamble(
         ssm, params, key, ys, cfg, encoder_inputs, controls,
-        kernel_rng=kernel_rng,
+        kernel_rng="scan" if kernel_rng else "none",
     )
     pd = pre["pd"]
     x0, x0_p, alpha0, ell0 = pre["x0"], pre["x0_p"], pre["alpha0"], pre["ell0"]
@@ -506,11 +525,20 @@ def _forward_filter_trunk(
     dx = ssm.dx
     resample_on = cfg.resampling != "none"
 
-    pre = _fused_preamble(ssm, params, key, ys, cfg, encoder_inputs, controls)
+    from psvo_tpu.ops import pallas_trunk as _pt
+
+    # in-kernel RNG for the per-step trunk kernel: kills the eps stream
+    # ([T−1, B, Dx, K] — ~1 GB/step at the K=8192 L96 row) and its bulk
+    # generation; u stays a stream (resampling runs outside the kernel)
+    kernel_rng = cfg.kernel_rng and not _pt._INTERPRET
+    pre = _fused_preamble(
+        ssm, params, key, ys, cfg, encoder_inputs, controls,
+        kernel_rng="trunk" if kernel_rng else "none",
+    )
     pd = pre["pd"]
     x0, x0_p, alpha0, ell0 = pre["x0"], pre["x0_p"], pre["alpha0"], pre["ell0"]
 
-    static = (pd, pre["n_mid"])
+    static = (pd, pre["n_mid"], dx if kernel_rng else None)
     weights = pre["weights"]
     sconst = pre["sconst"]
 

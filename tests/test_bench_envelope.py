@@ -132,6 +132,7 @@ def test_main_all_partial_blob_survives_crash(tmp_path, monkeypatch):
     monkeypatch.setattr(benchmark, "device_equiv_check", lambda *a, **k: (True, ""))
     monkeypatch.setattr(benchmark, "kernel_rng_equiv_check", lambda *a, **k: (True, ""))
     monkeypatch.setattr(benchmark, "measure_to_target", lambda *a, **k: {"value": 1.0, "reached": True})
+    monkeypatch.setattr(benchmark, "trunk_rng_equiv_check", lambda *a, **k: (True, ""))
     monkeypatch.setattr(benchmark, "_numpy_baseline", lambda row, cfg: None)
     out = str(tmp_path / "BENCH_ALL.json")
     with pytest.raises(RuntimeError, match="wedged"):
@@ -168,6 +169,7 @@ def test_main_all_complete_blob(tmp_path, monkeypatch):
     monkeypatch.setattr(benchmark, "device_equiv_check", lambda *a, **k: (True, ""))
     monkeypatch.setattr(benchmark, "kernel_rng_equiv_check", lambda *a, **k: (True, ""))
     monkeypatch.setattr(benchmark, "measure_to_target", lambda *a, **k: {"value": 1.0, "reached": True})
+    monkeypatch.setattr(benchmark, "trunk_rng_equiv_check", lambda *a, **k: (True, ""))
     monkeypatch.setattr(benchmark, "_numpy_baseline", lambda row, cfg: 0.5)
     monkeypatch.setattr(benchmark, "l96_trained_params", lambda cfg: {"dummy": 1})
     out = str(tmp_path / "BENCH_ALL.json")
