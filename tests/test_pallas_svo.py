@@ -50,9 +50,18 @@ def _cfg(di=0, m=8, hidden=(16,), dx=2, dy=2):
 
 
 def _setup(cfg, fused: bool, monkeypatch):
-    monkeypatch.setattr(pallas_svo, "ENABLE", fused)
+    """Build a runner whose path choice BINDS AT CALL TIME.
+
+    pallas_svo.ENABLE is read when the objective traces, not when it is
+    built — a monkeypatch at setup time would be overridden by the next
+    _setup call before anything traced, silently comparing fused against
+    fused (this exact bug shipped in this file's first version; caught in
+    review — the on-device A/B, which set the flag immediately before each
+    call, was always genuine)."""
+    del monkeypatch  # path choice is per-call, below
     ssm, params = init_ssm(cfg, jax.random.key(0))
-    assert pallas_svo.usable(ssm, 8, cfg.smc.n_smoothing_particles) == fused or not fused
+    if fused:
+        assert pallas_svo.usable(ssm, 8, cfg.smc.n_smoothing_particles)
     obj = make_objective(ssm, cfg)
     ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
     ctrl = (
@@ -62,7 +71,12 @@ def _setup(cfg, fused: bool, monkeypatch):
     )
 
     def run(p):
-        return obj(p, jax.random.key(3), ys, None, ctrl)
+        old = pallas_svo.ENABLE
+        pallas_svo.ENABLE = fused
+        try:
+            return obj(p, jax.random.key(3), ys, None, ctrl)
+        finally:
+            pallas_svo.ENABLE = old
 
     return params, run
 
