@@ -125,7 +125,21 @@ def device_preflight(
         if timed_out:
             err = f"device roundtrip exceeded {t:.0f}s (relay wedged?)"
         elif "PREFLIGHT_OK" in out:
-            platform = out.split("PREFLIGHT_OK", 1)[1].split()[0]
+            # a truncated pipe flush can leave the marker with no trailing
+            # token — treat that as a (retryable) failed probe, not an
+            # IndexError that would crash past the driver's JSON contract
+            tokens = out.split("PREFLIGHT_OK", 1)[1].split()
+            if not tokens:
+                err = "probe output truncated after PREFLIGHT_OK"
+                print(
+                    f"# preflight attempt {attempt + 1}/{len(timeouts)} "
+                    f"failed: {err}",
+                    file=sys.stderr,
+                )
+                if attempt + 1 < len(timeouts):
+                    time.sleep(5)
+                continue
+            platform = tokens[0]
             if platform == "cpu" and not allow_cpu:
                 # not retryable: the backend initialized, just on the wrong
                 # device — a retry would measure CPU again
@@ -500,16 +514,22 @@ def kernel_rng_equiv_check(
 
     lu, gu = jax.jit(jax.value_and_grad(loss_ref))(params)
 
-    # Tolerance calibration (v5e 2026-08-20): even the NON-rng fused kernel
-    # vs the unfused scan WITH IDENTICAL streams shows logZ diffs ~0.05 and
-    # large relative errors on a few gradient entries at the primary config
-    # — occasional resample-index flips where a u lands within f32 rounding
-    # of a CDF boundary (tri-matmul cumsum vs jnp cumsum), whose downstream
-    # trajectories then diverge. Per-leaf allclose is therefore the wrong
-    # assertion for ANY device-level fused-vs-unfused comparison at K=1024
-    # ·T=100; the meaningful invariants are logZ, the gradient norm, and
-    # the gradient DIRECTION (cosine) — an ε-regeneration bug would wreck
-    # all three, an index flip none of them.
+    return _grads_agree(lf, lu, gf, gu, "kernel_rng_equiv")
+
+
+def _grads_agree(lf, lu, gf, gu, label: str) -> tuple[bool, str]:
+    """Shared device-level comparison for the RNG replay checks.
+
+    Tolerance calibration (v5e 2026-08-20): even the NON-rng fused kernel
+    vs the unfused scan WITH IDENTICAL streams shows logZ diffs ~0.05 and
+    large relative errors on a few gradient entries at the primary config
+    — occasional resample-index flips where a u lands within f32 rounding
+    of a CDF boundary (tri-matmul cumsum vs jnp cumsum), whose downstream
+    trajectories then diverge. Per-leaf allclose is therefore the wrong
+    assertion for ANY device-level fused-vs-unfused comparison at scale;
+    the meaningful invariants are logZ, the gradient norm, and the
+    gradient DIRECTION (cosine) — an ε-regeneration bug would wreck all
+    three, an index flip none of them."""
     lf, lu = float(lf), float(lu)
     fa = np.concatenate(
         [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(gf)]
@@ -528,10 +548,7 @@ def kernel_rng_equiv_check(
         f"logZ kernel_rng={lf:.4f} replayed={lu:.4f} "
         f"grad_norm {nf:.4f} vs {nu:.4f} cosine={cos:.6f}"
     )
-    print(
-        f"# kernel_rng_equiv {'OK' if ok else 'MISMATCH'}: {detail}",
-        file=sys.stderr,
-    )
+    print(f"# {label} {'OK' if ok else 'MISMATCH'}: {detail}", file=sys.stderr)
     return ok, detail
 
 
@@ -615,30 +632,7 @@ def trunk_rng_equiv_check(
         )
 
     lu, gu = jax.jit(jax.value_and_grad(loss_ref))(params)
-
-    lf, lu = float(lf), float(lu)
-    fa = np.concatenate(
-        [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(gf)]
-    )
-    ua = np.concatenate(
-        [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(gu)]
-    )
-    nf, nu = float(np.linalg.norm(fa)), float(np.linalg.norm(ua))
-    cos = float(fa @ ua / max(nf * nu, 1e-30))
-    ok = (
-        bool(np.allclose(lf, lu, rtol=1e-3, atol=1e-3))
-        and abs(nf - nu) <= 1e-2 * max(nf, nu) + 1e-3
-        and cos >= 0.99
-    )
-    detail = (
-        f"logZ kernel_rng={lf:.4f} replayed={lu:.4f} "
-        f"grad_norm {nf:.4f} vs {nu:.4f} cosine={cos:.6f}"
-    )
-    print(
-        f"# trunk_rng_equiv {'OK' if ok else 'MISMATCH'}: {detail}",
-        file=sys.stderr,
-    )
-    return ok, detail
+    return _grads_agree(lf, lu, gf, gu, "trunk_rng_equiv")
 
 
 # ---------------------------------------------------------------------------
@@ -745,7 +739,19 @@ def main(
     if equiv:
         equiv_ok, equiv_detail = device_equiv_check(preset_name)
         if cfg.smc.kernel_rng:
-            krng_ok, krng_detail = kernel_rng_equiv_check(preset_name)
+            # the RNG check must match the PATH the preset runs: the
+            # megakernel's scan-mode streams for its shape class, the
+            # K-tiled trunk kernel's per-tile streams otherwise (their
+            # seed folds differ — replaying the wrong one would report a
+            # spurious mismatch, and the trunk check also reduces K/T so
+            # the unfused replay compile stays tractable)
+            if (
+                max(cfg.data.dx + cfg.data.di, cfg.data.dy) <= 7
+                and cfg.smc.n_particles <= 2048
+            ):
+                krng_ok, krng_detail = kernel_rng_equiv_check(preset_name)
+            else:
+                krng_ok, krng_detail = trunk_rng_equiv_check(preset_name)
     row = measure(cfg, steps)
     base_sps = _numpy_baseline(row, cfg)
     out = _strip(row)
@@ -912,6 +918,7 @@ def main_all(
     )
     blob["rows"]["fhn_fivo_k1024_b128"] = _strip(measure(b128, steps, adaptive=True))
     print(f"#row {json.dumps(blob['rows']['fhn_fivo_k1024_b128'])}", file=sys.stderr)
+    _flush()  # crash-safety covers EVERY row — to_target trains for a while
 
     # wall-clock-to-target-ELBO IN the per-round blob (VERDICT r3 #4);
     # compiles are warm by now so this is ~15 s of training
@@ -946,74 +953,63 @@ def measure_to_target(
 ) -> dict:
     """The second half of the BASELINE.json metric — wall-clock (and steps)
     to reach a fixed held-out ELBO on the primary config, from scratch at a
-    fixed seed (VERDICT r3 missing #4; last measured in round 2). Reports
-    both total seconds (incl. compile) and steady-state seconds
-    (post-first-step, what the reference-CPU ratio should be taken against
-    — the reference had no compile stage and the compile cache amortizes
-    ours across runs). Used by `bench --to-target` and folded into the
-    `bench --all` blob."""
+    fixed seed (VERDICT r3 missing #4; last measured in round 2).
+
+    Times THE CANONICAL Trainer loop, driven in eval_every-sized chunks
+    with a target-stop between chunks — an earlier hand-rolled loop here
+    walked a different key chain and (before review) fed each jitted call
+    one repeated minibatch; the repeat was a real comparability bug, and
+    the rewritten distinct-batch loop then diverged at seed 0 while the
+    real Trainer converges (test ELBO −15.3 by step 600, verified on
+    device) — reimplementing training semantics for a metric about
+    training semantics was the mistake. Reports total seconds (incl.
+    compile) and steady seconds (excluding the first chunk, which carries
+    compile; the persistent cache amortizes it across runs)."""
     import dataclasses
 
     from psvo_tpu.config import preset
     from psvo_tpu.data import generate_dataset
     from psvo_tpu.models.ssm import init_ssm
-    from psvo_tpu.train import make_eval_step, make_optimizer, make_train_step
+    from psvo_tpu.train import Trainer
 
     cfg = preset(preset_name)
     spc = max(int(cfg.train.steps_per_call), 1)
     if eval_every % spc:
         eval_every = -(-eval_every // spc) * spc
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train,
+            eval_every=eval_every,
+            save_every=max_steps,
+            n_steps=max_steps,
+            patience=10**6,  # the target-stop below is the only stop
+            # chunked driving would otherwise snap params back to the best
+            # snapshot at every chunk boundary (Trainer.run's keep_best
+            # epilogue) — a different trajectory than one long run
+            keep_best=False,
+        ),
+    )
 
     dataset = generate_dataset(cfg.data, cfg.seed)
     ssm, params = init_ssm(cfg, run_key(cfg))
-    optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(params)
-    train_step = make_train_step(ssm, cfg, optimizer)
-    eval_step = make_eval_step(ssm, cfg)
-
-    obs_train = jnp.asarray(dataset.obs_train)
-    obs_test = jnp.asarray(dataset.obs_test)
-    n_train = obs_train.shape[0]
-    bsz = min(cfg.train.batch_size, n_train)
-    rng = np.random.default_rng(cfg.seed + 2)
-    key = run_key(cfg, 1)
-
-    def next_batch():
-        idx = jnp.asarray(rng.choice(n_train, size=bsz, replace=False))
-        return jnp.take(obs_train, idx, axis=0)
+    trainer = Trainer(cfg, ssm, params)
 
     t0 = time.perf_counter()
     t_first = None
-    step = 0
     reached = None
-    ki = 0
-
-    def _key():
-        nonlocal ki
-        k = jax.random.fold_in(key, ki)
-        ki += 1
-        return jax.random.split(k, spc) if spc > 1 else k
-
-    while step < max_steps:
-        batch = next_batch()
-        if spc > 1:
-            batch = jnp.stack([batch] * spc)
-        params, opt_state, m = train_step(params, opt_state, _key(), batch)
-        step += spc
+    while trainer.state.step < max_steps:
+        trainer.run(
+            dataset.obs_train,
+            dataset.obs_test,
+            n_steps=min(trainer.state.step + eval_every, max_steps),
+        )
         if t_first is None:
-            float(m["loss"])  # force compile + first execution
             t_first = time.perf_counter()
-        if step % eval_every == 0:
-            ev = eval_step(params, jax.random.fold_in(key, 10_000 + step), obs_test)
-            elbo = float(ev["elbo"])
-            print(
-                f"# to-target step {step}: test_elbo {elbo:.2f} "
-                f"({time.perf_counter()-t0:.1f}s)",
-                file=sys.stderr,
-            )
-            if elbo >= target_elbo:
-                reached = elbo
-                break
+        elbo = trainer.history[-1]["test_elbo"]
+        if elbo >= target_elbo:
+            reached = elbo
+            break
 
     t_end = time.perf_counter()
     return {
@@ -1021,7 +1017,7 @@ def measure_to_target(
         "value": round(t_end - t0, 2),
         "unit": "s",
         "seconds_steady": round(t_end - (t_first or t0), 2),
-        "steps": step,
+        "steps": trainer.state.step,
         "test_elbo": reached,
         "reached": reached is not None,
         "eval_every": eval_every,

@@ -1416,67 +1416,88 @@ def _pad_to(x, rows, axis):
     return jnp.pad(x, cfg)
 
 
+def aug_net(params_net, hidden, pdin: int, pdo: int):
+    """Augmented ones-channel weight tensors for ONE trunk, BOTH
+    orientations (module docstring): the first layer's bias rides column
+    OC = pdin−1 and an e_OC ones-unit row keeps the ones-channel alive;
+    every mid layer carries its bias in the ones-unit column; the output
+    layer's rows pad to pdo with zeros (so the OC row of the output stays
+    0). Differentiable — pure jnp ops on the param tree, so gradients
+    reported on these tensors slice back to the true parameters and
+    cotangents on the constant entries vanish automatically. Shared by
+    `prepare` (stacked q1/f/g for the filtering kernels) and the SVO
+    sweep kernel (ops/pallas_svo.py, per-net).
+
+    Returns (wt1 [HA, PDIN], wtm [max(n_mid,1), HA, HA], wt3 [PDO, HA],
+    w1, wm, w3 — the swapped-axes orientations for the backward dots)."""
+    hid = hidden[0]
+    ha = hid + 8
+    n_mid = len(hidden) - 1
+    oc = pdin - 1
+
+    w1, b1 = params_net["layers"][0]
+    top = jnp.concatenate(
+        [
+            _pad_to(w1.T, oc, 1),  # input cols padded up to OC
+            b1[:, None],           # col OC: the bias via the ones-channel
+        ],
+        axis=1,
+    )  # [H, PDIN]
+    ones_row = jnp.zeros((1, pdin), jnp.float32).at[0, oc].set(1.0)
+    wt1 = jnp.concatenate(
+        [top, ones_row, jnp.zeros((7, pdin), jnp.float32)], axis=0
+    )
+
+    wtms = []
+    for j in range(n_mid):
+        wm, bm = params_net["layers"][j + 1]
+        topm = jnp.concatenate(
+            [wm.T, bm[:, None], jnp.zeros((hid, 7), jnp.float32)], axis=1
+        )  # [H, HA]
+        ones_m = jnp.zeros((1, ha), jnp.float32).at[0, hid].set(1.0)
+        wtms.append(
+            jnp.concatenate(
+                [topm, ones_m, jnp.zeros((7, ha), jnp.float32)], axis=0
+            )
+        )
+    wtm = jnp.stack(wtms) if n_mid else jnp.zeros((1, ha, ha), jnp.float32)
+
+    w3, b3 = params_net["mean"]
+    dout = w3.shape[1]
+    top3 = jnp.concatenate(
+        [w3.T, b3[:, None], jnp.zeros((dout, 7), jnp.float32)], axis=1
+    )  # [dout, HA]
+    wt3 = _pad_to(top3, pdo, 0)
+
+    return (
+        wt1, wtm, wt3,
+        jnp.swapaxes(wt1, -1, -2),
+        jnp.swapaxes(wtm, -1, -2),
+        jnp.swapaxes(wt3, -1, -2),
+    )
+
+
 def prepare(ssm, params, cfg):
     """Build the augmented stacked weight tensors + per-call constants.
 
-    Ones-channel augmentation (module docstring): every weight matrix grows
-    one ones-unit row/column carrying the biases, so kernels run pure
-    matmul chains. Differentiable: every piece is a jnp op on `params`, so
-    grads flow back through the pads/concats (cotangents on the constant
-    entries vanish automatically).
+    Ones-channel augmentation (module docstring / `aug_net`): every weight
+    matrix grows one ones-unit row/column carrying the biases, so kernels
+    run pure matmul chains.
     """
     from psvo_tpu import networks
 
     dx, dy = ssm.dx, ssm.dy
     # rows: [x (dx) | u_t (di, constant over K) | zero pad | ones-channel]
     pd = _round_up(max(dx + ssm.di, dy) + 1, 8)  # +1: the ones-channel row
-    oc = pd - 1  # ones-channel row index
     hidden = ssm.nets["q1"].hidden
-    hid = hidden[0]
-    ha = hid + 8  # augmented hidden: unit `hid` is the ones-unit
+    ha = hidden[0] + 8  # augmented hidden: unit `hid` is the ones-unit
     n_mid = len(hidden) - 1
 
-    def aug_w1t(name):
-        """[HA, PD]: rows 0:H = W1ᵀ (cols padded, col OC = b1); row H = e_OC."""
-        w1, b1 = params[name]["layers"][0]
-        top = jnp.concatenate(
-            [
-                _pad_to(w1.T, oc, 1),  # input cols padded up to OC
-                b1[:, None],           # col OC: the bias via the ones-channel
-            ],
-            axis=1,
-        )  # [H, PD]
-        ones_row = jnp.zeros((1, pd), jnp.float32).at[0, oc].set(1.0)
-        return jnp.concatenate(
-            [top, ones_row, jnp.zeros((7, pd), jnp.float32)], axis=0
-        )
-
-    def aug_wmt(name, j):
-        """[HA, HA]: [0:H,0:H] = Wmᵀ, col H = bm; row H = e_H (carries 1)."""
-        wm, bm = params[name]["layers"][j + 1]
-        top = jnp.concatenate(
-            [wm.T, bm[:, None], jnp.zeros((hid, 7), jnp.float32)], axis=1
-        )  # [H, HA]
-        ones_row = jnp.zeros((1, ha), jnp.float32).at[0, hid].set(1.0)
-        return jnp.concatenate(
-            [top, ones_row, jnp.zeros((7, ha), jnp.float32)], axis=0
-        )
-
-    def aug_w3t(name):
-        """[PD, HA]: rows 0:dout = [W3ᵀ | b3 | 0]; output row OC stays 0."""
-        w3, b3 = params[name]["mean"]
-        dout = w3.shape[1]
-        top = jnp.concatenate(
-            [w3.T, b3[:, None], jnp.zeros((dout, 7), jnp.float32)], axis=1
-        )  # [dout, HA]
-        return _pad_to(top, pd, 0)
-
-    wt1s = jnp.stack([aug_w1t(n) for n in ("q1", "f", "g")])
-    wt3s = jnp.stack([aug_w3t(n) for n in ("q1", "f", "g")])
+    per_net = [aug_net(params[n], hidden, pd, pd) for n in ("q1", "f", "g")]
+    wt1s = jnp.stack([p[0] for p in per_net])
+    wt3s = jnp.stack([p[2] for p in per_net])
     if n_mid:
-        wtms = jnp.stack(
-            [aug_wmt(n, j) for n in ("q1", "f", "g") for j in range(n_mid)]
-        )
+        wtms = jnp.concatenate([p[1] for p in per_net], axis=0)
     else:
         wtms = jnp.zeros((3, ha, ha), jnp.float32)
     w1s = jnp.swapaxes(wt1s, -1, -2)

@@ -73,6 +73,7 @@ from psvo_tpu.ops.pallas_step import (
     _pad_sub,
     _trunk,
     _trunk_bwd,
+    aug_net,
 )
 
 _INTERPRET = False  # flipped by tests to run on CPU
@@ -556,61 +557,6 @@ svo_scan.defvjp(_scan_fwd, _scan_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _aug_net(params_net, hidden, din: int, pdo: int):
-    """Augmented weight tensors for one trunk in BOTH orientations.
-
-    Mirrors pallas_step.prepare's ones-channel folding for a single net:
-    wt1 [HA, PDIN] (input cols padded, bias col at the ones-channel row,
-    ones-unit row), wtm [n_wm, HA, HA], wt3 [PDO, HA]. Differentiable — a
-    pure jnp function of the param tree."""
-    hid = hidden[0]
-    ha = hid + 8
-    n_mid = len(hidden) - 1
-    pdin = _round_up(din + 1, 8)
-    oc = pdin - 1
-
-    w1, b1 = params_net["layers"][0]
-    top = jnp.concatenate(
-        [
-            jnp.pad(w1.T, ((0, 0), (0, oc - w1.shape[0]))),
-            b1[:, None],
-        ],
-        axis=1,
-    )  # [H, PDIN]
-    ones_row = jnp.zeros((1, pdin), jnp.float32).at[0, oc].set(1.0)
-    wt1 = jnp.concatenate(
-        [top, ones_row, jnp.zeros((7, pdin), jnp.float32)], axis=0
-    )
-
-    wtms = []
-    for j in range(n_mid):
-        wm, bm = params_net["layers"][j + 1]
-        topm = jnp.concatenate(
-            [wm.T, bm[:, None], jnp.zeros((hid, 7), jnp.float32)], axis=1
-        )
-        ones_m = jnp.zeros((1, ha), jnp.float32).at[0, hid].set(1.0)
-        wtms.append(
-            jnp.concatenate(
-                [topm, ones_m, jnp.zeros((7, ha), jnp.float32)], axis=0
-            )
-        )
-    wtm = jnp.stack(wtms) if n_mid else jnp.zeros((1, ha, ha), jnp.float32)
-
-    w3, b3 = params_net["mean"]
-    dout = w3.shape[1]
-    top3 = jnp.concatenate(
-        [w3.T, b3[:, None], jnp.zeros((dout, 7), jnp.float32)], axis=1
-    )  # [dout, HA]
-    wt3 = jnp.pad(top3, ((0, pdo - dout), (0, 0)))
-
-    return (
-        wt1, wtm, wt3,
-        jnp.swapaxes(wt1, -1, -2),
-        jnp.swapaxes(wtm, -1, -2),
-        jnp.swapaxes(wt3, -1, -2),
-    )
-
-
 def run_svo_sweep(ssm, params, ys_tm, ctrl_tm, eps_scan, x_anchor, m: int):
     """Fused backward sweep. ys_tm [T, B, Dy]; ctrl_tm [T, B, Di];
     eps_scan [T-1, B, M, Dx] (the jnp path's bulk stream); x_anchor
@@ -665,9 +611,11 @@ def run_svo_sweep(ssm, params, ys_tm, ctrl_tm, eps_scan, x_anchor, m: int):
     sconst = sconst.at[:dx, SC_SB].set(s_b)
     sconst = sconst.at[pdo - 1, SC_OC].set(1.0)
 
-    wq = _aug_net(params["qb"], hidden, dx + dy, pdo)
-    wf = _aug_net(params["f"], hidden, dx + di, pdo)
-    wg = _aug_net(params["g"], hidden, dx, pdo)
+    # shared ones-channel augmentation (pallas_step.aug_net), per net —
+    # q_b/f/g have different input widths, each rounded to its own tile
+    wq = aug_net(params["qb"], hidden, _round_up(dx + dy + 1, 8), pdo)
+    wf = aug_net(params["f"], hidden, _round_up(dx + di + 1, 8), pdo)
+    wg = aug_net(params["g"], hidden, _round_up(dx + 1, 8), pdo)
 
     x_first, lp, lq, xtilde = svo_scan(
         (dx, dy, di, pdq, n_mid), xa, eps_cm, sm, sconst, wq, wf, wg

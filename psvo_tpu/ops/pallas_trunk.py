@@ -108,13 +108,23 @@ def usable(ssm, cfg, batch: int) -> bool:
     return True
 
 
+def rng_tiles_ok(k: int, pd: int) -> bool:
+    """The (b·64 + ktile) seed fold is injective only while ktile < 64
+    (k ≤ 64·kt — ≥ 64·1024 lanes, 8× today's largest preset); beyond that,
+    tile (b, 64) would collide with (b+1, 0) and duplicate ε across
+    different particles with no error. The smc gate falls back to the
+    streamed ε rather than risk it."""
+    return k // _tile(k, pd) <= 64
+
+
 def _seed_scalars(s0, s1, t, b, ktile):
     """Seed the per-core PRNG from scalar values for grid cell (b, ktile)
     at scan step t (in-kernel RNG, cfg.smc.kernel_rng — see pallas_step's
     RNG comment block; Mosaic accepts ≤2 seed values, so (b, ktile, t)
-    fold into the second with odd strides: injective for t < 1000003,
-    deterministic int32 wrap). Shared by the production kernels and the
-    extractor so the combine can never drift."""
+    fold into the second with odd strides: injective for t < 1000003 AND
+    ktile < 64 — `rng_tiles_ok` gates the latter — with deterministic
+    int32 wrap). Shared by the production kernels and the extractor so
+    the combine can never drift."""
     from jax.experimental.pallas import tpu as pltpu
 
     pltpu.prng_seed(

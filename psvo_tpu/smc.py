@@ -525,12 +525,16 @@ def _forward_filter_trunk(
     dx = ssm.dx
     resample_on = cfg.resampling != "none"
 
-    from psvo_tpu.ops import pallas_trunk as _pt
-
     # in-kernel RNG for the per-step trunk kernel: kills the eps stream
     # ([T−1, B, Dx, K] — ~1 GB/step at the K=8192 L96 row) and its bulk
-    # generation; u stays a stream (resampling runs outside the kernel)
-    kernel_rng = cfg.kernel_rng and not _pt._INTERPRET
+    # generation; u stays a stream (resampling runs outside the kernel).
+    # rng_tiles_ok: the per-tile seed fold is injective only to 64 K-tiles.
+    _pd_est = pallas_trunk._round_up(max(ssm.dx + ssm.di, ssm.dy) + 1, 8)
+    kernel_rng = (
+        cfg.kernel_rng
+        and not pallas_trunk._INTERPRET
+        and pallas_trunk.rng_tiles_ok(k, _pd_est)
+    )
     pre = _fused_preamble(
         ssm, params, key, ys, cfg, encoder_inputs, controls,
         kernel_rng="trunk" if kernel_rng else "none",
