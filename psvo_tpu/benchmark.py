@@ -938,7 +938,7 @@ def main_all(
     primary = dict(blob["rows"]["fhn_fivo_k1024_bench"])
     primary["vs_baseline"] = primary_vs
     primary.update(meta)
-    for bit in ("device_equiv_ok", "kernel_rng_equiv_ok"):
+    for bit in ("device_equiv_ok", "kernel_rng_equiv_ok", "trunk_rng_equiv_ok"):
         if bit in blob:
             primary[bit] = blob[bit]
     print(json.dumps(primary))
