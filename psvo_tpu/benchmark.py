@@ -159,6 +159,105 @@ def device_preflight(
     return err
 
 
+def preflight_with_cooldown(
+    cooldown_s: float | None = None, sleep=time.sleep
+) -> str | None:
+    """Preflight with ONE bounded cooldown-retry cycle (VERDICT r4 missing
+    #1b). The wedged relay observed in rounds 3/4 self-heals in ~10 min
+    (ROUND4.md environment lore); a single retry after a cooldown gives the
+    driver's end-of-round capture a second shot at the window without
+    reintroducing round 3's unbounded envelope. Worst case:
+    ~2.6 min (first cycle) + cooldown (default 7 min) + 60 s (retry) ≈ 11
+    min — and unlike round 3, a final failure now carries stale_last_good,
+    so even the worst case is informative. Set
+    PSVO_TPU_PREFLIGHT_COOLDOWN_S=0 to disable the retry."""
+    err = device_preflight()
+    if err is None:
+        return None
+    if cooldown_s is None:
+        cooldown_s = float(os.environ.get("PSVO_TPU_PREFLIGHT_COOLDOWN_S", "420"))
+    if cooldown_s <= 0:
+        return err
+    print(
+        f"# preflight failed ({err}); cooling down {cooldown_s:.0f}s for the "
+        "~10-min relay self-heal before one retry",
+        file=sys.stderr,
+    )
+    sleep(cooldown_s)
+    return device_preflight(timeouts=(60.0,))
+
+
+def stale_last_good(blob_path: str = "BENCH_ALL.json", blob_text: str | None = None):
+    """Primary row of the last COMMITTED canonical blob, for embedding in a
+    preflight-failure JSON (VERDICT r4 missing #1a: two straight rounds of
+    driver-stamped nulls while a builder-captured, equivalence-bitted blob
+    sat on disk — the driver artifact should never be information-free).
+
+    Reads `git show HEAD:BENCH_ALL.json` (the committed blob — the working
+    tree copy could be a mid-write partial), falling back to the on-disk
+    file. Returns None when no parseable blob with a primary row exists.
+    `blob_text` injects content for tests."""
+    import subprocess
+
+    text = blob_text
+    if text is None:
+        try:
+            r = subprocess.run(
+                ["git", "show", f"HEAD:{blob_path}"],
+                cwd=_REPO_ROOT,
+                capture_output=True,
+                text=True,
+                timeout=10,
+            )
+            if r.returncode == 0:
+                text = r.stdout
+        except Exception:
+            pass
+    if text is None:
+        try:
+            with open(os.path.join(_REPO_ROOT, blob_path)) as f:
+                text = f.read()
+        except OSError:
+            return None
+    try:
+        blob = json.loads(text)
+        row = blob["rows"][blob.get("primary", "fhn_fivo_k1024_bench")]
+    except (ValueError, KeyError, TypeError):
+        return None
+    out = {
+        "stale": True,
+        "metric": row.get("metric"),
+        "value": row.get("value"),
+        "unit": row.get("unit"),
+        "step_time_ms": row.get("step_time_ms"),
+        "row_timestamp": row.get("timestamp"),
+        "git_sha": blob.get("git_sha"),
+        "blob_timestamp": blob.get("timestamp"),
+    }
+    for bit in ("device_equiv_ok", "kernel_rng_equiv_ok", "trunk_rng_equiv_ok"):
+        if bit in blob:
+            out[bit] = blob[bit]
+    return out
+
+
+def preflight_failure_blob(err: str, metric_suffix: str) -> dict:
+    """The honest-failure JSON line: bounded diagnostics + the last-good
+    committed primary row, so a wedged relay at driver-capture time no
+    longer yields a zero-information artifact."""
+    fail = {
+        "metric": f"train_steps_per_sec_{metric_suffix}",
+        "value": 0,
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "error": f"accelerator unreachable: {err}",
+        **run_metadata(),
+    }
+    stale = stale_last_good()
+    if stale is not None:
+        fail["stale_last_good"] = stale
+    return fail
+
+
 def run_metadata() -> dict:
     """{git_sha, timestamp} provenance stamped into every blob (VERDICT r3
     weak #5: the canonical evidence must say when/at which commit it was
