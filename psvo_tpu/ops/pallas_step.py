@@ -349,7 +349,9 @@ def _onehot_scatter(g, idx, k):
     VMEM. Unlike the forward gather, the one-hot's [R, Q, K] construction is
     amortized over a real MXU contraction here (D output rows per tile), and
     a sorted-index segment-sum alternative (lane cumsum + lane gather +
-    two-level count) measured 116 µs vs this form's 88 µs (round-3 bisect)."""
+    two-level count) measured 116 µs vs this form's 88 µs (round-3 bisect).
+    Superseded by _factored_scatter (round-5 A/B: 13.69 vs 14.55 ms/step on
+    the primary config); kept as the equivalence oracle for its test."""
     nq = k // Q
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
     acc = jnp.zeros((g.shape[0], g.shape[1], k), jnp.float32)
@@ -362,6 +364,54 @@ def _onehot_scatter(g, idx, k):
             preferred_element_type=jnp.float32,
         )
     return acc
+
+
+# round-5 A/B (VERDICT r4 missing #4): the factored scatter vs the full-K
+# one-hot above. True = the factored form serves the megakernel backward.
+FACTORED_SCATTER = True
+
+
+def _factored_scatter(g, idx, k):
+    """The ancestor scatter with the one-hot FACTORED as coarse × fine.
+
+    idx = 128·coarse + fine splits 1[idx_q == s] into
+    1[coarse_q == s_tile] · 1[fine_q == s_lane]. Per query tile the kernel
+    builds only the [R, Q, Q] FINE one-hot (vs the full [R, Q, K] one-hot:
+    8× fewer compare/convert VPU ops at K=1024 — the round-3 profile charged
+    exactly that construction, not the dots, with the scatter's cost) and
+    folds the coarse factor into the OTHER operand: the [R, PD, Q] grads are
+    masked per source tile and stacked on the sublane axis, so one
+    [R, S·PD, Q] × [R, Q, Q] contraction per query tile does the same MXU
+    work as before (same MAC count, same call count) and rows s·PD:(s+1)·PD
+    of the result are tile s's scatter contribution. Exact for ANY idx (no
+    monotonicity assumption). Measured on the primary config (v5e,
+    2026-08-20): 13.69 vs 14.55 ms/step end-to-end (−0.86 ms — most of the
+    1.43 ms the round-3 profile charged to the backward scatter)."""
+    nq = k // Q
+    r, pd = g.shape[0], g.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Q), 2)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, nq, 1), 1)
+    accs = [jnp.zeros((r, pd, Q), jnp.float32) for _ in range(nq)]
+    for t in range(nq):
+        idx_t = idx[:, t * Q : (t + 1) * Q]
+        fine = jnp.bitwise_and(idx_t, Q - 1)
+        coarse = jax.lax.shift_right_logical(idx_t, 7)
+        f_oh = (fine[:, :, None] == col).astype(jnp.float32)  # [R, Q, Q]
+        m_oh = (coarse[:, None, :] == srow).astype(jnp.float32)  # [R, S, Q]
+        g_t = g[:, :, t * Q : (t + 1) * Q]
+        g_masked = jnp.concatenate(
+            [g_t * m_oh[:, s : s + 1, :] for s in range(nq)], axis=1
+        )  # [R, S·PD, Q]
+        res = jax.lax.dot_general(
+            g_masked, f_oh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [R, S·PD, Q]
+        for s in range(nq):
+            accs[s] = accs[s] + jax.lax.slice_in_dim(
+                res, s * pd, (s + 1) * pd, axis=1
+            )
+    return jnp.concatenate(accs, axis=-1)
 
 
 def _pad_sub(x, pd):
@@ -747,7 +797,8 @@ def _bwd_core(
     )
 
     # ---- scatter particle grads back through the ancestor choice
-    d_x = _onehot_scatter(d_xres, idx, k)
+    scatter = _factored_scatter if FACTORED_SCATTER else _onehot_scatter
+    d_x = scatter(d_xres, idx, k)
     return d_x, d_absc, sm_sums, dsfg, dws
 
 

@@ -332,3 +332,48 @@ def test_kernel_rng_interpret_falls_back_to_streams():
         return np.asarray(fwd.log_z)
 
     np.testing.assert_array_equal(run(True), run(False))
+
+
+@_FAST
+def test_factored_scatter_matches_onehot():
+    """The round-5 coarse×fine factored ancestor scatter is exact against
+    the full-K one-hot oracle for arbitrary (non-monotone) indices."""
+    rng = np.random.default_rng(3)
+    for r, pd, k in ((16, 8, 256), (8, 8, 1024), (4, 16, 512)):
+        g = jnp.asarray(rng.normal(size=(r, pd, k)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, k, size=(r, k)).astype(np.int32))
+        a = pallas_step._onehot_scatter(g, idx, k)
+        b = pallas_step._factored_scatter(g, idx, k)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-5
+        )
+
+
+@_FAST
+def test_fused_gradients_match_unfused_factored_off(monkeypatch):
+    """The megakernel backward stays correct with the one-hot fallback
+    (FACTORED_SCATTER=False) — the A/B toggle must not rot."""
+    monkeypatch.setattr(pallas_step, "FACTORED_SCATTER", False)
+    cfg = _cfg(k=128, t=5)
+
+    def loss(fused):
+        c = dataclasses.replace(cfg, use_pallas_step=fused)
+        ssm, params = init_ssm(c, jax.random.key(0))
+        ys = jax.random.normal(jax.random.key(1), (8, c.data.t_steps, c.data.dy))
+
+        def f(p):
+            fr = forward_filter(ssm, p, jax.random.key(7), ys, c.smc, cache=False)
+            return jnp.mean(fr.log_z)
+
+        return jax.value_and_grad(f)(params)
+
+    lf, gf = loss(True)
+    lu, gu = loss(False)
+    np.testing.assert_allclose(float(lf), float(lu), rtol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        ),
+        gf,
+        gu,
+    )
