@@ -394,7 +394,12 @@ def measure(
 
     if adaptive:
         est = _time_loop(one_step, 3)
-        steps = max(5, min(steps, int(2.0 / max(est, 1e-4)) + 1))
+        # dispatch-bound rows (sub-2 ms steps) get 4 s windows: at 2 s a
+        # single relay hiccup moved the IWAE K=16 row's windows ±15%
+        # (VERDICT r4 weak #5) — double the averaging where steps are cheap
+        # (est times one CALL = n_call steps)
+        target_s = 4.0 if est / n_call < 2e-3 else 2.0
+        steps = max(5, min(steps, int(target_s / max(est, 1e-4)) + 1))
 
     window_times = _time_windows(one_step, steps, windows=3)
     # median window; with chunked presets each timed call is n_call steps

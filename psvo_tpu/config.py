@@ -326,7 +326,12 @@ PRESETS: dict[str, Config] = {
         name="fhn_iwae_k16",
         data=DataConfig(datatype="fhn", dx=2, dy=2, t_steps=100),
         smc=SMCConfig(objective="iwae", n_particles=16, resampling="none"),
-        train=TrainConfig(steps_per_call=10),
+        # steps_per_call=50 (not 10): this row is almost pure dispatch
+        # (~1.3 ms/step), so a 10-step call is ~13 ms and single relay
+        # hiccups moved blob windows by ±15% (VERDICT r4 weak #5); 50
+        # steps/call amortizes the noise 5× further. eval_every (100)
+        # stays a multiple.
+        train=TrainConfig(steps_per_call=50),
     ),
     # 2. "FIVO/AESMC filtering with systematic resampling, FHN, K=128, batched"
     # kernel_rng per preset is MEASURED (v5e A/B 2026-08-20): the megakernel

@@ -60,6 +60,10 @@ Q = 128  # query/support tile width (lane width)
 # Fine-stage chunk budget of the two-level count (bytes of the [R, C, Q']
 # intermediate): 2 MB measured fastest at rb=8/K=1024 round 3; module-level
 # so perf A/Bs can sweep it without editing the formula in two places.
+# Re-swept at rb=16 inside the whole-scan megakernel (v5e 2026-08-20,
+# primary config end-to-end): 2 MB 13.71 ms/step, 4 MB 13.81, 8 MB 14.70,
+# 16 MB 14.73 — the round-3 choice transfers; larger chunks lose to VMEM
+# pressure, not dot count.
 _FINE_CHUNK_BYTES = 2 * 1024 * 1024
 # Measured ceiling (v5e, 2026-08-17): the static quadratic tile sweep costs
 # O((K/Q)²) tile pairs; at K=1024 that is 0.085 ms/step (vs 0.21 banded-fori
