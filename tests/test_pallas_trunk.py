@@ -28,6 +28,10 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setattr(pallas_step, "_INTERPRET", True)
     monkeypatch.setattr(pallas_resample, "_INTERPRET", True)
     monkeypatch.setattr(pallas_trunk, "_INTERPRET", True)
+    # the strict per-leaf equivalence below pins the f32 VJP machinery;
+    # the production bf16 residual stream has its own bounded-rounding
+    # test (test_trunk_bf16_residuals_bounded_rounding)
+    monkeypatch.setattr(pallas_trunk, "BF16_RESIDUALS", False)
 
 
 def _cfg(objective="fivo", k=128, hidden=(16, 16), dx=10, dy=10, t=5, **smc_kw):
@@ -245,3 +249,40 @@ def test_trunk_usable_gates():
     )
     ssm_big, _ = init_ssm(cfg_big, jax.random.key(0))
     assert not pallas_trunk.usable(ssm_big, cfg_big.smc, 8)
+
+
+@_FAST
+def test_trunk_bf16_residuals_bounded_rounding(monkeypatch):
+    """The production bf16 (x_res, x_new) residual stream (round-5,
+    movement-bound K=8192 rows: 153.4 → 148.4 ms/step on v5e) must keep
+    gradients directionally exact against the f32 plain path: forward
+    values bit-match the f32 fused path (residual dtype only affects the
+    backward), total gradient cosine ≥ 0.9999 and norm within 1%."""
+    monkeypatch.setattr(pallas_trunk, "BF16_RESIDUALS", True)
+    cfg = _cfg(k=256, dx=26)  # PD=32: a 16-multiple, the bf16 gate opens
+    params, run_p = _make_loss(cfg, fused=False)
+    _, run_f = _make_loss(cfg, fused=True)
+
+    # forward unaffected by the residual dtype
+    np.testing.assert_allclose(
+        np.asarray(run_f(params).log_z),
+        np.asarray(run_p(params).log_z),
+        rtol=2e-4,
+        atol=2e-4,
+    )
+
+    def loss(run):
+        return lambda p: jnp.mean(run(p).log_z)
+
+    g_f = jax.grad(loss(run_f))(params)
+    g_u = jax.grad(loss(run_p))(params)
+    fa = np.concatenate(
+        [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(g_f)]
+    )
+    ua = np.concatenate(
+        [np.asarray(x, np.float64).ravel() for x in jax.tree_util.tree_leaves(g_u)]
+    )
+    nf, nu = np.linalg.norm(fa), np.linalg.norm(ua)
+    cos = float(fa @ ua / max(nf * nu, 1e-30))
+    assert cos >= 0.9999, f"gradient cosine {cos}"
+    assert abs(nf - nu) <= 1e-2 * max(nf, nu), f"grad norms {nf} vs {nu}"
