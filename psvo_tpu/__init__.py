@@ -6,8 +6,9 @@ SVO, PSVO) for learning nonlinear state-space models, designed TPU-first:
 
 - Time is a `lax.scan`; batch and particle axes are plain tensor axes that
   shard over a `jax.sharding.Mesh(("data", "particle"))`.
-- Neural proposal / transition / emission MLPs run as fused Pallas matmul
-  kernels (`psvo_tpu.ops.pallas_mlp`) with a pure-jnp fallback.
+- Neural proposal / transition / emission MLPs run inside the fused
+  whole-step / trunk Pallas kernels (`psvo_tpu.ops.pallas_step`,
+  `psvo_tpu.ops.pallas_trunk`) with a pure-jnp fallback.
 - Resampling (multinomial + systematic) is a branch-free on-device
   cumsum + searchsorted gather (`psvo_tpu.ops.resampling`, Pallas kernel in
   `psvo_tpu.ops.pallas_resample`).

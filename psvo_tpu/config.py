@@ -214,12 +214,11 @@ class Config:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     nets: tuple[tuple[str, NetConfig], ...] = field(default_factory=_default_nets)
     # Pallas kernel toggles (measured on v5e, fhn K=1024 B=32 T=100 forward):
-    # the branch-free resample kernel nearly halves the step (83→45 ms); the
-    # fused MLP kernel LOSES to XLA's own fusion for these tiny nets inside a
-    # scan (45→147 ms) — per-call overhead beats the HBM savings — so it
-    # defaults off and remains available for larger nets.
+    # the branch-free resample kernel nearly halves the step (83→45 ms).
+    # (A standalone fused-MLP kernel toggle lived here through round 4; it
+    # lost to XLA's own fusion at every measured config and was retired —
+    # docs/ROADMAP.md dead-end list.)
     use_pallas: bool = True  # master switch (False = pure jnp everywhere)
-    use_pallas_mlp: bool = False
     use_pallas_resample: bool = True
     # Whole-timestep megakernel (ops/pallas_step.py): resample + stacked
     # q1/f + draw + g + α + ℓ in ONE kernel per scan step with a recompute
@@ -298,7 +297,6 @@ def from_dict(d: dict) -> Config:
         mesh=_tupled(d.get("mesh", {}), MeshConfig),
         nets=nets,
         use_pallas=d.get("use_pallas", True),
-        use_pallas_mlp=d.get("use_pallas_mlp", False),
         use_pallas_resample=d.get("use_pallas_resample", True),
         use_pallas_step=d.get("use_pallas_step", True),
     )

@@ -12,7 +12,7 @@ these kernels, which consume them.
 All functions broadcast over arbitrary leading axes (batch, particle, time)
 and keep the event axis last. Computation is float32: log-densities need the
 mantissa; the MLP matmuls that *produce* the parameters are where bf16/MXU
-throughput lives (see `psvo_tpu.ops.pallas_mlp`).
+throughput lives (see `psvo_tpu.ops.pallas_step` / `pallas_trunk`).
 """
 
 from __future__ import annotations

@@ -62,7 +62,6 @@ class SSM:
         # summarizes y_{t:T} into h_t; q_b conditions on [x_{t+1}, y_t, h_t].
         self.qb_rnn = cfg.smc.qb_rnn
         self.nets = {k: v for k, v in cfg.nets}
-        self.use_pallas_mlp = cfg.use_pallas and cfg.use_pallas_mlp
         self.use_pallas_resample = cfg.use_pallas and cfg.use_pallas_resample
         self.use_pallas_step = cfg.use_pallas and cfg.use_pallas_step
         self.bf16_matmuls = cfg.train.bf16_matmuls
@@ -151,16 +150,13 @@ class SSM:
     # -- net application (routes to fused Pallas kernel when enabled) --------
 
     def _mean_scale(self, net: Params, cfg: NetConfig, x: jax.Array):
-        if self.use_pallas_mlp:
-            from psvo_tpu.ops import pallas_mlp
-
-            return pallas_mlp.mlp_mean_scale(
-                net,
-                x,
-                activation=cfg.activation,
-                sigma_min=cfg.sigma_min,
-                bf16=self.bf16_matmuls,
-            )
+        # NOTE: a standalone fused-MLP Pallas kernel used to dispatch here
+        # (use_pallas_mlp); it measured SLOWER than XLA's own fusion for
+        # every config in the suite across two rounds (45→147 ms class —
+        # per-call overhead beats HBM savings at these net sizes) and was
+        # retired in round 5 (docs/ROADMAP.md dead-end list; git history
+        # keeps the kernel). The fused compute paths that DO win live in
+        # ops/pallas_step.py (whole-step) and ops/pallas_trunk.py.
         return networks.mlp_mean_scale(
             net,
             x,
@@ -170,15 +166,7 @@ class SSM:
         )
 
     def _mean(self, net: Params, cfg: NetConfig, x: jax.Array):
-        """Mean-only head (Poisson log-rate / Dirac / tril mean): same kernel
-        dispatch as _mean_scale."""
-        if self.use_pallas_mlp:
-            from psvo_tpu.ops import pallas_mlp
-
-            if pallas_mlp.usable(cfg.activation):
-                return pallas_mlp.fused_mlp_mean(
-                    net, x, cfg.activation, self.bf16_matmuls
-                )
+        """Mean-only head (Poisson log-rate / Dirac / tril mean)."""
         return networks.mlp_mean(
             net, x, activation=cfg.activation, bf16=self.bf16_matmuls
         )

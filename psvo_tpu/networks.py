@@ -7,8 +7,9 @@ trainable state-independent diagonal or a second head (SURVEY.md §2-A,
 
 Here a network is a dict pytree (`{"layers": [(W, b), ...], "mean": (W, b),
 "raw_scale": ...}`) plus pure apply functions — no framework module system, so
-the same pytree feeds (a) the jnp path, (b) the fused Pallas MLP kernel
-(`psvo_tpu.ops.pallas_mlp`), and (c) optax, without adapters. All leading axes
+the same pytree feeds (a) the jnp path, (b) the fused Pallas kernels
+(via `pallas_step.prepare`'s augmented-weight packing), and (c) optax,
+without adapters. All leading axes
 broadcast: apply flattens [..., Din] -> [N, Din] around the matmul chain so
 batch*particle rows tile the MXU.
 """
@@ -191,8 +192,8 @@ def mlp_mean_scale(
 ) -> tuple[jax.Array, jax.Array]:
     """Return (mean, scale) with the scale floored at sigma_min.
 
-    This is the jnp reference path; `psvo_tpu.ops.pallas_mlp.fused_mlp` is the
-    drop-in fused TPU kernel (equivalence-tested in tests/test_pallas.py).
+    This is the jnp reference path the fused kernels are equivalence-tested
+    against (tests/test_pallas_step.py, tests/test_pallas_trunk.py).
     """
     h = mlp_features(params, x, activation, bf16)
     w, b = params["mean"]

@@ -146,16 +146,13 @@ def place_replicated(mesh: Mesh, tree):
 def prepare_sharded(ssm, cfg: Config, mesh: Mesh):
     """Return (ssm, cfg) adjusted for multi-device execution.
 
-    GSPMD cannot partition Pallas custom-calls across a sharded axis, so the
-    fused MLP kernel is disabled under meshes. The resample kernel no longer
-    needs this: resampling runs inside a shard_map island (manual SPMD —
-    ops/sharded_resampling.py) where the kernel executes per shard.
-    """
-    from psvo_tpu.models.ssm import SSM
-
-    if mesh.devices.size > 1 and cfg.use_pallas_mlp:
-        cfg = dataclasses.replace(cfg, use_pallas_mlp=False)
-        ssm = SSM(cfg)
+    Currently the identity: every surviving Pallas kernel either runs
+    inside a shard_map island (manual SPMD — resampling, FFBSi) where it
+    executes per shard, or is gated off under meshes by its own `usable`
+    predicate (the trunk kernel). The hook stays because GSPMD cannot
+    partition a Pallas custom-call across a sharded axis — any future
+    kernel that would trace under pjit must be disabled here (the retired
+    fused-MLP kernel was, through round 4)."""
     return ssm, cfg
 
 
