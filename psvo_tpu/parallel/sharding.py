@@ -271,8 +271,20 @@ def dryrun(n_devices: int, verbose: bool = True) -> None:
     )
     psvo_summary = _dryrun_one(psvo, devices, "psvo")
 
+    # segmented PSVO × mesh (VERDICT r4 #10): the long-T FFBSi segment
+    # recompute running INSIDE the per-segment shard_map islands is the
+    # last intricate multi-device combination — prove it executes, not
+    # just that the CPU suite covers it
+    seg = dataclasses.replace(
+        psvo,
+        # T−1 must divide into segments: 9 steps → two 4-step segments
+        data=dataclasses.replace(psvo.data, t_steps=9),
+        smc=dataclasses.replace(psvo.smc, ffbsi_segments=2),
+    )
+    seg_summary = _dryrun_one(seg, devices, "psvo-seg2")
+
     if verbose:
         print(
             f"dryrun_multichip ok: mesh data={d_data} particle={d_part} "
-            f"{fivo_summary}; {psvo_summary}"
+            f"{fivo_summary}; {psvo_summary}; {seg_summary}"
         )
