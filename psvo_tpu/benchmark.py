@@ -992,6 +992,37 @@ def main_all(
     )
     _flush()
 
+    # long-T row (VERDICT r4 missing #2): L63 PSVO at T=1025 with the
+    # fused segmented forward (8 segments, megakernel per segment under
+    # jax.checkpoint). The long-sequence story's hardware evidence: at
+    # this size both modes fit (segmented trades ~1.75× step time for the
+    # bounded O(T/S) forward residuals); at T=8193 the unsegmented step
+    # needs 24.25 GB and cannot compile while this path runs at ~898
+    # ms/step (BASELINE.md round-5 long-T table).
+    longt = dataclasses.replace(
+        preset("lorenz63_psvo_k1024"),
+        name="lorenz63_psvo_k1024_t1025_seg8",
+        data=dataclasses.replace(
+            preset("lorenz63_psvo_k1024").data,
+            t_steps=1025, n_train=16, n_test=8,
+        ),
+        smc=dataclasses.replace(
+            preset("lorenz63_psvo_k1024").smc, ffbsi_segments=8
+        ),
+        train=dataclasses.replace(
+            preset("lorenz63_psvo_k1024").train,
+            batch_size=8, steps_per_call=1,
+        ),
+    )
+    blob["rows"]["lorenz63_psvo_k1024_t1025_seg8"] = _strip(
+        measure(longt, steps, adaptive=True, regime="long-T-segmented")
+    )
+    print(
+        f"#row {json.dumps(blob['rows']['lorenz63_psvo_k1024_t1025_seg8'])}",
+        file=sys.stderr,
+    )
+    _flush()
+
     # informational row: SVO at M=64 — the fused whole-sweep kernel's
     # regime (ops/pallas_svo.py is flat in M and gated to M ≥ 32; the
     # M=16 preset row above keeps the measured-faster scan path)

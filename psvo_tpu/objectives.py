@@ -366,8 +366,16 @@ def _make_ffbsi_body(ssm: SSM, params):
     return body
 
 
-def _selected_path_log_joint(ssm: SSM, params, x_tilde, ys_tm, ctrl_tm):
+def _selected_path_log_joint(ssm: SSM, params, x_tilde_c, ys_tm, ctrl_tm):
     """log p_θ(x̃, y) [B, M], evaluated directly on the selected trajectories.
+
+    `x_tilde_c` arrives COMPACT [T, B, M·Dx] (round-5 long-T fix: the
+    natural [T, B, M, Dx] layout puts (M, Dx) on the (sublane, lane) tile
+    and Dx=3 pads 42.7× — the T=8193 OOM dump showed two such 512 MB
+    buffers, the smoothed paths and their summed cotangent; the compact
+    form pads 48→128 lanes instead). Callers invoke this through
+    jax.checkpoint so the padded MLP row/hidden activations are
+    recomputed in the backward rather than persisting O(T·B·M·128) f32.
 
     Mathematically identical — value AND gradient — to gathering the selected
     entries of full-support density evaluations: the selected particle IS the
@@ -378,7 +386,9 @@ def _selected_path_log_joint(ssm: SSM, params, x_tilde, ys_tm, ctrl_tm):
     work, and it removes the K-wide trunk *backward* from the train step
     entirely (the two bulk-support VJPs measured 2×15.5 ms of the 55.9 ms
     round-3 PSVO step on v5e before this split)."""
-    t_steps, b, m, _ = x_tilde.shape
+    t_steps, b, md = x_tilde_c.shape
+    m = md // ssm.dx
+    x_tilde = x_tilde_c.reshape(t_steps, b, m, ssm.dx)
     u = None
     if ssm.di:
         u = jnp.broadcast_to(
@@ -465,14 +475,49 @@ def _ffbsi_backward(
         logq = logq + lq_acc
     else:
         (x_first, _, logq), xs_rev = jax.lax.scan(
-            _make_ffbsi_body(ssm, params),
+            _compact_body(_make_ffbsi_body(ssm, params)),
             (x_tilde_t, logp0, logq),
             (fwd.xs[:-1], sup_all, logw_norm_all, log_g_support, gum),
             reverse=True,
         )
-    x_tilde = jnp.concatenate([xs_rev, x_tilde_t[None]], axis=0)
-    logp = _selected_path_log_joint(ssm, params, x_tilde, ys_tm, ctrl_tm)
-    return x_tilde, logp, logq
+    return _stitch_and_logjoint(
+        ssm, params, [xs_rev], x_tilde_t, ys_tm, ctrl_tm, logq
+    )
+
+
+def _compact_body(body):
+    """Wrap an FFBSi sweep body so the scan stacks COMPACT [B, M·Dx] path
+    selections (round-5 long-T fix: stacking [B, M, Dx] puts Dx=3 on the
+    lane axis — 42.7× tile padding on a [T, B, M, Dx] buffer that lives
+    from sweep to log-joint)."""
+
+    def body_c(carry, inputs):
+        carry2, x_t = body(carry, inputs)
+        return carry2, x_t.reshape(x_t.shape[0], -1)
+
+    return body_c
+
+
+def _stitch_and_logjoint(ssm, params, pieces, x_tilde_t, ys_tm, ctrl_tm, logq):
+    """Concatenate smoothed pieces (compact [L, B, M·Dx] or [L, B, M, Dx] —
+    kernel/sharded sweeps emit the latter) with the anchor, evaluate the
+    path log-joint through jax.checkpoint on the compact layout, and return
+    (x_tilde [T, B, M, Dx], logp, logq). The full-layout return exists for
+    ObjectiveOutput.smoothed (plots/eval); inside a train step it is dead
+    code and XLA drops it."""
+    b, m = x_tilde_t.shape[0], x_tilde_t.shape[1]
+    flat = [
+        p if p.ndim == 3 else p.reshape(p.shape[0], p.shape[1], -1)
+        for p in pieces
+    ]
+    x_tilde_c = jnp.concatenate(
+        [*flat, x_tilde_t.reshape(1, b, -1)], axis=0
+    )
+    logp = jax.checkpoint(
+        _selected_path_log_joint, static_argnums=(0,)
+    )(ssm, params, x_tilde_c, ys_tm, ctrl_tm)
+    t_steps = x_tilde_c.shape[0]
+    return x_tilde_c.reshape(t_steps, b, m, ssm.dx), logp, logq
 
 
 @jax.named_scope("ffbsi_backward_segmented")
@@ -525,8 +570,21 @@ def _ffbsi_backward_segmented(
     carry = (x_tilde_t, logp, logq)
     pieces = []  # smoothed segments, collected in reverse time order
     for s in reversed(range(n_segments)):
+        # schedule fence (round-5 long-T fix): the segment recomputes and
+        # the per-segment Gumbel rng-bit-generators have no data dependence
+        # on the sweep carry, so XLA front-loads ALL segments' buffers —
+        # the T=8193 OOM dump showed 3× coexisting [L, B, M, K] 512 MB
+        # Gumbel tensors. Fencing each segment's inputs behind the carry
+        # serializes the loop to ~one segment's working set.
+        seg_x_d, seg_logw_d, keys_d, _ = jax.lax.optimization_barrier(
+            (cache.seg_x, cache.seg_logw, cat_keys, carry[2])
+        )
+        cache_d = dataclasses.replace(
+            cache, seg_x=seg_x_d, seg_logw=seg_logw_d
+        )
+        cat_keys_d = keys_d
         xs_seg, logws_seg = recompute_segment(
-            ssm, params, smc_cfg, cache, s, ys_seg[s], enc_seg[s], ctrl_seg[s]
+            ssm, params, smc_cfg, cache_d, s, ys_seg[s], enc_seg[s], ctrl_seg[s]
         )
         # segment s holds support entries t = 1+sL .. sL+L; the reverse sweep
         # consumes t <= T-2, so the last segment drops its final entry (that
@@ -538,7 +596,7 @@ def _ffbsi_backward_segmented(
         xs_sup, logw_sup = xs_seg[:n_sup], logws_seg[:n_sup]
         ys_sup = ys_tm[lo : hi + 1]
         ctrl_sup = ctrl_tm[lo + 1 : hi + 2]
-        keys_sup = cat_keys[lo : hi + 1]
+        keys_sup = cat_keys_d[lo : hi + 1]
         gum_sup = _gumbel_from_keys(keys_sup, (batch, m, xs_sup.shape[-1]))
         lwn_sup = _sg_unless_diff(log_normalize(logw_sup, axis=-1)[0])
         lg_sup = jnp.zeros(lwn_sup.shape, lwn_sup.dtype)
@@ -567,9 +625,14 @@ def _ffbsi_backward_segmented(
             carry = (x_first_seg, logp_c + lp_seg, logq_c + lq_seg)
         else:
             carry, xs_rev = jax.lax.scan(
-                body, carry, (xs_sup, sup_sup, lwn_sup, lg_sup, gum_sup),
+                _compact_body(body), carry,
+                (xs_sup, sup_sup, lwn_sup, lg_sup, gum_sup),
                 reverse=True,
             )
+        # kernel/sharded sweeps emit [L, B, M, Dx]; compact immediately so
+        # the collected pieces never persist in the 42.7×-padded layout
+        if xs_rev.ndim == 4:
+            xs_rev = xs_rev.reshape(xs_rev.shape[0], xs_rev.shape[1], -1)
         pieces.append(xs_rev)
 
     # final reverse step: support t = 0 (the initial particles)
@@ -590,11 +653,10 @@ def _ffbsi_backward_segmented(
         carry, x0_tilde = body(carry, (cache.x0, sup0, lwn0, lg0, gum0))
         x_first, _, logq = carry
 
-    x_tilde = jnp.concatenate(
-        [x0_tilde[None], *reversed(pieces), x_tilde_t[None]], axis=0
+    return _stitch_and_logjoint(
+        ssm, params, [x0_tilde[None], *reversed(pieces)],
+        x_tilde_t, ys_tm, ctrl_tm, logq,
     )
-    logp = _selected_path_log_joint(ssm, params, x_tilde, ys_tm, ctrl_tm)
-    return x_tilde, logp, logq
 
 
 def make_objective(ssm: SSM, cfg: Config):
