@@ -41,11 +41,20 @@ if __name__ == "__main__":
         import json
 
         # --all ends by printing the primary row, so its failure carries
-        # the primary metric name; --preset failures name that preset
-        # (ADVICE r3: a hardcoded name was wrong for both cases)
-        fail = preflight_failure_blob(
-            err, "fhn_fivo_k1024_bench" if a.all else a.preset
-        )
+        # the primary metric name; --preset failures name that preset;
+        # --to-target failures carry that mode's seconds metric (ADVICE r3
+        # + round-5 review: each mode's failure must name ITS metric)
+        if a.to_target:
+            fail = preflight_failure_blob(
+                err,
+                a.preset,
+                metric=f"seconds_to_test_elbo_{a.target_elbo:g}_{a.preset}",
+                unit="s",
+            )
+        else:
+            fail = preflight_failure_blob(
+                err, "fhn_fivo_k1024_bench" if a.all else a.preset
+            )
         if a.all:
             with open("BENCH_ALL.json", "w") as f:
                 json.dump({"partial": True, "rows": {}, **fail}, f, indent=1)

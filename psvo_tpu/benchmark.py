@@ -240,14 +240,21 @@ def stale_last_good(blob_path: str = "BENCH_ALL.json", blob_text: str | None = N
     return out
 
 
-def preflight_failure_blob(err: str, metric_suffix: str) -> dict:
+def preflight_failure_blob(
+    err: str, metric_suffix: str, metric: str | None = None, unit: str = "steps/s"
+) -> dict:
     """The honest-failure JSON line: bounded diagnostics + the last-good
     committed primary row, so a wedged relay at driver-capture time no
-    longer yields a zero-information artifact."""
+    longer yields a zero-information artifact. `metric` overrides the
+    throughput-style name for modes whose success artifact is a different
+    metric (--to-target emits seconds_to_test_elbo_*; a failure row must
+    carry the same name so the driver attributes the outage correctly —
+    round-5 review finding). stale_last_good always embeds the committed
+    PRIMARY throughput row (it names its own metric), whatever mode failed."""
     fail = {
-        "metric": f"train_steps_per_sec_{metric_suffix}",
+        "metric": metric or f"train_steps_per_sec_{metric_suffix}",
         "value": 0,
-        "unit": "steps/s",
+        "unit": unit,
         "vs_baseline": None,
         "error": f"accelerator unreachable: {err}",
         **run_metadata(),
@@ -397,9 +404,12 @@ def measure(
         # dispatch-bound rows (sub-2 ms steps) get 4 s windows: at 2 s a
         # single relay hiccup moved the IWAE K=16 row's windows ±15%
         # (VERDICT r4 weak #5) — double the averaging where steps are cheap
-        # (est times one CALL = n_call steps)
+        # (est times one CALL = n_call steps). No caller-steps cap: the old
+        # `min(steps, ...)` clamped fast rows to 30 calls, so the window
+        # target was unreachable exactly where it mattered (round-5 review
+        # finding — the 4 s branch was dead code under the cap)
         target_s = 4.0 if est / n_call < 2e-3 else 2.0
-        steps = max(5, min(steps, int(target_s / max(est, 1e-4)) + 1))
+        steps = max(5, int(target_s / max(est, 1e-4)) + 1)
 
     window_times = _time_windows(one_step, steps, windows=3)
     # median window; with chunked presets each timed call is n_call steps
@@ -997,8 +1007,8 @@ def main_all(
     # jax.checkpoint). The long-sequence story's hardware evidence: at
     # this size both modes fit (segmented trades ~1.75× step time for the
     # bounded O(T/S) forward residuals); at T=8193 the unsegmented step
-    # needs 24.25 GB and cannot compile while this path runs at ~898
-    # ms/step (BASELINE.md round-5 long-T table).
+    # needs 24.25 GB and cannot compile while this path runs at ~1019
+    # ms/step in 13.4 GB (PARITY.md round-5 long-T table).
     longt = dataclasses.replace(
         preset("lorenz63_psvo_k1024"),
         name="lorenz63_psvo_k1024_t1025_seg8",

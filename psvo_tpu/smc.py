@@ -1012,23 +1012,39 @@ def _recompute_segment_fused(
     from the cached per-segment keys), same packed sm slice — bit-identical
     to the forward's segment by construction (`_scan_call` computes the
     identical x/α stream whether or not `cache` plumbs it out; the weights
-    re-pack via `pallas_step.prepare`, a deterministic function of params)."""
+    re-pack via `pallas_step.prepare`, a deterministic function of params).
+
+    Wrapped in jax.checkpoint under cfg.remat (round-5 review finding):
+    the replayed xs feed the smoothed-path log-joint DIFFERENTIABLY (the
+    reparameterized-through-support-atoms estimator), so without the
+    checkpoint every segment's _scan_call VJP residual streams
+    (x_res/x_new/idx, O(L·B·PD·K) each) would coexist across the whole
+    objective backward — exactly the O(T·K) memory term segmentation
+    removes. With it, residuals are (carry, keys, sm slice) and the
+    backward replays the segment (same keys → bit-identical)."""
     from psvo_tpu.ops import pallas_step
 
-    sm_s = cache.sm_seg[s]
-    seg_len, batch = sm_s.shape[0], sm_s.shape[1]
-    k = cfg.n_particles
     dx = ssm.dx
-    eps, u = _segment_randomness(
-        ssm, cfg, cache.k_prop_segs[s], cache.k_res_segs[s], seg_len, batch, k
+
+    def replay(seg_x_s, seg_logw_s, kp, kr, sm_s):
+        seg_len, batch = sm_s.shape[0], sm_s.shape[1]
+        k = cfg.n_particles
+        eps, u = _segment_randomness(ssm, cfg, kp, kr, seg_len, batch, k)
+        consts = pallas_step.prepare(ssm, params, cfg)
+        static = (
+            k, consts["pd"], consts["n_mid"], consts["activation"], None, True
+        )
+        _, _, _, xs_scan, alphas = pallas_step._scan_call(
+            static, seg_x_s, seg_logw_s, sm_s, eps, u,
+            consts["sconst"], *consts["w"],
+        )
+        return xs_scan[:, :, :dx, :], alphas
+
+    fn = jax.checkpoint(replay) if cfg.remat else replay
+    return fn(
+        cache.seg_x[s], cache.seg_logw[s],
+        cache.k_prop_segs[s], cache.k_res_segs[s], cache.sm_seg[s],
     )
-    consts = pallas_step.prepare(ssm, params, cfg)
-    static = (k, consts["pd"], consts["n_mid"], consts["activation"], None, True)
-    _, _, _, xs_scan, alphas = pallas_step._scan_call(
-        static, cache.seg_x[s], cache.seg_logw[s], sm_s, eps, u,
-        consts["sconst"], *consts["w"],
-    )
-    return xs_scan[:, :, :dx, :], alphas
 
 
 def recompute_segment(

@@ -260,3 +260,16 @@ def test_main_all_complete_blob(tmp_path, monkeypatch):
     assert rows["lorenz63_fivo_k8192"]["regime"] == "windowed-healthy-ess"
     assert blob["to_target"]["reached"] is True
     assert blob["vs_baseline"] == 4.0  # 2.0 steps/s vs 0.5 baseline
+
+
+def test_preflight_failure_blob_to_target_metric():
+    """--to-target failures must carry that mode's seconds metric, not the
+    throughput name (round-5 review finding)."""
+    fail = benchmark.preflight_failure_blob(
+        "wedged", "fhn_fivo_k1024_bench",
+        metric="seconds_to_test_elbo_-15_fhn_fivo_k1024_bench", unit="s",
+    )
+    assert fail["metric"] == "seconds_to_test_elbo_-15_fhn_fivo_k1024_bench"
+    assert fail["unit"] == "s" and fail["value"] == 0
+    # the stale payload still names its own (throughput) metric
+    assert fail["stale_last_good"]["metric"].startswith("train_steps_per_sec_")

@@ -48,7 +48,7 @@ def test_to_target_prose_matches_blob():
     blob's to_target entry (the round-4 drift: 39.2 vs 49.4 s)."""
     blob = json.loads(_read("BENCH_ALL.json"))
     tt = blob.get("to_target")
-    if not tt or "seconds_steady" in tt and tt.get("error"):
+    if not tt or tt.get("error") or "seconds_steady" not in tt:
         pytest.skip("blob has no successful to_target entry")
     text = _read("BASELINE.md")
     m = re.search(r"\*\*([0-9.]+) s steady-state\*\* \(([0-9.]+) s total", text)
