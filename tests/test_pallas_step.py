@@ -458,3 +458,51 @@ def test_fused_segmented_psvo_matches_plain_segmented():
     fm, pm = np.mean(fused_vals), np.mean(plain_vals)
     spread = np.std(fused_vals) + np.std(plain_vals) + 1e-6
     assert abs(fm - pm) < 3 * spread, (fused_vals, plain_vals)
+
+
+def test_fused_segmented_controls_bit_identical_and_consistent():
+    """Controls (Di > 0) × the fused segmented path: the per-segment sm
+    slices and the padded carry's control rows must survive segment
+    boundaries — forward vs recompute_segment stays bit-identical, and the
+    boundary carry chaining holds with control rows in the carry."""
+    from psvo_tpu.smc import forward_filter_segmented, recompute_segment
+
+    cfg = _cfg(objective="psvo", k=128, t=9)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, di=2, control_scale=0.5)
+    )
+    run_cfg = dataclasses.replace(cfg, use_pallas_step=True)
+    ssm, params = init_ssm(run_cfg, jax.random.key(0))
+    assert ssm.di == 2
+    ys = jax.random.normal(jax.random.key(1), (8, cfg.data.t_steps, cfg.data.dy))
+    ctrl = 0.5 * jax.random.normal(jax.random.key(11), (8, cfg.data.t_steps, 2))
+
+    fwd, cache = forward_filter_segmented(
+        ssm, params, jax.random.key(7), ys, run_cfg.smc, 2, controls=ctrl
+    )
+    assert cache.fused
+    assert np.isfinite(float(jnp.sum(fwd.log_z)))
+
+    xs0, logws0 = recompute_segment(ssm, params, run_cfg.smc, cache, 0, None, None, None)
+    # boundary chaining: segment 1's stored carry == segment 0's final state
+    np.testing.assert_array_equal(
+        np.asarray(cache.seg_x[1][:, : cfg.data.dx, :]), np.asarray(xs0[-1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cache.seg_logw[1]), np.asarray(logws0[-1])
+    )
+    # the control rows of the stored padded carry match the driving controls
+    # (carry INTO segment 1's first step t=5 holds u_5)
+    np.testing.assert_allclose(
+        np.asarray(cache.seg_x[1][:, cfg.data.dx : cfg.data.dx + 2, 0]),
+        np.asarray(ctrl[:, 5, :]),
+        rtol=1e-6,
+    )
+    # determinism of the replay
+    xs0b, _ = recompute_segment(ssm, params, run_cfg.smc, cache, 0, None, None, None)
+    np.testing.assert_array_equal(np.asarray(xs0), np.asarray(xs0b))
+    # controls must actually condition the filter
+    fwd2, _ = forward_filter_segmented(
+        ssm, params, jax.random.key(7), ys, run_cfg.smc, 2, controls=-ctrl
+    )
+    assert abs(float(jnp.mean(fwd2.log_z) - jnp.mean(fwd.log_z))) > 1e-3
