@@ -28,6 +28,27 @@ if __name__ == "__main__":
     )
     a = ap.parse_args()
 
+    import os
+
+    if not os.environ.get("PSVO_TPU_BENCH_CHILD") and os.environ.get(
+        "PSVO_TPU_BENCH_WATCHDOG", "1"
+    ) != "0":
+        # Global deadline layer (round-5): a relay wedge AFTER a passing
+        # preflight hangs the measurement itself, uninterruptibly — re-exec
+        # in a killable process group so the driver ALWAYS gets a JSON line
+        # within the deadline (on expiry: failure JSON + stale_last_good +
+        # any crash-safe partial rows). PSVO_TPU_BENCH_WATCHDOG=0 disables;
+        # PSVO_TPU_BENCH_DEADLINE_S overrides.
+        from psvo_tpu.benchmark import run_with_watchdog
+
+        deadline = float(
+            os.environ.get(
+                "PSVO_TPU_BENCH_DEADLINE_S", 2700 if a.all else 1500
+            )
+        )
+        argv = [os.path.abspath(sys.argv[0]), *sys.argv[1:]]
+        sys.exit(run_with_watchdog(argv, deadline))
+
     from psvo_tpu.benchmark import preflight_failure_blob, preflight_with_cooldown
 
     err = preflight_with_cooldown()

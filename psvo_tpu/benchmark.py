@@ -265,6 +265,69 @@ def preflight_failure_blob(
     return fail
 
 
+def run_with_watchdog(argv: list[str], deadline_s: float) -> int:
+    """Re-exec the bench under a killable global deadline (round-5 lore:
+    on 2026-08-21 a relay wedge hit AFTER a passing preflight and hung the
+    measurement itself — which no in-process guard can interrupt, since
+    the blocked value fetch never returns to Python). The child runs the
+    real bench with stdout/stderr INHERITED (no pipes — a pipe-holding
+    grandchild cannot wedge the parent, and the driver sees every line
+    live); on expiry the parent SIGKILLs the child's process GROUP and
+    prints the honest failure JSON itself, with stale_last_good and — for
+    --all — the crash-safe partial blob's already-measured rows.
+
+    Returns the exit code to pass to sys.exit. The child is marked via
+    PSVO_TPU_BENCH_CHILD so it never recurses."""
+    import signal
+    import subprocess
+
+    env = dict(os.environ)
+    env["PSVO_TPU_BENCH_CHILD"] = "1"
+    p = subprocess.Popen(
+        [sys.executable, *argv], start_new_session=True, env=env
+    )
+    try:
+        return p.wait(timeout=deadline_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            p.kill()
+        try:
+            p.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+        fail = {
+            "metric": "train_steps_per_sec_fhn_fivo_k1024_bench",
+            "value": 0,
+            "unit": "steps/s",
+            "vs_baseline": None,
+            "error": (
+                f"bench hung mid-run past the {deadline_s:.0f}s watchdog "
+                "deadline (relay wedged after a passing preflight?); child "
+                "process group killed"
+            ),
+            **run_metadata(),
+        }
+        stale = stale_last_good()
+        if stale is not None:
+            fail["stale_last_good"] = stale
+        if "--all" in argv:
+            # the crash-safe blob holds every row measured before the hang
+            try:
+                with open(os.path.join(os.getcwd(), "BENCH_ALL.json")) as f:
+                    partial = json.load(f)
+                rows = partial.get("rows") or {}
+                if rows:
+                    fail["partial_rows_measured"] = {
+                        name: row.get("value") for name, row in rows.items()
+                    }
+            except (OSError, ValueError):
+                pass
+        print(json.dumps(fail))
+        return 1
+
+
 def run_metadata() -> dict:
     """{git_sha, timestamp} provenance stamped into every blob (VERDICT r3
     weak #5: the canonical evidence must say when/at which commit it was

@@ -273,3 +273,51 @@ def test_preflight_failure_blob_to_target_metric():
     assert fail["unit"] == "s" and fail["value"] == 0
     # the stale payload still names its own (throughput) metric
     assert fail["stale_last_good"]["metric"].startswith("train_steps_per_sec_")
+
+
+# --- mid-run watchdog (round-5: wedge AFTER a passing preflight) -----------
+
+
+def test_watchdog_kills_hung_child_and_reports(capsys):
+    """A child that hangs past the deadline is group-killed and the parent
+    prints an honest failure JSON with the stale payload."""
+    t0 = time.perf_counter()
+    rc = benchmark.run_with_watchdog(
+        ["-c", "import time; time.sleep(60)"], deadline_s=2.0
+    )
+    elapsed = time.perf_counter() - t0
+    assert rc == 1 and elapsed < 20.0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    fail = json.loads(out)
+    assert fail["value"] == 0 and "watchdog" in fail["error"]
+    assert fail["stale_last_good"]["value"] > 0
+
+
+def test_watchdog_passes_through_healthy_child(capsys):
+    """A child that finishes in time: its exit code passes through and the
+    parent prints nothing extra (the child's own JSON line is the output)."""
+    rc = benchmark.run_with_watchdog(
+        ["-c", "print('{\"ok\": 1}'); import sys; sys.exit(0)"], deadline_s=30.0
+    )
+    assert rc == 0
+    # parent adds no failure line of its own
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert not any("watchdog" in l for l in lines)
+
+
+def test_watchdog_collects_partial_rows(tmp_path, monkeypatch, capsys):
+    """On expiry of an --all run, the crash-safe partial blob's measured
+    rows ride the failure JSON."""
+    monkeypatch.chdir(tmp_path)
+    with open(tmp_path / "BENCH_ALL.json", "w") as f:
+        json.dump(
+            {"partial": True,
+             "rows": {"fhn_fivo_k128": {"value": 351.6, "unit": "steps/s"}}},
+            f,
+        )
+    rc = benchmark.run_with_watchdog(
+        ["-c", "import time; time.sleep(60)", "--all"], deadline_s=2.0
+    )
+    assert rc == 1
+    fail = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fail["partial_rows_measured"] == {"fhn_fivo_k128": 351.6}
