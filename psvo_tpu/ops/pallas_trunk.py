@@ -276,7 +276,11 @@ def _tile(k: int, pd: int) -> int:
     x_res/x_new/d_xnew/d_xres tiles) plus 3 hidden stacks [8, HA, kt]: at
     pd=48/kt=2048 it measured 68.1 MiB of scoped VMEM — 4 MiB over the
     64 MiB grant — so wide states halve the tile (grid doubles; the
-    per-invocation fixed cost amortizes over the batch·K work)."""
+    per-invocation fixed cost amortizes over the batch·K work).
+    Re-measured after BF16_RESIDUALS freed ~6 MiB of that live set (v5e
+    2026-08-21, L96 K=8192 row): kt=2048 now compiles but runs SLOWER
+    (151.6 vs 147.4 ms/step) — VMEM headroom, not grid count, is what the
+    double-buffered streams want; the halved tile stands."""
     base = K_TILE if pd <= 16 else K_TILE // 2
     return min(k, base)
 
