@@ -388,6 +388,8 @@ def _selected_path_log_joint(ssm: SSM, params, x_tilde_c, ys_tm, ctrl_tm):
     round-3 PSVO step on v5e before this split)."""
     t_steps, b, md = x_tilde_c.shape
     m = md // ssm.dx
+    if t_steps - 1 >= 2 * _LOGJOINT_CHUNK and (t_steps - 1) % _LOGJOINT_CHUNK == 0:
+        return _logjoint_chunked(ssm, params, x_tilde_c, ys_tm, ctrl_tm, m)
     x_tilde = x_tilde_c.reshape(t_steps, b, m, ssm.dx)
     u = None
     if ssm.di:
@@ -401,6 +403,54 @@ def _selected_path_log_joint(ssm: SSM, params, x_tilde_c, ys_tm, ctrl_tm):
         + jnp.sum(lp_g, axis=0)
         + ssm.prior_log_prob(params, x_tilde[0])
     )
+
+
+# Time-chunk length of the long-T log-joint scan. At T=16385 the direct
+# form's [T, B, M, Dx=3] tensors (the reshape, its remat copy, and the
+# summed cotangent) each tile-pad 42.7× — three ~1 GB allocations in the
+# OOM dump — because Dx rides the lane axis. The chunked form bounds every
+# padded tensor to L steps (≈31 MB at L=512): a lax.scan over time chunks
+# whose checkpointed body re-derives its padded forms in the backward, with
+# the previous chunk's boundary frame carried for the transition pairs.
+# Engaged only when (T−1) is a multiple of the chunk with ≥ 2 chunks —
+# reference-scale T (~100) keeps the direct form; long-T runs use
+# T = 2^k + 1 which always divides.
+_LOGJOINT_CHUNK = 512
+
+
+def _logjoint_chunked(ssm: SSM, params, x_c, ys_tm, ctrl_tm, m: int):
+    """Chunked evaluation of the selected-path log-joint — value- and
+    gradient-identical to the direct form (test:
+    test_logjoint_chunked_matches_direct), O(L) instead of O(T) peak for
+    the lane-padded [*, B, M, Dx] intermediates."""
+    t_steps, b, _ = x_c.shape
+    dx = ssm.dx
+    L = _LOGJOINT_CHUNK
+    nc = (t_steps - 1) // L
+
+    x0 = x_c[0].reshape(b, m, dx)
+    lp0 = ssm.prior_log_prob(params, x0) + jnp.sum(
+        ssm.emission_log_prob(params, x0[None], ys_tm[0][None, :, None, :]),
+        axis=0,
+    )
+    xs = x_c[1:].reshape(nc, L, b, m * dx)
+    ys = ys_tm[1:].reshape(nc, L, b, -1)
+    us = ctrl_tm[1:].reshape(nc, L, b, ssm.di)
+
+    def body(carry_prev, inp):
+        xc, yc, uc = inp
+        xck = xc.reshape(L, b, m, dx)
+        prev = carry_prev.reshape(1, b, m, dx)
+        pairs_prev = jnp.concatenate([prev, xck[:-1]], axis=0)
+        u = None
+        if ssm.di:
+            u = jnp.broadcast_to(uc[:, :, None, :], (L, b, m, ssm.di))
+        lp_f = ssm.transition_log_prob(params, pairs_prev, xck, u)
+        lp_g = ssm.emission_log_prob(params, xck, yc[:, :, None, :])
+        return xc[-1], jnp.sum(lp_f, axis=0) + jnp.sum(lp_g, axis=0)
+
+    _, lps = jax.lax.scan(jax.checkpoint(body), x_c[0], (xs, ys, us))
+    return lp0 + jnp.sum(lps, axis=0)
 
 
 @jax.named_scope("ffbsi_backward")
